@@ -1,0 +1,238 @@
+"""Pallas TPU paged attention for decode.
+
+TPU-native replacement for vLLM's paged-attention CUDA kernels (the reference
+delegates its whole AR decode path to them, SURVEY §2.9).  The KV cache lives
+in HBM as pages of shape [page_size, head_dim] per kv head; a per-sequence
+block table maps logical pages to physical ones.
+
+Design:
+- grid (batch, kv_head, page); the page axis is innermost/"arbitrary" so the
+  online-softmax accumulators live in VMEM scratch while Mosaic streams pages
+  HBM->VMEM, double-buffered, driven by the scalar-prefetched block table
+  (pltpu.PrefetchScalarGridSpec — the index map itself dereferences the block
+  table, so only this sequence's pages are fetched).
+- all q heads of one kv head (the GQA group) are processed together as the
+  sublane axis of the [group, page_size] score tile.
+- pages past the sequence length skip compute via pl.when.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ht_vllm_omni_tpu.utils import cdiv, pallas_interpret_mode, round_up
+
+NEG_INF = float("-inf")
+_LANES = 128
+
+
+def _paged_kernel(
+    # scalar prefetch
+    block_tables_ref,  # [B, max_pages] int32
+    seq_lens_ref,  # [B] int32
+    # inputs
+    q_ref,  # [1, 1, G, D]
+    k_ref,  # [1, 1, page_size, D]
+    v_ref,  # [1, 1, page_size, D]
+    # outputs
+    o_ref,  # [1, 1, G, D]
+    # scratch
+    m_ref,  # [G, LANES]
+    l_ref,  # [G, LANES]
+    acc_ref,  # [G, D]
+    *,
+    sm_scale: float,
+    page_size: int,
+):
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+    num_pages = pl.num_programs(2)
+
+    @pl.when(p == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    seq_len = seq_lens_ref[b]
+    page_start = p * page_size
+
+    @pl.when(page_start < seq_len)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # [G, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [P, D]
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * sm_scale  # [G, P]
+
+        pos = page_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < seq_len, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        shift = jnp.where(m_new == NEG_INF, 0.0, m_new)
+        pexp = jnp.exp(s - shift)
+        alpha = jnp.where(m_prev == NEG_INF, 0.0, jnp.exp(m_prev - shift))
+
+        l_ref[...] = jnp.broadcast_to(
+            alpha * l_ref[:, :1] + jnp.sum(pexp, axis=1, keepdims=True),
+            l_ref.shape,
+        )
+        v = v_ref[0, 0].astype(jnp.float32)  # [P, D]
+        pv = jax.lax.dot_general(
+            pexp,
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(p == num_pages - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        denom = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0, ...] = (acc_ref[...] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale",))
+def paged_attention(
+    q: jax.Array,  # [B, QH, D] one query token per sequence
+    k_pages: jax.Array,  # [KVH, num_pages, page_size, D]
+    v_pages: jax.Array,  # [KVH, num_pages, page_size, D]
+    block_tables: jax.Array,  # [B, max_pages_per_seq] int32
+    seq_lens: jax.Array,  # [B] int32
+    *,
+    sm_scale: float | None = None,
+) -> jax.Array:
+    """Decode attention over the paged cache; returns [B, QH, D]."""
+    batch, q_heads, head_dim = q.shape
+    kv_heads, _, page_size, _ = k_pages.shape
+    assert q_heads % kv_heads == 0
+    group = q_heads // kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    max_pages = block_tables.shape[1]
+
+    # Pad the GQA group to the fp32 sublane tile.
+    group_pad = round_up(group, 8)
+    qg = q.reshape(batch, kv_heads, group, head_dim)
+    if group_pad != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_pad - group), (0, 0)))
+
+    kernel = functools.partial(
+        _paged_kernel, sm_scale=sm_scale, page_size=page_size
+    )
+    grid = (batch, kv_heads, max_pages)
+
+    def _kv_index(b, h, p, tables, lens):
+        return (h, tables[b, p], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, group_pad, head_dim),
+                lambda b, h, p, tables, lens: (b, h, 0, 0),
+            ),
+            pl.BlockSpec((1, 1, page_size, head_dim), _kv_index),
+            pl.BlockSpec((1, 1, page_size, head_dim), _kv_index),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, group_pad, head_dim),
+            lambda b, h, p, tables, lens: (b, h, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((group_pad, _LANES), jnp.float32),
+            pltpu.VMEM((group_pad, _LANES), jnp.float32),
+            pltpu.VMEM((group_pad, head_dim), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, kv_heads, group_pad, head_dim), q.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=pallas_interpret_mode(),
+    )(
+        block_tables.astype(jnp.int32),
+        seq_lens.astype(jnp.int32),
+        qg,
+        k_pages.reshape(kv_heads, -1, page_size, head_dim),
+        v_pages.reshape(kv_heads, -1, page_size, head_dim),
+    )
+    return out[:, :, :group, :].reshape(batch, q_heads, head_dim)
+
+
+def paged_attention_reference(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    block_tables: jax.Array,
+    seq_lens: jax.Array,
+    *,
+    sm_scale: float | None = None,
+) -> jax.Array:
+    """Gather-then-attend jnp reference used by unit tests."""
+    batch, q_heads, head_dim = q.shape
+    kv_heads, _, page_size, _ = k_pages.shape
+    group = q_heads // kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    max_ctx = block_tables.shape[1] * page_size
+
+    # [B, KVH, max_ctx, D]
+    k = jnp.take(k_pages, block_tables, axis=1)  # [KVH, B, P, ps, D]
+    k = k.transpose(1, 0, 2, 3, 4).reshape(batch, kv_heads, max_ctx, head_dim)
+    v = jnp.take(v_pages, block_tables, axis=1)
+    v = v.transpose(1, 0, 2, 3, 4).reshape(batch, kv_heads, max_ctx, head_dim)
+
+    qg = q.reshape(batch, kv_heads, group, head_dim).astype(jnp.float32)
+    s = jnp.einsum("bhgd,bhkd->bhgk", qg, k.astype(jnp.float32)) * sm_scale
+    pos = jnp.arange(max_ctx)[None, None, None, :]
+    s = jnp.where(pos < seq_lens[:, None, None, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhgk,bhkd->bhgd", p, v.astype(jnp.float32))
+    return o.reshape(batch, q_heads, head_dim).astype(q.dtype)
+
+
+@jax.jit
+def write_kv_pages(
+    k_pages: jax.Array,  # [KVH, num_pages, page_size, D]
+    v_pages: jax.Array,
+    new_k: jax.Array,  # [T, KVH, D]
+    new_v: jax.Array,  # [T, KVH, D]
+    slot_mapping: jax.Array,  # [T] int32: page_idx * page_size + offset
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter freshly-computed K/V rows into the paged cache.
+
+    ``slot_mapping`` follows vLLM's flat-slot convention.  Padding rows use
+    slot -1 and are dropped (scatter with mode='drop').
+    """
+    kv_heads, num_pages, page_size, head_dim = k_pages.shape
+    flat_k = k_pages.reshape(kv_heads, num_pages * page_size, head_dim)
+    flat_v = v_pages.reshape(kv_heads, num_pages * page_size, head_dim)
+    nk = new_k.astype(k_pages.dtype).transpose(1, 0, 2)  # [KVH, T, D]
+    nv = new_v.astype(v_pages.dtype).transpose(1, 0, 2)
+    # Negative indices wrap in jnp scatters even under mode="drop"; remap the
+    # -1 padding sentinel to an out-of-bounds positive slot so it is dropped.
+    num_slots = num_pages * page_size
+    slots = jnp.where(slot_mapping < 0, num_slots, slot_mapping)
+    flat_k = flat_k.at[:, slots, :].set(nk, mode="drop")
+    flat_v = flat_v.at[:, slots, :].set(nv, mode="drop")
+    return (
+        flat_k.reshape(k_pages.shape),
+        flat_v.reshape(v_pages.shape),
+    )
