@@ -1,0 +1,123 @@
+from __future__ import annotations
+
+import dataclasses
+
+from ht_vllm_omni_tpu.utils import cdiv
+
+
+@dataclasses.dataclass
+class ModelArchConfig:
+    """Transformer architecture hyper-parameters (HF-config compatible).
+
+    Built either from a HF config.json (models/loader.py) or directly for
+    tests/benchmarks with random weights.
+    """
+
+    model_type: str = "qwen2"
+    vocab_size: int = 151936
+    hidden_size: int = 896
+    intermediate_size: int = 4864
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 14
+    num_key_value_heads: int = 2
+    head_dim: int | None = None
+    rope_theta: float = 1000000.0
+    rms_norm_eps: float = 1e-6
+    tie_word_embeddings: bool = True
+    max_position_embeddings: int = 32768
+    dtype: str = "bfloat16"
+    # qwen3-style q/k RMSNorm
+    qk_norm: bool = False
+    attention_bias: bool = True
+    # MoE (qwen3-moe style); 0 experts == dense
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    # sliding window / misc left for later model families
+    eos_token_id: int | list[int] = 151645
+    bos_token_id: int | None = None
+
+    def __post_init__(self) -> None:
+        if self.head_dim is None:
+            self.head_dim = self.hidden_size // self.num_attention_heads
+
+    @property
+    def eos_token_ids(self) -> list[int]:
+        e = self.eos_token_id
+        return list(e) if isinstance(e, (list, tuple)) else [e]
+
+
+@dataclasses.dataclass
+class CacheConfig:
+    """Paged KV cache layout.
+
+    The reference inherits vLLM's block manager (16-token CUDA blocks);
+    on TPU larger pages amortise DMA setup and line up with the (8,128)
+    tile, so the default page is 64 tokens.
+    """
+
+    page_size: int = 128
+    num_pages: int | None = None  # None: derived from gpu_memory_utilization
+    kv_cache_dtype: str = "auto"  # "auto" | "bfloat16" | "int8" | "fp8"
+    memory_utilization: float = 0.9
+
+    def pages_for(self, num_tokens: int) -> int:
+        return cdiv(num_tokens, self.page_size)
+
+
+@dataclasses.dataclass
+class SchedulerConfig:
+    """Continuous-batching limits (vLLM v1 scheduler semantics)."""
+
+    max_num_seqs: int = 16
+    max_num_batched_tokens: int = 8192
+    max_model_len: int = 4096
+    # chunked prefill: cap on tokens of a single prefill chunk.
+    # None disables chunking (whole prompt in one pass).
+    prefill_chunk_size: int | None = None
+
+    @property
+    def effective_prefill_chunk(self) -> int:
+        return self.prefill_chunk_size or self.max_model_len
+
+
+@dataclasses.dataclass
+class ParallelConfig:
+    """Intra-stage device mesh shape (axes over ICI).
+
+    TPU-native counterpart of DiffusionParallelConfig /vLLM parallel args
+    (reference vllm_omni/diffusion/data.py:34): instead of NCCL process
+    groups, one jax.sharding.Mesh per stage with named axes.
+    """
+
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    # sequence parallel (Ulysses-style all_to_all over heads) for DiT
+    sequence_parallel_size: int = 1
+    cfg_parallel_size: int = 1
+    expert_parallel_size: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return (
+            self.tensor_parallel_size
+            * self.data_parallel_size
+            * self.sequence_parallel_size
+            * self.cfg_parallel_size
+        )
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    """Everything one AR stage engine needs."""
+
+    model: ModelArchConfig
+    cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)
+    scheduler: SchedulerConfig = dataclasses.field(
+        default_factory=SchedulerConfig
+    )
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+    # path to HF checkpoint dir (safetensors); None = random init
+    model_path: str | None = None
+    seed: int = 0
+    enforce_eager: bool = False

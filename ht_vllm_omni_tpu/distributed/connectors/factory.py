@@ -1,0 +1,42 @@
+"""Name -> connector class resolution (reference omni_connectors/factory.py)."""
+
+from __future__ import annotations
+
+from typing import Any, Type
+
+from ht_vllm_omni_tpu.distributed.connectors.base import OmniConnectorBase
+
+
+class OmniConnectorFactory:
+    _registry: dict[str, Type[OmniConnectorBase]] = {}
+
+    @classmethod
+    def register(cls, name: str, klass: Type[OmniConnectorBase]) -> None:
+        cls._registry[name] = klass
+
+    @classmethod
+    def create(cls, name: str, **extra: Any) -> OmniConnectorBase:
+        klass = cls._registry.get(name)
+        if klass is None:
+            raise ValueError(
+                f"unknown connector {name!r}; known: {list(cls._registry)}"
+            )
+        return klass(**extra)
+
+
+def _register_builtins() -> None:
+    from ht_vllm_omni_tpu.distributed.connectors.inmemory import (
+        InMemoryConnector,
+    )
+    from ht_vllm_omni_tpu.distributed.connectors.shm import (
+        SharedMemoryConnector,
+    )
+
+    OmniConnectorFactory.register("InMemoryConnector", InMemoryConnector)
+    OmniConnectorFactory.register("MockConnector", InMemoryConnector)
+    OmniConnectorFactory.register(
+        "SharedMemoryConnector", SharedMemoryConnector
+    )
+
+
+_register_builtins()

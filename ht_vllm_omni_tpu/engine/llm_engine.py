@@ -1,0 +1,238 @@
+"""Synchronous single-stage AR engine with chunked multi-step decode.
+
+TPU-native counterpart of one vLLM EngineCore the reference attaches to per
+stage (reference vllm_omni/engine/stage_engine_core_client.py:25 talks ZMQ
+to an EngineCoreProc; here the engine is in-process — the single-controller
+jax model makes the process-per-stage topology unnecessary on one host).
+
+Each ``step()`` runs: admissions -> prefills -> one K-step decode chunk on
+device (a single host sync for K * batch tokens, see
+worker/model_runner.py).
+"""
+
+from __future__ import annotations
+
+import copy
+import itertools
+import logging
+import time
+from typing import Sequence
+
+import numpy as np
+
+from ht_vllm_omni_tpu.config import EngineConfig
+from ht_vllm_omni_tpu.core.request import Request
+from ht_vllm_omni_tpu.core.sched.scheduler import Scheduler
+from ht_vllm_omni_tpu.inputs import OmniPrompt, as_prompt
+from ht_vllm_omni_tpu.outputs import CompletionOutput, OmniRequestOutput
+from ht_vllm_omni_tpu.sampling_params import SamplingParams
+from ht_vllm_omni_tpu.worker.model_runner import ARModelRunner
+
+logger = logging.getLogger(__name__)
+
+
+class LLMEngine:
+    def __init__(
+        self,
+        config: EngineConfig,
+        params: dict | None = None,
+        tokenizer=None,
+        decode_horizon: int = 16,
+    ) -> None:
+        self.config = config
+        self.decode_horizon = decode_horizon
+        self.runner = ARModelRunner(config, params=params)
+        self.scheduler = Scheduler(
+            config.scheduler, config.cache, self.runner.num_pages
+        )
+        self.tokenizer = tokenizer
+        if tokenizer is None and config.model_path is not None:
+            try:
+                from transformers import AutoTokenizer
+
+                self.tokenizer = AutoTokenizer.from_pretrained(
+                    config.model_path
+                )
+            except Exception as e:  # tokenizer optional: ids API still works
+                logger.warning("tokenizer load failed: %s", e)
+        self._req_counter = itertools.count()
+        # request_id -> (prompt_hidden_device_array, producing-hiddens list)
+        self._hidden: dict[str, dict] = {}
+
+    # --------------------------------------------------------------- intake
+    def add_request(
+        self,
+        prompt: str | list[int] | OmniPrompt,
+        sampling_params: SamplingParams | None = None,
+        request_id: str | None = None,
+    ) -> str:
+        sampling_params = sampling_params or SamplingParams()
+        request_id = request_id or f"req-{next(self._req_counter)}"
+        p = as_prompt(prompt)
+        if p.token_ids is not None:
+            token_ids = list(p.token_ids)
+        elif p.text is not None:
+            if self.tokenizer is None:
+                raise ValueError("text prompt but no tokenizer available")
+            token_ids = self.tokenizer.encode(p.text)
+        else:
+            raise NotImplementedError("embeds prompts: use the omni pipeline")
+        if not sampling_params.ignore_eos:
+            for eos in self.config.model.eos_token_ids:
+                if eos not in sampling_params.stop_token_ids:
+                    sampling_params.stop_token_ids.append(eos)
+        req = Request(
+            request_id=request_id,
+            prompt_token_ids=token_ids,
+            sampling_params=sampling_params,
+            prompt_embeds=p.embeds,
+            additional_information=dict(p.additional_information),
+            arrival_time=time.time(),
+        )
+        self.scheduler.add_request(req)
+        return request_id
+
+    def abort_request(self, request_id: str) -> None:
+        self.scheduler.abort_request(request_id)
+        self.runner.release_slot(request_id)
+        self._hidden.pop(request_id, None)
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished()
+
+    # --------------------------------------------------------------- step
+    def step(self) -> list[OmniRequestOutput]:
+        """One engine iteration (prefills + one decode chunk); returns
+        streaming deltas for every request that made progress."""
+        prefills, decode_reqs = self.scheduler.step_plan(self.decode_horizon)
+        for req in self.scheduler.newly_preempted:
+            self.runner.release_slot(req.request_id)
+
+        want_hidden: dict[str, bool] = {}
+        prefill_hidden: dict[str, object] = {}
+        for req in prefills:
+            hidden = self.runner.prefill(req)
+            # the whole prompt's KV is materialised by the prefill pass
+            req.num_computed_tokens = req.num_prompt_tokens
+            if req.sampling_params.return_hidden_states:
+                prefill_hidden[req.request_id] = hidden
+                want_hidden[req.request_id] = True
+        for req in decode_reqs:
+            if req.sampling_params.return_hidden_states:
+                want_hidden[req.request_id] = True
+
+        active = prefills + decode_reqs
+        if not active:
+            return []
+        tokens, hidden = self.runner.decode_chunk(
+            self.decode_horizon, collect_hidden=bool(want_hidden)
+        )
+
+        outputs: list[OmniRequestOutput] = []
+        fresh_ids = {r.request_id for r in prefills}
+        for req in active:
+            rid = req.request_id
+            slot = self.runner._slot_of.get(rid)
+            if slot is None:
+                continue
+            is_fresh = rid in fresh_ids
+            toks: list[int] = []
+            if is_fresh:
+                toks.append(int(tokens[0, slot]))
+            for k in range(1, tokens.shape[0]):
+                t = int(tokens[k, slot])
+                if t < 0:
+                    break
+                toks.append(t)
+            if not toks:
+                continue
+            prev_n = req.num_output_tokens
+            status = self.scheduler.apply_decoded(
+                req, toks, includes_entry=is_fresh
+            )
+            accepted = req.num_output_tokens - prev_n
+            if want_hidden.get(rid):
+                self._accumulate_hidden(
+                    req, slot, accepted, is_fresh,
+                    prefill_hidden.get(rid), hidden,
+                )
+            finished = status is not None
+            if finished:
+                self.runner.release_slot(rid)
+            outputs.append(self._make_output(req, finished, accepted))
+        return outputs
+
+    def _accumulate_hidden(
+        self, req, slot, accepted, is_fresh, p_hidden, chunk_hidden
+    ) -> None:
+        """Store the producing hidden state of each accepted token.
+
+        Token i's producing hidden is the transformer output at the
+        position *before* it: the prefill's last position for the first
+        sampled token, chunk step j-1 for the token sampled at step j.
+        """
+        store = self._hidden.setdefault(
+            req.request_id, {"prompt": None, "steps": []}
+        )
+        rows = []
+        if is_fresh and p_hidden is not None:
+            store["prompt"] = p_hidden
+            rows.append(np.asarray(p_hidden)[req.num_prompt_tokens - 1])
+        if chunk_hidden is not None:
+            n_chunk_rows = accepted - (1 if is_fresh else 0)
+            for j in range(max(n_chunk_rows, 0)):
+                rows.append(chunk_hidden[j, slot])
+        store["steps"].extend(rows)
+
+    def _make_output(
+        self, req: Request, finished: bool, num_new: int
+    ) -> OmniRequestOutput:
+        hidden = None
+        store = self._hidden.get(req.request_id)
+        if store is not None and store["steps"]:
+            # attach the producing hidden of every token so far — streaming
+            # consumers (async-chunk talker handoff) slice their delta
+            hidden = np.stack(store["steps"])
+        if finished:
+            self._hidden.pop(req.request_id, None)
+        text = ""
+        if finished and self.tokenizer is not None:
+            text = self.tokenizer.decode(req.output_token_ids)
+        out = OmniRequestOutput(
+            request_id=req.request_id,
+            prompt_token_ids=req.prompt_token_ids,
+            outputs=[
+                CompletionOutput(
+                    index=0,
+                    token_ids=list(req.output_token_ids),
+                    text=text,
+                    finish_reason=req.status.finish_reason,
+                    hidden_states=hidden,
+                )
+            ],
+            finished=finished,
+        )
+        out.metrics["num_new_tokens"] = num_new
+        return out
+
+    # --------------------------------------------------------------- offline
+    def generate(
+        self,
+        prompts: Sequence[str | list[int] | OmniPrompt],
+        sampling_params: SamplingParams | Sequence[SamplingParams] | None = None,
+    ) -> list[OmniRequestOutput]:
+        if sampling_params is None or isinstance(
+            sampling_params, SamplingParams
+        ):
+            sampling_params = [sampling_params] * len(prompts)
+        order: list[str] = []
+        for p, sp in zip(prompts, sampling_params):
+            order.append(
+                self.add_request(p, copy.deepcopy(sp) if sp else None)
+            )
+        results: dict[str, OmniRequestOutput] = {}
+        while self.has_unfinished_requests():
+            for out in self.step():
+                if out.finished:
+                    results[out.request_id] = out
+        return [results[rid] for rid in order]

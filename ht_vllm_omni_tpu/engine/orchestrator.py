@@ -1,0 +1,363 @@
+"""Multi-stage pipeline orchestrator (single-controller).
+
+Counterpart of the reference Orchestrator (reference
+vllm_omni/engine/orchestrator.py:108), re-shaped for TPU: all stages live
+in ONE process sharing one jax runtime (no per-stage EngineCoreProc /
+ZMQ), so the "DAG pump" is a plain synchronous step loop — each tick steps
+every stage that has work and routes finished stage outputs to downstream
+stages (reference _route_output/_forward_to_next_stage semantics).
+AsyncOmniEngine wraps this in a background thread for serving.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import logging
+import time
+from typing import Any, Sequence
+
+from ht_vllm_omni_tpu.config.stage_config import PipelineConfig, StageConfig
+from ht_vllm_omni_tpu.inputs import OmniPrompt, as_prompt
+from ht_vllm_omni_tpu.models.stage_input_processors import resolve
+from ht_vllm_omni_tpu.outputs import OmniRequestOutput
+from ht_vllm_omni_tpu.sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class StageHandle:
+    """A live stage: config + its engine (LLMEngine / GenerationEngine /
+    DiffusionEngine adapter)."""
+
+    config: StageConfig
+    engine: Any  # duck-typed: add_request / step / has_unfinished_requests
+
+    def has_work(self) -> bool:
+        return self.engine.has_unfinished_requests()
+
+
+@dataclasses.dataclass
+class _ChunkEdgeState:
+    """Per-request per-chunked-edge streaming progress."""
+
+    sent_tokens: int = 0
+    chunk_index: int = 0
+    final_sent: bool = False
+    next_poll_index: int = 0
+
+
+@dataclasses.dataclass
+class _RequestState:
+    external_id: str
+    sampling_params: list[SamplingParams | None]
+    client_outputs: list[OmniRequestOutput] = dataclasses.field(
+        default_factory=list
+    )
+    finished: bool = False
+    start_time: float = dataclasses.field(default_factory=time.time)
+    # stage_id -> upstream outputs already forwarded
+    forwarded: set = dataclasses.field(default_factory=set)
+    # (from_stage, to_stage) -> chunk progress
+    chunks: dict = dataclasses.field(default_factory=dict)
+
+
+class PipelineOrchestrator:
+    def __init__(
+        self,
+        pipeline: PipelineConfig,
+        stages: Sequence[StageHandle],
+    ) -> None:
+        from ht_vllm_omni_tpu.distributed.connectors import (
+            OmniConnectorFactory,
+        )
+
+        self.pipeline = pipeline
+        self.stages = {h.config.stage_id: h for h in stages}
+        self.requests: dict[str, _RequestState] = {}
+        self._counter = itertools.count()
+        self._final_ids = set(pipeline.final_stage_ids())
+        # async-chunk plumbing: chunked edges + their connectors
+        self._chunk_edges: dict[int, list] = {}
+        self._connectors: dict[str, Any] = {}
+        self._default_connector = OmniConnectorFactory.create(
+            "InMemoryConnector"
+        )
+        for edge in pipeline.edges:
+            if edge.window_size and edge.window_size > 0:
+                self._chunk_edges.setdefault(edge.from_stage, []).append(edge)
+                if edge.connector and edge.connector not in self._connectors:
+                    spec = pipeline.connectors[edge.connector]
+                    self._connectors[edge.connector] = (
+                        OmniConnectorFactory.create(spec.name, **spec.extra)
+                    )
+
+    def _edge_connector(self, edge) -> Any:
+        if edge.connector is None:
+            return self._default_connector
+        return self._connectors[edge.connector]
+
+    def _edge_left_context(self, edge) -> int:
+        if edge.connector is not None:
+            spec = self.pipeline.connectors[edge.connector]
+            return int(spec.extra.get("codec_left_context_frames", 0))
+        return 0
+
+    # ------------------------------------------------------------- intake
+    def add_request(
+        self,
+        prompt: str | list[int] | OmniPrompt,
+        sampling_params: SamplingParams | Sequence[SamplingParams] | None = None,
+        request_id: str | None = None,
+    ) -> str:
+        external_id = request_id or f"omni-{next(self._counter)}"
+        n = len(self.stages)
+        if sampling_params is None or isinstance(
+            sampling_params, SamplingParams
+        ):
+            sp_list: list[SamplingParams | None] = [sampling_params] * n
+        else:
+            sp_list = list(sampling_params) + [None] * (
+                n - len(sampling_params)
+            )
+        state = _RequestState(external_id, sp_list)
+        self.requests[external_id] = state
+        stage0 = self.stages[0]
+        stage0.engine.add_request(
+            as_prompt(prompt),
+            self._stage_sampling_params(stage0.config, sp_list[0]),
+            request_id=self._internal_id(external_id, 0),
+        )
+        # async-chunk: pre-arm downstream stages so their requests exist,
+        # parked, before the first chunk lands (reference
+        # _prewarm_async_chunk_stages, orchestrator.py:627-689 — this is
+        # what turns TTFP from ~6.5 s into ~0.5 s on Qwen3-Omni).
+        for from_sid, edges in self._chunk_edges.items():
+            for edge in edges:
+                state.chunks[(from_sid, edge.to_stage)] = _ChunkEdgeState()
+                target = self.stages[edge.to_stage]
+                if hasattr(target.engine, "park_for_chunk"):
+                    rid = self._internal_id(external_id, edge.to_stage)
+                    target.engine.add_request(
+                        OmniPrompt(token_ids=[]),
+                        self._stage_sampling_params(
+                            target.config, sp_list[edge.to_stage]
+                        ),
+                        request_id=rid,
+                    )
+                    target.engine.park_for_chunk(rid)
+        return external_id
+
+    def abort_request(self, external_id: str) -> None:
+        state = self.requests.pop(external_id, None)
+        if state is None:
+            return
+        for sid, handle in self.stages.items():
+            handle.engine.abort_request(self._internal_id(external_id, sid))
+
+    def _internal_id(self, external_id: str, stage_id: int) -> str:
+        return f"{external_id}/s{stage_id}"
+
+    @staticmethod
+    def _external_id(internal_id: str) -> tuple[str, int]:
+        base, _, suffix = internal_id.rpartition("/s")
+        return base, int(suffix)
+
+    def _stage_sampling_params(
+        self, cfg: StageConfig, sp: SamplingParams | None
+    ) -> SamplingParams:
+        if sp is not None:
+            return sp
+        defaults = dict(cfg.default_sampling_params)
+        defaults.pop("detokenize", None)
+        known = {
+            f.name for f in dataclasses.fields(SamplingParams)
+        }
+        kwargs = {k: v for k, v in defaults.items() if k in known}
+        if kwargs.get("top_k", 0) in (-1, None):
+            kwargs["top_k"] = 0
+        params = SamplingParams(**kwargs)
+        # non-final AR stages that feed embeds downstream capture hiddens
+        if cfg.worker_type == "ar" and not cfg.final_output:
+            params.return_hidden_states = True
+        return params
+
+    # ------------------------------------------------------------- pump
+    def has_unfinished(self) -> bool:
+        return any(not s.finished for s in self.requests.values())
+
+    def step(self) -> list[OmniRequestOutput]:
+        """One pipeline tick; returns client-facing outputs."""
+        client_outputs: list[OmniRequestOutput] = []
+        self._poll_pending_chunks()
+        for sid in sorted(self.stages):
+            handle = self.stages[sid]
+            if not handle.has_work():
+                continue
+            for out in handle.engine.step():
+                self._route(handle, out, client_outputs)
+        return client_outputs
+
+    # ------------------------------------------------------- async-chunk
+    def _chunk_key(self, external_id: str, from_sid: int, index: int) -> str:
+        # reference key scheme: {external_req_id}_{stage}_{chunk}
+        # (chunk_transfer_adapter.py:131)
+        return f"{external_id}_{from_sid}_{index}"
+
+    def _emit_chunks(
+        self, state: _RequestState, from_cfg: StageConfig,
+        out: OmniRequestOutput,
+    ) -> None:
+        """Producer side: slice newly decoded tokens into window-sized
+        chunks (with left context) and put them on the edge connector."""
+        comp = out.outputs[0] if out.outputs else None
+        if comp is None:
+            return
+        tokens = comp.token_ids
+        for edge in self._chunk_edges.get(from_cfg.stage_id, []):
+            cs: _ChunkEdgeState = state.chunks[
+                (from_cfg.stage_id, edge.to_stage)
+            ]
+            if cs.final_sent:
+                continue
+            left = self._edge_left_context(edge)
+            conn = self._edge_connector(edge)
+            fn = resolve(from_cfg.custom_process_next_stage_input_func)
+            while True:
+                remaining = len(tokens) - cs.sent_tokens
+                if remaining >= edge.window_size:
+                    take = edge.window_size
+                    final = out.finished and (remaining == take)
+                elif out.finished and remaining > 0:
+                    take = remaining
+                    final = True
+                elif out.finished and cs.chunk_index > 0:
+                    # everything already flushed: empty final marker
+                    take = 0
+                    final = True
+                else:
+                    break
+                start = max(0, cs.sent_tokens - left)
+                stop = cs.sent_tokens + take
+                delta = dataclasses.replace(
+                    out,
+                    outputs=[
+                        dataclasses.replace(
+                            comp,
+                            token_ids=list(tokens[start:stop]),
+                            hidden_states=(
+                                comp.hidden_states[start:stop]
+                                if comp.hidden_states is not None
+                                else None
+                            ),
+                        )
+                    ],
+                )
+                prompt = fn(delta, from_cfg, self.stages[edge.to_stage].config)
+                payload = {
+                    "token_ids": prompt.token_ids,
+                    "prompt_embeds": prompt.embeds,
+                    "additional_information": {
+                        **prompt.additional_information,
+                        "chunk_index": cs.chunk_index,
+                        "new_tokens": take,
+                        "left_context": cs.sent_tokens - start,
+                    },
+                    "final": final,
+                }
+                conn.put(
+                    from_cfg.stage_id,
+                    edge.to_stage,
+                    self._chunk_key(
+                        state.external_id, from_cfg.stage_id, cs.chunk_index
+                    ),
+                    payload,
+                )
+                cs.sent_tokens += take
+                cs.chunk_index += 1
+                if final:
+                    cs.final_sent = True
+                    break
+
+    def _poll_pending_chunks(self) -> None:
+        """Consumer side: deliver arrived chunks to parked requests."""
+        for state in list(self.requests.values()):
+            for (from_sid, to_sid), cs in state.chunks.items():
+                edge = self.pipeline.edge(from_sid, to_sid)
+                conn = self._edge_connector(edge)
+                target = self.stages[to_sid]
+                while True:
+                    key = self._chunk_key(
+                        state.external_id, from_sid, cs.next_poll_index
+                    )
+                    payload, _ = conn.get(from_sid, to_sid, key)
+                    if payload is None:
+                        break
+                    cs.next_poll_index += 1
+                    target.engine.feed_chunk(
+                        self._internal_id(state.external_id, to_sid),
+                        payload,
+                        payload.get("final", False),
+                    )
+
+    def _route(
+        self,
+        handle: StageHandle,
+        out: OmniRequestOutput,
+        client_outputs: list[OmniRequestOutput],
+    ) -> None:
+        cfg = handle.config
+        external_id, sid = self._external_id(out.request_id)
+        state = self.requests.get(external_id)
+        if state is None:
+            return  # aborted
+        out.stage_id = sid
+        out.request_id = external_id
+        is_final_stage = sid in self._final_ids
+
+        # stream client-facing events: final-stage outputs always;
+        # comprehension-stage (thinker) text streams too.
+        if is_final_stage or cfg.is_comprehension:
+            out.final_output = is_final_stage
+            client_outputs.append(out)
+
+        if sid in self._chunk_edges:
+            self._emit_chunks(state, cfg, out)
+
+        if out.finished and not is_final_stage and out.error is None:
+            key = (sid,)
+            if key not in state.forwarded:
+                state.forwarded.add(key)
+                self._forward_to_next_stages(state, cfg, out)
+        if out.finished and (is_final_stage or out.error is not None):
+            state.finished = True
+        if out.error is not None:
+            out.finished = True
+            state.finished = True
+            if out not in client_outputs:
+                client_outputs.append(out)
+
+    def _forward_to_next_stages(
+        self,
+        state: _RequestState,
+        from_cfg: StageConfig,
+        out: OmniRequestOutput,
+    ) -> None:
+        chunked_targets = {
+            e.to_stage for e in self._chunk_edges.get(from_cfg.stage_id, [])
+        }
+        for next_sid in self.pipeline.downstream_of(from_cfg.stage_id):
+            if next_sid in chunked_targets:
+                continue  # fed incrementally via the chunk connector
+            next_handle = self.stages[next_sid]
+            fn = resolve(from_cfg.custom_process_next_stage_input_func)
+            restored = dataclasses.replace(out)
+            prompt = fn(restored, from_cfg, next_handle.config)
+            next_handle.engine.add_request(
+                prompt,
+                self._stage_sampling_params(
+                    next_handle.config, state.sampling_params[next_sid]
+                ),
+                request_id=self._internal_id(state.external_id, next_sid),
+            )

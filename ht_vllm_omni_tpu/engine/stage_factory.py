@@ -1,0 +1,103 @@
+"""Build live stage engines from a PipelineConfig.
+
+Counterpart of the reference's stage bring-up (reference
+vllm_omni/engine/stage_init_utils.py + async_omni_engine._initialize_stages
+:451-580) minus the process topology: every stage engine shares this
+process and the jax runtime.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+from ht_vllm_omni_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelArchConfig,
+    SchedulerConfig,
+)
+from ht_vllm_omni_tpu.config.stage_config import (
+    PipelineConfig,
+    StageConfig,
+    StageType,
+)
+from ht_vllm_omni_tpu.engine.orchestrator import StageHandle
+
+logger = logging.getLogger(__name__)
+
+# model_stage name -> callable(stage_cfg, model_path) -> engine
+_GENERATION_BUILDERS: dict[str, Any] = {}
+
+
+def register_generation_model(name: str):
+    def deco(fn):
+        _GENERATION_BUILDERS[name] = fn
+        return fn
+
+    return deco
+
+
+def engine_config_from_stage(
+    cfg: StageConfig, model_path: str | None
+) -> EngineConfig:
+    args = dict(cfg.engine_args)
+    arch_kwargs = args.pop("model_arch_config", {})
+    model = (
+        ModelArchConfig(**arch_kwargs)
+        if arch_kwargs
+        else None
+    )
+    if model is None:
+        if model_path is not None:
+            from ht_vllm_omni_tpu.models.loader import config_from_hf
+
+            model = config_from_hf(model_path)
+        else:
+            raise ValueError(
+                f"stage {cfg.stage_id}: need model_arch_config or model path"
+            )
+    sched = SchedulerConfig(
+        max_num_seqs=args.get("max_num_seqs", 16),
+        max_num_batched_tokens=args.get("max_num_batched_tokens", 8192),
+        max_model_len=args.get("max_model_len", 4096),
+    )
+    cache = CacheConfig(
+        page_size=args.get("page_size", 128),
+        num_pages=args.get("num_pages"),
+        kv_cache_dtype=args.get("kv_cache_dtype", "auto"),
+        memory_utilization=args.get("gpu_memory_utilization", 0.9),
+    )
+    return EngineConfig(
+        model=model,
+        cache=cache,
+        scheduler=sched,
+        model_path=args.get("model", model_path),
+        seed=args.get("seed", 0),
+    )
+
+
+def build_stages(
+    pipeline: PipelineConfig, model_path: str | None = None
+) -> list[StageHandle]:
+    handles: list[StageHandle] = []
+    for cfg in pipeline.stages:
+        if cfg.stage_type == StageType.DIFFUSION:
+            from ht_vllm_omni_tpu.diffusion.engine_adapter import (
+                build_diffusion_stage,
+            )
+
+            engine = build_diffusion_stage(cfg, model_path)
+        elif cfg.worker_type == "generation":
+            builder = _GENERATION_BUILDERS.get(cfg.model_stage)
+            if builder is None:
+                raise ValueError(
+                    f"no generation model registered for {cfg.model_stage!r}"
+                )
+            engine = builder(cfg, model_path)
+        else:
+            from ht_vllm_omni_tpu.engine.llm_engine import LLMEngine
+
+            engine = LLMEngine(engine_config_from_stage(cfg, model_path))
+        handles.append(StageHandle(cfg, engine))
+    return handles

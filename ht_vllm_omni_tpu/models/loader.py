@@ -1,0 +1,105 @@
+"""HF checkpoint loading (safetensors) into stacked-layer pytrees.
+
+Replaces the reference's reliance on vLLM/diffusers model loaders
+(reference vllm_omni/diffusion/model_loader/diffusers_loader.py:50 and the
+upstream vLLM weight loader).  Weights are read with safetensors.numpy
+(no torch on the hot path), transposed to [in, out], and stacked across
+layers to match ht_vllm_omni_tpu.models.qwen2 param layout.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ht_vllm_omni_tpu.config import ModelArchConfig
+
+
+def config_from_hf(path: str) -> ModelArchConfig:
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    mt = hf.get("model_type", "qwen2")
+    return ModelArchConfig(
+        model_type=mt,
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        num_key_value_heads=hf.get(
+            "num_key_value_heads", hf["num_attention_heads"]
+        ),
+        head_dim=hf.get("head_dim"),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        max_position_embeddings=hf.get("max_position_embeddings", 32768),
+        qk_norm=mt in ("qwen3", "qwen3_moe"),
+        attention_bias=hf.get("attention_bias", mt == "qwen2"),
+        eos_token_id=hf.get("eos_token_id", 151645),
+        bos_token_id=hf.get("bos_token_id"),
+    )
+
+
+def _read_all_tensors(path: str) -> dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+
+    tensors: dict[str, np.ndarray] = {}
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no *.safetensors under {path}")
+    for f in files:
+        tensors.update(load_file(f))
+    return tensors
+
+
+def load_hf_params(cfg: ModelArchConfig, path: str, dtype=None) -> dict:
+    """Load a HF Qwen2/Qwen3-style checkpoint directory."""
+    dt = jnp.dtype(dtype or cfg.dtype)
+    raw = _read_all_tensors(path)
+    nl = cfg.num_hidden_layers
+
+    def get(name: str) -> np.ndarray:
+        t = raw[name]
+        if t.dtype == np.uint16:  # safetensors.numpy surfaces bf16 as u16
+            t = t.view(np.uint16)
+            return np.asarray(
+                jnp.asarray(t).view(jnp.bfloat16), dtype=np.float32
+            )
+        return t.astype(np.float32)
+
+    def stack(fmt: str, transpose: bool) -> jnp.ndarray:
+        mats = []
+        for i in range(nl):
+            m = get(fmt.format(i))
+            mats.append(m.T if transpose else m)
+        return jnp.asarray(np.stack(mats), dtype=dt)
+
+    p = "model.layers.{}."
+    params = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), dt),
+        "ln1": stack(p + "input_layernorm.weight", False),
+        "ln2": stack(p + "post_attention_layernorm.weight", False),
+        "wq": stack(p + "self_attn.q_proj.weight", True),
+        "wk": stack(p + "self_attn.k_proj.weight", True),
+        "wv": stack(p + "self_attn.v_proj.weight", True),
+        "wo": stack(p + "self_attn.o_proj.weight", True),
+        "gate": stack(p + "mlp.gate_proj.weight", True),
+        "up": stack(p + "mlp.up_proj.weight", True),
+        "down": stack(p + "mlp.down_proj.weight", True),
+        "norm_f": jnp.asarray(get("model.norm.weight"), dt),
+    }
+    if cfg.attention_bias:
+        params["bq"] = stack(p + "self_attn.q_proj.bias", False)
+        params["bk"] = stack(p + "self_attn.k_proj.bias", False)
+        params["bv"] = stack(p + "self_attn.v_proj.bias", False)
+    if cfg.qk_norm:
+        params["q_norm"] = stack(p + "self_attn.q_norm.weight", False)
+        params["k_norm"] = stack(p + "self_attn.k_norm.weight", False)
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dt)
+    return params

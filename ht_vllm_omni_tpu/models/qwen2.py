@@ -1,0 +1,260 @@
+"""Qwen2/2.5/3 dense decoder in pure jax over stacked-layer pytrees.
+
+Covers the AR text stages of the reference's Qwen families (thinker /
+talker trunks; reference vllm_omni/model_executor/models/registry.py):
+Qwen2 (attention bias), Qwen3 (q/k RMSNorm, no bias) via ModelArchConfig
+flags.  All layers are stacked on a leading axis and executed with
+``lax.scan`` so compile time stays flat in depth; the paged KV cache is
+scanned alongside as per-layer xs/ys.
+
+Weight layout is [in, out] (x @ w), transposed from HF's [out, in] at load
+time (models/loader.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ht_vllm_omni_tpu.config import ModelArchConfig
+from ht_vllm_omni_tpu.models.layers import (
+    apply_rope,
+    rms_norm,
+    rope_cos_sin,
+    swiglu_mlp,
+)
+from ht_vllm_omni_tpu.ops.flash_attention import flash_attention
+from ht_vllm_omni_tpu.ops.paged_attention import (
+    NEG_INF,
+    paged_attention_partial,
+)
+
+
+def _dtype(cfg: ModelArchConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+def init_params(cfg: ModelArchConfig, key: jax.Array) -> dict:
+    """Random init (benchmarks/tests run without checkpoints on this host)."""
+    dt = _dtype(cfg)
+    h, d = cfg.hidden_size, cfg.head_dim
+    nq, nkv, nl = cfg.num_attention_heads, cfg.num_key_value_heads, (
+        cfg.num_hidden_layers
+    )
+    inter = cfg.intermediate_size
+    keys = iter(jax.random.split(key, 16))
+
+    def w(k, shape, scale=None):
+        scale = scale or (1.0 / (shape[-2] ** 0.5 if len(shape) > 1 else 1.0))
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+
+    params = {
+        "embed": w(next(keys), (cfg.vocab_size, h), 0.02),
+        "ln1": jnp.ones((nl, h), dt),
+        "ln2": jnp.ones((nl, h), dt),
+        "wq": w(next(keys), (nl, h, nq * d)),
+        "wk": w(next(keys), (nl, h, nkv * d)),
+        "wv": w(next(keys), (nl, h, nkv * d)),
+        "wo": w(next(keys), (nl, nq * d, h)),
+        "gate": w(next(keys), (nl, h, inter)),
+        "up": w(next(keys), (nl, h, inter)),
+        "down": w(next(keys), (nl, inter, h)),
+        "norm_f": jnp.ones((h,), dt),
+    }
+    if cfg.attention_bias:
+        params["bq"] = jnp.zeros((nl, nq * d), dt)
+        params["bk"] = jnp.zeros((nl, nkv * d), dt)
+        params["bv"] = jnp.zeros((nl, nkv * d), dt)
+    if cfg.qk_norm:
+        params["q_norm"] = jnp.ones((nl, d), dt)
+        params["k_norm"] = jnp.ones((nl, d), dt)
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = w(next(keys), (h, cfg.vocab_size), 0.02)
+    return params
+
+
+def _layer_params(params: dict) -> dict:
+    """The per-layer (stacked) subset of params, used as scan xs."""
+    keys = (
+        "ln1", "ln2", "wq", "wk", "wv", "wo", "gate", "up", "down",
+        "bq", "bk", "bv", "q_norm", "k_norm",
+    )
+    return {k: params[k] for k in keys if k in params}
+
+
+def _qkv(
+    cfg: ModelArchConfig, lp: dict, x: jax.Array, cos: jax.Array,
+    sin: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """x [T, H] -> q [T, QH, D], k/v [T, KVH, D] with norm+rope applied."""
+    t = x.shape[0]
+    d = cfg.head_dim
+    q = jnp.dot(x, lp["wq"], preferred_element_type=jnp.float32)
+    k = jnp.dot(x, lp["wk"], preferred_element_type=jnp.float32)
+    v = jnp.dot(x, lp["wv"], preferred_element_type=jnp.float32)
+    if "bq" in lp:
+        q = q + lp["bq"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    q = q.astype(x.dtype).reshape(t, cfg.num_attention_heads, d)
+    k = k.astype(x.dtype).reshape(t, cfg.num_key_value_heads, d)
+    v = v.astype(x.dtype).reshape(t, cfg.num_key_value_heads, d)
+    if "q_norm" in lp:
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+    q = apply_rope(q, cos[:, None, :], sin[:, None, :])
+    k = apply_rope(k, cos[:, None, :], sin[:, None, :])
+    return q, k, v
+
+
+def embed_tokens(params: dict, token_ids: jax.Array) -> jax.Array:
+    return jnp.take(params["embed"], token_ids, axis=0)
+
+
+def compute_logits(
+    cfg: ModelArchConfig, params: dict, hidden: jax.Array
+) -> jax.Array:
+    """hidden [..., H] -> logits [..., V] in fp32."""
+    if cfg.tie_word_embeddings:
+        return jnp.dot(
+            hidden, params["embed"].T, preferred_element_type=jnp.float32
+        )
+    return jnp.dot(
+        hidden, params["lm_head"], preferred_element_type=jnp.float32
+    )
+
+
+def prefill(
+    cfg: ModelArchConfig,
+    params: dict,
+    inputs_embeds: jax.Array,  # [S, H] (padded)
+    positions: jax.Array,  # [S] int32
+    prompt_len: jax.Array,  # scalar int32: valid tokens
+) -> tuple[jax.Array, jax.Array]:
+    """Run one request's prompt; returns (hidden [S, H] normed,
+    kv_rows [L, S, 2F]).
+
+    Attention is dense flash over this request's own K/V; the per-layer
+    [K || V] rows are collected as scan outputs and flushed into the paged
+    cache ONCE by the caller (ops/kv_cache_update.flush_kv_rows — the only
+    composition where the cache write is copy-free).
+    """
+    s = inputs_embeds.shape[0]
+    f = cfg.num_key_value_heads * cfg.head_dim
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    lens = prompt_len[None].astype(jnp.int32)
+
+    def layer(h, lp):
+        x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lp, x, cos, sin)
+        row = jnp.concatenate([k.reshape(s, f), v.reshape(s, f)], axis=-1)
+        # [1, heads, S, D] layout for the kernel
+        o = flash_attention(
+            q.transpose(1, 0, 2)[None],
+            k.transpose(1, 0, 2)[None],
+            v.transpose(1, 0, 2)[None],
+            lens,
+            causal=True,
+        )[0].transpose(1, 0, 2).reshape(s, -1)
+        h = h + jnp.dot(
+            o, lp["wo"], preferred_element_type=jnp.float32
+        ).astype(h.dtype)
+        x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
+        h = h + swiglu_mlp(x, lp["gate"], lp["up"], lp["down"])
+        return h, row
+
+    h, kv_rows = jax.lax.scan(layer, inputs_embeds, _layer_params(params))
+    h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
+    return h, kv_rows
+
+
+def decode(
+    cfg: ModelArchConfig,
+    params: dict,
+    kv_cache: jax.Array,  # [L, NSLOTS, 2F] combined cache — READ ONLY
+    fresh: jax.Array,  # [L, S*K, 2F] in-chunk rows (row b*K + j)
+    inputs_embeds: jax.Array,  # [S, H] one token per sequence slot
+    positions: jax.Array,  # [S] position of the input token
+    step: jax.Array,  # scalar int32: chunk step index j
+    written: jax.Array,  # [S, K] bool: fresh rows valid (incl. this step)
+    block_tables: jax.Array,  # [S, P]
+    seq_lens0: jax.Array,  # [S] tokens materialised in pages (chunk entry)
+    *,
+    page_size: int,
+    chunk_steps: int,
+) -> tuple[jax.Array, jax.Array]:
+    """One batched decode step with deferred cache writes.
+
+    The paged cache is read-only here (its contents are fixed for the
+    whole chunk); K/V of tokens produced during the chunk live in
+    ``fresh`` and enter attention as a dense block merged with the paged
+    partials via logsumexp.  Returns (kv hidden [S, H], fresh').
+    """
+    s_slots = inputs_embeds.shape[0]
+    kvh, d = cfg.num_key_value_heads, cfg.head_dim
+    f = kvh * d
+    group = cfg.num_attention_heads // kvh
+    sm_scale = d**-0.5
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    row_idx = jnp.arange(s_slots) * chunk_steps + step  # this step's rows
+
+    def layer(h, xs):
+        lp, li, fresh_l = xs
+        x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lp, x, cos, sin)
+        row = jnp.concatenate(
+            [k.reshape(s_slots, f), v.reshape(s_slots, f)], axis=-1
+        )
+        fresh_l = fresh_l.at[row_idx].set(row.astype(fresh_l.dtype))
+
+        # paged partials over the pre-chunk cache
+        acc, m_p, l_p = paged_attention_partial(
+            q, kv_cache, li, block_tables, seq_lens0,
+            page_size=page_size, kv_heads=kvh,
+        )
+        acc = acc[:, :, :group]  # [S, KVH, G, D] f32
+        m_p = m_p[:, :, :group]
+        l_p = l_p[:, :, :group]
+
+        # dense part over this chunk's fresh rows
+        fr = fresh_l.reshape(s_slots, chunk_steps, 2 * f).astype(jnp.float32)
+        fk = fr[..., :f].reshape(s_slots, chunk_steps, kvh, d)
+        fv = fr[..., f:].reshape(s_slots, chunk_steps, kvh, d)
+        qg = q.reshape(s_slots, kvh, group, d).astype(jnp.float32)
+        s_d = jnp.einsum("bhgd,bkhd->bhgk", qg, fk) * sm_scale
+        s_d = jnp.where(
+            written[:, None, None, :], s_d, NEG_INF
+        )  # [S, KVH, G, K]
+        m_d = jnp.max(s_d, axis=-1)  # [S, KVH, G]
+
+        m_tot = jnp.maximum(m_p, m_d)
+        shift = jnp.where(m_tot == NEG_INF, 0.0, m_tot)
+        p_d = jnp.exp(s_d - shift[..., None])
+        p_d = jnp.where(written[:, None, None, :], p_d, 0.0)
+        o_d = jnp.einsum("bhgk,bkhd->bhgd", p_d, fv)
+        a_p = jnp.where(m_p == NEG_INF, 0.0, jnp.exp(m_p - shift))
+        l_tot = l_p * a_p + jnp.sum(p_d, axis=-1)
+        o = acc * a_p[..., None] + o_d
+        denom = jnp.where(l_tot == 0.0, 1.0, l_tot)[..., None]
+        o = (o / denom).astype(h.dtype)
+        o = o.reshape(s_slots, -1)
+
+        h = h + jnp.dot(
+            o, lp["wo"], preferred_element_type=jnp.float32
+        ).astype(h.dtype)
+        x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
+        h = h + swiglu_mlp(x, lp["gate"], lp["up"], lp["down"])
+        return h, fresh_l
+
+    num_layers = kv_cache.shape[0]
+    h, fresh = jax.lax.scan(
+        layer,
+        inputs_embeds,
+        (
+            _layer_params(params),
+            jnp.arange(num_layers, dtype=jnp.int32),
+            fresh,
+        ),
+    )
+    h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
+    return h, fresh

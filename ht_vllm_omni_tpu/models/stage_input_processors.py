@@ -1,0 +1,60 @@
+"""Stage-to-stage input conversion hooks.
+
+Counterpart of the reference's custom_process_input_func /
+custom_process_next_stage_input_func registry (reference
+vllm_omni/model_executor/stage_input_processors/): given the upstream
+stage's output, build the downstream stage's prompt.  Functions are
+resolved by dotted path or short registry name from pipeline YAML.
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Any, Callable
+
+from ht_vllm_omni_tpu.outputs import OmniRequestOutput
+from ht_vllm_omni_tpu.inputs import OmniPrompt
+
+# (output, from_stage_cfg, to_stage_cfg) -> OmniPrompt
+ProcessFn = Callable[[OmniRequestOutput, Any, Any], OmniPrompt]
+
+_REGISTRY: dict[str, ProcessFn] = {}
+
+
+def register(name: str) -> Callable[[ProcessFn], ProcessFn]:
+    def deco(fn: ProcessFn) -> ProcessFn:
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def resolve(name: str | None) -> ProcessFn:
+    if name is None:
+        return default_next_stage_input
+    if name in _REGISTRY:
+        return _REGISTRY[name]
+    module, _, attr = name.rpartition(".")
+    fn = getattr(importlib.import_module(module), attr)
+    _REGISTRY[name] = fn
+    return fn
+
+
+@register("default")
+def default_next_stage_input(
+    output: OmniRequestOutput, from_cfg, to_cfg
+) -> OmniPrompt:
+    """Tokens (and hidden states, if captured) of the upstream request
+    become the downstream prompt."""
+    comp = output.outputs[0] if output.outputs else None
+    token_ids = list(comp.token_ids) if comp else []
+    embeds = comp.hidden_states if comp else None
+    return OmniPrompt(
+        token_ids=token_ids or None,
+        embeds=embeds,
+        additional_information={
+            "upstream_stage": output.stage_id,
+            "upstream_multimodal": output.multimodal_output,
+        },
+        text="" if not token_ids and embeds is None else None,
+    )

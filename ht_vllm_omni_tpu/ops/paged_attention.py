@@ -176,6 +176,233 @@ def paged_attention(
     return out[:, :, :group, :].reshape(batch, q_heads, head_dim)
 
 
+def _paged_fused_kernel(
+    layer_ref,  # [1] int32 (consumed by index maps)
+    block_tables_ref,  # [B, P] int32
+    seq_lens_ref,  # [B] int32
+    q_ref,  # [1, KVH * G_pad, D]
+    kv_ref,  # [1, 1, page_size, 2F]   (row = [K_feat || V_feat])
+    o_ref,  # [1, KVH * G_pad, D]  unnormalized sum(p*V)
+    mo_ref,  # [1, KVH * G_pad, LANES]  running max (broadcast)
+    lo_ref,  # [1, KVH * G_pad, LANES]  running denom (broadcast)
+    m_ref,  # [KVH * G_pad, LANES] scratch
+    l_ref,
+    acc_ref,  # [KVH * G_pad, D] scratch
+    *,
+    sm_scale: float,
+    page_size: int,
+    kv_heads: int,
+    group_pad: int,
+    head_dim: int,
+):
+    """All kv heads of one (sequence, page) in a single program.
+
+    K and V arrive in one block DMA (combined rows); per-head slices are
+    static and 128-aligned.  The kv-head loop is a static Python unroll,
+    keeping the grid at (batch, pages).
+    """
+    del layer_ref
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    num_pages = pl.num_programs(1)
+    f = kv_heads * head_dim
+
+    @pl.when(p == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    seq_len = seq_lens_ref[b]
+    page_start = p * page_size
+
+    @pl.when(page_start < seq_len)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # [KVH*G, D]
+        kv_all = kv_ref[0, 0].astype(jnp.float32)  # [PS, 2F]
+
+        rows = []
+        for h in range(kv_heads):
+            q_h = q[h * group_pad : (h + 1) * group_pad]  # [G, D]
+            k_h = kv_all[:, h * head_dim : (h + 1) * head_dim]  # [PS, D]
+            rows.append(
+                jax.lax.dot_general(
+                    q_h, k_h,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        s = jnp.concatenate(rows, axis=0) * sm_scale  # [KVH*G, PS]
+
+        pos = page_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < seq_len, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        shift = jnp.where(m_new == NEG_INF, 0.0, m_new)
+        pexp = jnp.exp(s - shift)
+        alpha = jnp.where(m_prev == NEG_INF, 0.0, jnp.exp(m_prev - shift))
+        l_ref[...] = jnp.broadcast_to(
+            alpha * l_ref[:, :1] + jnp.sum(pexp, axis=1, keepdims=True),
+            l_ref.shape,
+        )
+        outs = []
+        for h in range(kv_heads):
+            p_h = pexp[h * group_pad : (h + 1) * group_pad]  # [G, PS]
+            v_h = kv_all[:, f + h * head_dim : f + (h + 1) * head_dim]
+            outs.append(
+                jax.lax.dot_general(
+                    p_h, v_h,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        pv = jnp.concatenate(outs, axis=0)  # [KVH*G, D]
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(p == num_pages - 1)
+    def _finalize():
+        o_ref[0, ...] = acc_ref[...]
+        mo_ref[0, ...] = m_ref[...]
+        lo_ref[0, ...] = l_ref[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("page_size", "kv_heads", "sm_scale")
+)
+def paged_attention_partial(
+    q: jax.Array,  # [B, QH, D]
+    kv_cache: jax.Array,  # [L, NSLOTS, 2F] combined cache (F = KVH * D)
+    layer: jax.Array,  # scalar int32
+    block_tables: jax.Array,  # [B, P] int32
+    seq_lens: jax.Array,  # [B] int32
+    *,
+    page_size: int,
+    kv_heads: int,
+    sm_scale: float | None = None,
+) -> jax.Array:
+    """Decode attention partials over the combined paged cache, one layer.
+
+    Returns UNNORMALIZED (acc [B, KVH, G_pad, D] f32, m [B, KVH, G_pad],
+    l [B, KVH, G_pad]) so the caller can logsumexp-merge with the
+    in-chunk fresh-token attention before normalising (model_runner
+    defers cache writes; see ops/kv_cache_update.py).  Sequences with
+    seq_len == 0 yield acc=0, m=-inf, l=0."""
+    batch, q_heads, head_dim = q.shape
+    num_layers, nslots, two_f = kv_cache.shape
+    assert two_f == 2 * kv_heads * head_dim, (two_f, kv_heads, head_dim)
+    num_pages = nslots // page_size
+    group = q_heads // kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    max_pages = block_tables.shape[1]
+
+    group_pad = round_up(group, 8)
+    qg = q.reshape(batch, kv_heads, group, head_dim)
+    if group_pad != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_pad - group), (0, 0)))
+    qg = qg.reshape(batch, kv_heads * group_pad, head_dim)
+
+    kernel = functools.partial(
+        _paged_fused_kernel,
+        sm_scale=sm_scale,
+        page_size=page_size,
+        kv_heads=kv_heads,
+        group_pad=group_pad,
+        head_dim=head_dim,
+    )
+    grid = (batch, max_pages)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, kv_heads * group_pad, head_dim),
+                lambda b, p, layer_r, tables, lens: (b, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, page_size, two_f),
+                lambda b, p, layer_r, tables, lens: (
+                    layer_r[0], tables[b, p], 0, 0,
+                ),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, kv_heads * group_pad, head_dim),
+                lambda b, p, layer_r, tables, lens: (b, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, kv_heads * group_pad, _LANES),
+                lambda b, p, layer_r, tables, lens: (b, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, kv_heads * group_pad, _LANES),
+                lambda b, p, layer_r, tables, lens: (b, 0, 0),
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((kv_heads * group_pad, _LANES), jnp.float32),
+            pltpu.VMEM((kv_heads * group_pad, _LANES), jnp.float32),
+            pltpu.VMEM((kv_heads * group_pad, head_dim), jnp.float32),
+        ],
+    )
+    acc, m, l = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (batch, kv_heads * group_pad, head_dim), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (batch, kv_heads * group_pad, _LANES), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (batch, kv_heads * group_pad, _LANES), jnp.float32
+            ),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=pallas_interpret_mode(),
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        block_tables.astype(jnp.int32),
+        seq_lens.astype(jnp.int32),
+        qg,
+        kv_cache.reshape(num_layers, num_pages, page_size, two_f),
+    )
+    acc = acc.reshape(batch, kv_heads, group_pad, head_dim)
+    m = m.reshape(batch, kv_heads, group_pad, _LANES)[..., 0]
+    l = l.reshape(batch, kv_heads, group_pad, _LANES)[..., 0]
+    return acc, m, l
+
+
+def paged_attention_fused(
+    q: jax.Array,
+    kv_cache: jax.Array,
+    layer: jax.Array,
+    block_tables: jax.Array,
+    seq_lens: jax.Array,
+    *,
+    page_size: int,
+    kv_heads: int,
+    sm_scale: float | None = None,
+) -> jax.Array:
+    """Normalized decode attention (no in-chunk fresh tokens)."""
+    batch, q_heads, head_dim = q.shape
+    group = q_heads // kv_heads
+    acc, m, l = paged_attention_partial(
+        q, kv_cache, layer, block_tables, seq_lens,
+        page_size=page_size, kv_heads=kv_heads, sm_scale=sm_scale,
+    )
+    denom = jnp.where(l == 0.0, 1.0, l)[..., None]
+    out = (acc / denom).astype(q.dtype)
+    return out[:, :, :group, :].reshape(batch, q_heads, head_dim)
+
+
 def paged_attention_reference(
     q: jax.Array,
     k_pages: jax.Array,

@@ -1,0 +1,95 @@
+"""On-device batched sampler (greedy / temperature / top-k / top-p).
+
+Static-shape design for XLA: the full vocab is reduced to a fixed TOPK
+candidate set with lax.top_k, then per-request top-k / top-p masks and a
+Gumbel-max draw pick the token — no host round-trip, no dynamic shapes.
+Per-slot PRNG keys live on device and are split every step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# candidate pool size; requests asking for top_k > this are clamped.
+TOPK_CANDIDATES = 64
+
+
+@dataclasses.dataclass
+class SamplingTensors:
+    """Per-slot device arrays describing how to sample each row."""
+
+    temperature: jax.Array  # [B] f32; 0 => greedy
+    top_k: jax.Array  # [B] int32; <=0 => disabled
+    top_p: jax.Array  # [B] f32
+
+    @staticmethod
+    def from_params(params_list, pad_to: int) -> "SamplingTensors":
+        temp = np.zeros(pad_to, np.float32)
+        tk = np.zeros(pad_to, np.int32)
+        tp = np.ones(pad_to, np.float32)
+        for i, sp in enumerate(params_list):
+            temp[i] = sp.temperature
+            tk[i] = sp.top_k if sp.top_k > 0 else TOPK_CANDIDATES
+            tp[i] = sp.top_p
+        return SamplingTensors(
+            jnp.asarray(temp), jnp.asarray(tk), jnp.asarray(tp)
+        )
+
+
+def sample_tokens(
+    logits: jax.Array,  # [B, V] f32
+    tensors: SamplingTensors,
+    keys: jax.Array,  # [B] PRNG keys (jax.random.key dtype)
+) -> jax.Array:
+    """Returns sampled token ids [B] int32.
+
+    Candidates come from lax.approx_max_k (TPU hardware top-k; ~3x faster
+    than exact top_k at 150k vocab, recall > 0.95 which is noise relative
+    to sampling randomness).  The greedy path uses an exact argmax so
+    temperature=0 is bit-deterministic.
+    """
+    batch, _ = logits.shape
+    top_logits, top_idx = jax.lax.approx_max_k(logits, TOPK_CANDIDATES)
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    temp = jnp.maximum(tensors.temperature, 1e-6)[:, None]
+    scaled = top_logits / temp
+
+    rank = jnp.arange(TOPK_CANDIDATES)[None, :]
+    mask = rank < jnp.clip(tensors.top_k, 1, TOPK_CANDIDATES)[:, None]
+
+    # top-p over the (descending) candidate distribution
+    probs = jax.nn.softmax(jnp.where(mask, scaled, -jnp.inf), axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens while cumulative prob of *previous* tokens < top_p
+    keep = (cum - probs) < tensors.top_p[:, None]
+    mask = jnp.logical_and(mask, keep)
+
+    masked = jnp.where(mask, scaled, -jnp.inf)
+    gumbel = _batched_gumbel(keys, (batch, TOPK_CANDIDATES))
+    choice = jnp.argmax(masked + gumbel, axis=-1)
+    sampled = jnp.take_along_axis(top_idx, choice[:, None], axis=1)[:, 0]
+    return jnp.where(
+        tensors.temperature == 0.0, greedy_tok, sampled
+    ).astype(jnp.int32)
+
+
+def _batched_gumbel(keys: jax.Array, shape: tuple[int, int]) -> jax.Array:
+    def one(key):
+        return jax.random.gumbel(key, (shape[1],))
+
+    return jax.vmap(one)(keys)
+
+
+def split_keys(keys: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Advance per-slot keys one step: returns (new_state, step_keys)."""
+    splits = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+    return splits[:, 0], splits[:, 1]
+
+
+def make_slot_keys(seeds: np.ndarray) -> jax.Array:
+    return jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.uint32))

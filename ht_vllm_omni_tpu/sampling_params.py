@@ -1,0 +1,50 @@
+"""Request sampling parameters.
+
+Counterpart of vLLM's SamplingParams as used by the reference pipeline
+(reference vllm_omni/inputs/data.py uses upstream SamplingParams for AR
+stages plus OmniDiffusionSamplingParams for DiT stages; the diffusion
+variant lives in ht_vllm_omni_tpu/diffusion/data.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+
+@dataclasses.dataclass
+class SamplingParams:
+    """Sampling controls for one AR request.
+
+    temperature == 0 means greedy.  ``top_k <= 0`` disables top-k.
+    """
+
+    max_tokens: int = 128
+    min_tokens: int = 0
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0
+    repetition_penalty: float = 1.0
+    seed: int | None = None
+    stop_token_ids: list[int] = dataclasses.field(default_factory=list)
+    ignore_eos: bool = False
+    # Talker-style stages want the per-token hidden states of selected
+    # layers forwarded downstream (reference engine_output_type="latent",
+    # vllm_omni/engine/arg_utils.py).
+    return_hidden_states: bool = False
+    logprobs: int | None = None
+    # Free-form per-request payload forwarded between stages (first-class
+    # version of the reference's additional_information plumbing).
+    extra_args: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.max_tokens < 1:
+            raise ValueError("max_tokens must be >= 1")
+        if self.temperature < 0:
+            raise ValueError("temperature must be >= 0")
+        if not 0.0 < self.top_p <= 1.0:
+            raise ValueError("top_p must be in (0, 1]")
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature == 0.0

@@ -14,6 +14,24 @@ import jax
 
 
 @functools.cache
+def setup_compilation_cache() -> None:
+    """Enable jax's persistent compilation cache (first TPU compile of the
+    full decode program costs minutes; cached reruns are seconds)."""
+    path = os.environ.get(
+        "HT_OMNI_COMPILE_CACHE", os.path.expanduser("~/.cache/jax_comp_cache")
+    )
+    if path in ("", "0", "off"):
+        return
+    if jax.default_backend() != "tpu":
+        # CPU AOT artifacts are machine-feature sensitive and tests don't
+        # need the cache; only the (minutes-long) TPU compiles do.
+        return
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+@functools.cache
 def backend_name() -> str:
     return jax.default_backend()
 

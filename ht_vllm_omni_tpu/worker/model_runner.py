@@ -1,0 +1,442 @@
+"""AR model runner: device-resident decode state + multi-step decode.
+
+TPU-native counterpart of the reference's GPUARModelRunner (reference
+vllm_omni/worker/gpu_ar_model_runner.py:61), redesigned for XLA + a
+high-latency host<->device link:
+
+- All per-slot decode state (last token, position, emitted count, active
+  mask, sampling params, stop sets, block tables) lives in small device
+  arrays.  The host mirrors it in numpy and pushes the full mirror (~KBs)
+  when the scheduler changes it — h2d transfers are cheap; syncs are not.
+- ``decode_steps`` runs K decode iterations in one compiled lax.scan:
+  slot mappings, EOS/length stopping and sampling all happen on device, so
+  there is exactly ONE host sync per K*batch tokens.  This replaces both
+  CUDA graphs and the reference's per-step engine-core polling loop.
+- Prefill writes its sampled first token directly into the device token
+  state; the host learns it from the next chunk's token matrix (row 0),
+  so prefill does not force a sync either.
+
+Sampled-token layout returned per chunk: tokens[0] = tokens sampled by
+the *previous* call (incl. prefill first tokens); tokens[1..K] = tokens
+sampled by steps 0..K-1 of this chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ht_vllm_omni_tpu.config import EngineConfig
+from ht_vllm_omni_tpu.models import qwen2
+from ht_vllm_omni_tpu.models.loader import load_hf_params
+from ht_vllm_omni_tpu.ops.kv_cache_update import flush_kv_rows
+from ht_vllm_omni_tpu.sample.sampler import (
+    SamplingTensors,
+    sample_tokens,
+)
+from ht_vllm_omni_tpu.utils import cdiv, next_power_of_2
+
+logger = logging.getLogger(__name__)
+
+_PAGES_DEFAULT_CPU = 512
+MAX_STOP_TOKENS = 8
+_NO_TOKEN = -1
+
+
+class ARModelRunner:
+    """Single-mesh runner for one AR stage."""
+
+    def __init__(self, config: EngineConfig, params: dict | None = None):
+        from ht_vllm_omni_tpu.utils.platform import setup_compilation_cache
+
+        setup_compilation_cache()
+        self.config = config
+        cfg = config.model
+        self.arch = cfg
+        if params is not None:
+            self.params = params
+        elif config.model_path is not None:
+            self.params = load_hf_params(cfg, config.model_path)
+        else:
+            logger.warning("no model_path: using random-init weights")
+            self.params = qwen2.init_params(
+                cfg, jax.random.PRNGKey(config.seed)
+            )
+
+        self.page_size = config.cache.page_size
+        self.num_pages = self._derive_num_pages()
+        self.max_slots = config.scheduler.max_num_seqs
+        self.max_pages_per_seq = cdiv(
+            config.scheduler.max_model_len, self.page_size
+        )
+
+        kv_dt = (
+            jnp.dtype(cfg.dtype)
+            if config.cache.kv_cache_dtype == "auto"
+            else jnp.dtype(config.cache.kv_cache_dtype)
+        )
+        # combined flat-slot layout [L, NP*PS, 2*KVH*D]: a token's row is
+        # [K_feat || V_feat]; kernels view it paged (see ops/kv_cache_update)
+        kv_shape = (
+            cfg.num_hidden_layers,
+            self.num_pages * self.page_size,
+            2 * cfg.num_key_value_heads * cfg.head_dim,
+        )
+        self.kv_cache = jnp.zeros(kv_shape, kv_dt)
+
+        s = self.max_slots
+        self.keys = jax.vmap(jax.random.PRNGKey)(
+            jnp.arange(s, dtype=jnp.uint32) + config.seed
+        )
+        # device-resident decode state, written by prefill/decode programs
+        self.token_state = jnp.full((s,), _NO_TOKEN, jnp.int32)
+        # host mirror of scheduler-owned state (pushed to device when dirty)
+        self.h_positions = np.zeros(s, np.int32)
+        self.h_active = np.zeros(s, bool)
+        self.h_emitted = np.zeros(s, np.int32)
+        self.h_limit = np.zeros(s, np.int32)  # max emitted tokens
+        self.h_min_tokens = np.zeros(s, np.int32)
+        self.h_tables = np.zeros((s, self.max_pages_per_seq), np.int32)
+        self.h_stops = np.full((s, MAX_STOP_TOKENS), -2, np.int32)
+        self.h_fresh = np.zeros(s, bool)
+        self.h_temp = np.zeros(s, np.float32)
+        self.h_top_k = np.zeros(s, np.int32)
+        self.h_top_p = np.ones(s, np.float32)
+
+        self._free_slots = list(range(s - 1, -1, -1))
+        self._slot_of: dict[str, int] = {}
+
+        self._decode_fns: dict[tuple[int, bool], object] = {}
+        self._prefill_fns: dict[tuple[int, bool], object] = {}
+
+    # ----------------------------------------------------------- memory
+    def _derive_num_pages(self) -> int:
+        cache = self.config.cache
+        if cache.num_pages is not None:
+            return cache.num_pages
+        cfg = self.arch
+        bytes_per_token = (
+            2
+            * cfg.num_hidden_layers
+            * cfg.num_key_value_heads
+            * cfg.head_dim
+            * jnp.dtype(cfg.dtype).itemsize
+        )
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            limit = stats["bytes_limit"] * cache.memory_utilization
+            free = limit - stats["bytes_in_use"]
+        except Exception:
+            return _PAGES_DEFAULT_CPU
+        pages = int(free // (bytes_per_token * self.page_size))
+        return max(pages, 16)
+
+    # ----------------------------------------------------------- slots
+    def slot_for(self, request_id: str) -> int:
+        slot = self._slot_of.get(request_id)
+        if slot is None:
+            slot = self._free_slots.pop()
+            self._slot_of[request_id] = slot
+        return slot
+
+    def release_slot(self, request_id: str) -> None:
+        slot = self._slot_of.pop(request_id, None)
+        if slot is not None:
+            self._free_slots.append(slot)
+            self.h_active[slot] = False
+
+    # ------------------------------------------------- shared device logic
+    @staticmethod
+    def _stop_mask(tokens, emitted_after, stops, min_tokens, limit):
+        """Device-side finished check for freshly sampled tokens [S]."""
+        is_stop = jnp.any(tokens[:, None] == stops, axis=-1)
+        is_stop = jnp.logical_and(is_stop, emitted_after >= min_tokens)
+        return jnp.logical_or(is_stop, emitted_after >= limit)
+
+    # ----------------------------------------------------------- prefill
+    @staticmethod
+    def _prefill_program(
+        cfg,
+        collect_hidden: bool,
+        params,
+        kv_cache,
+        keys,
+        token_state,
+        token_ids,  # [S_pad]
+        positions,  # [S_pad]
+        slot_mapping,  # [S_pad]
+        prompt_len,  # scalar
+        slot,  # scalar
+        emitted_before,  # scalar (0 unless resumed)
+        temperature,  # [1] etc.
+        top_k,
+        top_p,
+    ):
+        x = qwen2.embed_tokens(params, token_ids)
+        hidden, kv_rows = qwen2.prefill(
+            cfg, params, x, positions, prompt_len
+        )
+        # single top-level aliased flush: the only copy-free composition
+        kv_cache = flush_kv_rows(kv_cache, kv_rows, slot_mapping)
+        last = jax.lax.dynamic_index_in_dim(
+            hidden, prompt_len - 1, axis=0, keepdims=True
+        )
+        logits = qwen2.compute_logits(cfg, params, last)
+        slot_key = keys[slot]
+        new_key, step_key = jax.random.split(slot_key)
+        keys = keys.at[slot].set(new_key)
+        token = sample_tokens(
+            logits,
+            SamplingTensors(temperature, top_k, top_p),
+            step_key[None],
+        )[0]
+        token_state = token_state.at[slot].set(token)
+        out_hidden = hidden if collect_hidden else last
+        return kv_cache, keys, token_state, out_hidden
+
+    def _prefill_fn(self, bucket: int, collect_hidden: bool):
+        key = (bucket, collect_hidden)
+        fn = self._prefill_fns.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    self._prefill_program, self.arch, collect_hidden
+                ),
+                donate_argnums=(1, 2, 3),
+            )
+            self._prefill_fns[key] = fn
+        return fn
+
+    def prefill(self, request) -> jax.Array:
+        """Run one prompt.  Returns the device hidden-state array (last
+        position, or all positions when the request wants hidden states);
+        the sampled first token lands in device token_state."""
+        req = request
+        sp = req.sampling_params
+        slot = self.slot_for(req.request_id)
+        if sp.seed is not None:
+            self.keys = self.keys.at[slot].set(jax.random.PRNGKey(sp.seed))
+
+        prompt = req.prompt_token_ids
+        s = len(prompt)
+        bucket = max(next_power_of_2(s), self.page_size)
+        ids = np.zeros(bucket, np.int32)
+        ids[:s] = prompt
+        positions = np.arange(bucket, dtype=np.int32)
+        slot_map = np.full(bucket, -1, np.int32)
+        pages = np.asarray(req.page_ids, np.int32)
+        idx = np.arange(s)
+        slot_map[:s] = pages[idx // self.page_size] * self.page_size + (
+            idx % self.page_size
+        )
+
+        st = SamplingTensors.from_params([sp], 1)
+        fn = self._prefill_fn(bucket, sp.return_hidden_states)
+        (
+            self.kv_cache,
+            self.keys,
+            self.token_state,
+            hidden,
+        ) = fn(
+            self.params,
+            self.kv_cache,
+            self.keys,
+            self.token_state,
+            ids,
+            positions,
+            slot_map,
+            np.int32(s),
+            np.int32(slot),
+            np.int32(req.num_output_tokens),
+            st.temperature,
+            st.top_k,
+            st.top_p,
+        )
+        # host mirror for the upcoming decode chunks
+        self.h_positions[slot] = s  # position of the next (sampled) token
+        self.h_active[slot] = True
+        self.h_fresh[slot] = True
+        self.h_emitted[slot] = req.num_output_tokens + 1
+        self.h_limit[slot] = sp.max_tokens
+        self.h_min_tokens[slot] = sp.min_tokens
+        self.h_tables[slot, : len(req.page_ids)] = req.page_ids
+        stops = (sp.stop_token_ids or [])[:MAX_STOP_TOKENS]
+        self.h_stops[slot] = -2
+        self.h_stops[slot, : len(stops)] = stops
+        if sp.ignore_eos:
+            self.h_stops[slot] = -2
+        self.h_temp[slot] = sp.temperature
+        self.h_top_k[slot] = sp.top_k if sp.top_k > 0 else 64
+        self.h_top_p[slot] = sp.top_p
+        return hidden
+
+    # ----------------------------------------------------------- decode
+    @staticmethod
+    def _decode_program(
+        cfg,
+        num_steps: int,
+        page_size: int,
+        collect_hidden: bool,
+        params,
+        kv_cache,  # [L, NSLOTS, 2F] donated; read in-scan, flushed once
+        keys,
+        token_state,  # [S]
+        positions,  # [S] position of token_state token
+        active,  # [S] bool
+        fresh,  # [S] bool: token_state holds an unchecked prefill token
+        emitted,  # [S]
+        limit,  # [S]
+        min_tokens,  # [S]
+        stops,  # [S, MAX_STOP]
+        block_tables,  # [S, P]
+        temperature,
+        top_k,
+        top_p,
+    ):
+        s = token_state.shape[0]
+        st = SamplingTensors(temperature, top_k, top_p)
+        # prefill-sampled tokens were never stop-checked on device; fold
+        # that check in before the first step (only for fresh slots, so a
+        # min_tokens-suppressed EOS from an earlier chunk is not re-judged).
+        entry_stop = ARModelRunner._stop_mask(
+            token_state, emitted, stops, min_tokens, limit
+        )
+        active = jnp.logical_and(
+            active, jnp.logical_not(jnp.logical_and(fresh, entry_stop))
+        )
+
+        # chunk-invariant: pages hold exactly `positions` tokens per slot
+        seq_lens0 = jnp.where(active, positions, 0)
+        pos0 = positions
+        two_f = kv_cache.shape[-1]
+        fresh_buf = jnp.zeros(
+            (kv_cache.shape[0], s * num_steps, two_f), kv_cache.dtype
+        )
+        written0 = jnp.zeros((s, num_steps), bool)
+
+        def step(carry, j):
+            keys, tokens, pos, act, emit, written, fresh_buf = carry
+            written = written.at[:, j].set(act)
+            x = qwen2.embed_tokens(params, jnp.maximum(tokens, 0))
+            hidden, fresh_buf = qwen2.decode(
+                cfg, params, kv_cache, fresh_buf, x, pos, j, written,
+                block_tables, seq_lens0,
+                page_size=page_size, chunk_steps=num_steps,
+            )
+            logits = qwen2.compute_logits(cfg, params, hidden)
+            keys, step_keys = _split_keys(keys)
+            sampled = sample_tokens(logits, st, step_keys)
+            sampled = jnp.where(act, sampled, _NO_TOKEN)
+            emit = emit + act.astype(jnp.int32)
+            stop = ARModelRunner._stop_mask(
+                sampled, emit, stops, min_tokens, limit
+            )
+            new_act = jnp.logical_and(act, jnp.logical_not(stop))
+            pos = pos + act.astype(jnp.int32)
+            out = (sampled, hidden) if collect_hidden else (sampled,)
+            return (keys, sampled, pos, new_act, emit, written, fresh_buf), out
+
+        entry_tokens = token_state
+        init = (keys, token_state, positions, active, emitted, written0,
+                fresh_buf)
+        carry, outs = jax.lax.scan(
+            step, init, jnp.arange(num_steps, dtype=jnp.int32)
+        )
+        keys, token_state, positions, active, emitted, written, fresh_buf = (
+            carry
+        )
+
+        # flush this chunk's rows into the paged cache (one aliased write)
+        steps_r = jnp.arange(num_steps, dtype=jnp.int32)[None, :]
+        posm = pos0[:, None] + steps_r  # [S, K]
+        page_col = jnp.clip(posm // page_size, 0, block_tables.shape[1] - 1)
+        page = jnp.take_along_axis(block_tables, page_col, axis=1)
+        slots = jnp.where(
+            written, page * page_size + posm % page_size, -1
+        ).reshape(s * num_steps)
+        kv_cache = flush_kv_rows(kv_cache, fresh_buf, slots)
+
+        # Pack every host-bound scalar array into ONE int32 matrix so the
+        # host pays a single d2h sync (~30 ms on a tunneled TPU) per chunk:
+        # rows 0..K = tokens (row 0 = entry/prefill tokens the host hasn't
+        # seen); then positions, active, emitted.
+        packed = jnp.concatenate(
+            [
+                entry_tokens[None],
+                outs[0],
+                positions[None],
+                active.astype(jnp.int32)[None],
+                emitted[None],
+            ],
+            axis=0,
+        )
+        ret = (kv_cache, keys, token_state, packed)
+        if collect_hidden:
+            ret = ret + (outs[1],)
+        return ret
+
+    def _decode_fn(self, num_steps: int, collect_hidden: bool):
+        key = (num_steps, collect_hidden)
+        fn = self._decode_fns.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    self._decode_program,
+                    self.arch,
+                    num_steps,
+                    self.page_size,
+                    collect_hidden,
+                ),
+                donate_argnums=(1, 2, 3),
+            )
+            self._decode_fns[key] = fn
+        return fn
+
+    def decode_chunk(
+        self, num_steps: int, collect_hidden: bool = False
+    ) -> tuple[np.ndarray, np.ndarray | None]:
+        """Run K decode steps on device; one host sync total.
+
+        Returns (tokens [K+1, S], hidden [K, S, H]?): row 0 holds the
+        tokens that sat in device token_state at entry (prefill-sampled
+        tokens the host has not seen yet); rows 1..K are this chunk's
+        samples.  hidden row j is the hidden state of step j's input
+        token."""
+        fn = self._decode_fn(num_steps, collect_hidden)
+        res = fn(
+            self.params,
+            self.kv_cache,
+            self.keys,
+            self.token_state,
+            self.h_positions,
+            self.h_active,
+            self.h_fresh,
+            self.h_emitted,
+            self.h_limit,
+            self.h_min_tokens,
+            self.h_stops,
+            self.h_tables,
+            self.h_temp,
+            self.h_top_k,
+            self.h_top_p,
+        )
+        (self.kv_cache, self.keys, self.token_state, packed) = res[:4]
+        host = np.asarray(packed)  # [K+4, S]; the single sync point
+        hidden = np.asarray(res[4]) if collect_hidden else None
+        tokens = host[: num_steps + 1]
+        # device mirrors advance exactly as the host would recompute them;
+        # keep numpy mirrors in lockstep without further syncs
+        self.h_positions = host[num_steps + 1].copy()
+        self.h_active = host[num_steps + 2].astype(bool)
+        self.h_emitted = host[num_steps + 3].copy()
+        self.h_fresh[:] = False
+        return tokens, hidden
+
+
+def _split_keys(keys):
+    splits = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+    return splits[:, 0], splits[:, 1]
