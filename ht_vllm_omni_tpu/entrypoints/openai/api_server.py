@@ -1,0 +1,403 @@
+"""OpenAI-compatible API server (aiohttp).
+
+Route surface mirrors the reference's (reference
+vllm_omni/entrypoints/openai/api_server.py:833-2274):
+
+  GET  /health, /v1/models, /v1/audio/voices
+  POST /v1/chat/completions      (stream SSE + non-stream)
+  POST /v1/completions
+  POST /v1/audio/speech          (progressive WAV/PCM chunked HTTP — the
+                                  HT streaming feature, serving_speech.py)
+  POST /v1/images/generations    (diffusion stages)
+  POST /start_profile, /stop_profile
+
+Built on aiohttp (FastAPI is not available in this image); handlers feed
+AsyncOmniEngine and stream responses straight from the orchestrator's
+per-request queues.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import logging
+import time
+import uuid
+from typing import Any
+
+import numpy as np
+from aiohttp import web
+
+from ht_vllm_omni_tpu.engine.async_omni_engine import AsyncOmniEngine
+from ht_vllm_omni_tpu.entrypoints.openai.audio_utils import (
+    float_to_pcm16,
+    wav_header,
+)
+from ht_vllm_omni_tpu.entrypoints.openai.protocol import (
+    ChatCompletionRequest,
+    CompletionRequest,
+    ImageGenerationRequest,
+    SpeechRequest,
+)
+from ht_vllm_omni_tpu.inputs import OmniPrompt
+from ht_vllm_omni_tpu.sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_SAMPLE_RATE = 24000
+
+
+class OmniAPIServer:
+    def __init__(
+        self,
+        engine: AsyncOmniEngine,
+        tokenizer=None,
+        model_name: str = "ht-omni",
+    ) -> None:
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.model_name = model_name
+        self.voices: dict[str, Any] = {"default": {}}
+
+    # ------------------------------------------------------------- app
+    def build_app(self) -> web.Application:
+        app = web.Application()
+        app.add_routes(
+            [
+                web.get("/health", self.health),
+                web.get("/v1/models", self.models),
+                web.post("/v1/chat/completions", self.chat_completions),
+                web.post("/v1/completions", self.completions),
+                web.post("/v1/audio/speech", self.speech),
+                web.get("/v1/audio/voices", self.list_voices),
+                web.post("/v1/images/generations", self.images),
+                web.post("/start_profile", self.start_profile),
+                web.post("/stop_profile", self.stop_profile),
+            ]
+        )
+        return app
+
+    async def health(self, request: web.Request) -> web.Response:
+        try:
+            self.engine.check_health()
+        except Exception as e:
+            return web.json_response({"status": str(e)}, status=500)
+        return web.json_response({"status": "ok"})
+
+    async def models(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": self.model_name,
+                        "object": "model",
+                        "created": int(time.time()),
+                        "owned_by": "ht-omni",
+                    }
+                ],
+            }
+        )
+
+    # --------------------------------------------------------- prompts
+    def _encode_chat(self, messages: list) -> list[int]:
+        if self.tokenizer is None:
+            raise web.HTTPBadRequest(reason="no tokenizer loaded")
+        dicts = [
+            m if isinstance(m, dict) else m.model_dump() for m in messages
+        ]
+        if hasattr(self.tokenizer, "apply_chat_template"):
+            try:
+                return self.tokenizer.apply_chat_template(
+                    dicts, add_generation_prompt=True, tokenize=True
+                )
+            except Exception:
+                pass
+        text = "\n".join(f"{m['role']}: {m['content']}" for m in dicts)
+        return self.tokenizer.encode(text)
+
+    def _sampling(self, req, default_max: int = 512) -> SamplingParams:
+        return SamplingParams(
+            max_tokens=(
+                getattr(req, "max_completion_tokens", None)
+                or getattr(req, "max_tokens", None)
+                or default_max
+            ),
+            temperature=req.temperature,
+            top_p=req.top_p,
+            top_k=req.top_k,
+            seed=req.seed,
+            stop_token_ids=list(getattr(req, "stop_token_ids", None) or []),
+        )
+
+    # ------------------------------------------------------------ chat
+    async def chat_completions(self, request: web.Request) -> web.StreamResponse:
+        try:
+            req = ChatCompletionRequest(**await request.json())
+        except Exception as e:
+            raise web.HTTPBadRequest(reason=str(e))
+        token_ids = self._encode_chat(req.messages)
+        sp = self._sampling(req)
+        request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+        prompt = OmniPrompt(token_ids=token_ids)
+
+        if not req.stream:
+            final = None
+            audio_out = None
+            async for out in self.engine.generate(prompt, sp, request_id):
+                if out.error:
+                    raise web.HTTPInternalServerError(reason=out.error)
+                if out.final_output and out.finished:
+                    final = out
+                audio = out.consolidated_multimodal("audio")
+                if audio is not None:
+                    audio_out = audio
+            comp = final.outputs[0] if final and final.outputs else None
+            text = ""
+            if comp is not None:
+                text = comp.text or (
+                    self.tokenizer.decode(comp.token_ids)
+                    if self.tokenizer
+                    else ""
+                )
+            message: dict[str, Any] = {"role": "assistant", "content": text}
+            if audio_out is not None:
+                message["audio"] = {
+                    "data": base64.b64encode(
+                        float_to_pcm16(audio_out)
+                    ).decode(),
+                    "format": "pcm16",
+                }
+            return web.json_response(
+                {
+                    "id": request_id,
+                    "object": "chat.completion",
+                    "created": int(time.time()),
+                    "model": self.model_name,
+                    "choices": [
+                        {
+                            "index": 0,
+                            "message": message,
+                            "finish_reason": (
+                                comp.finish_reason if comp else "stop"
+                            ),
+                        }
+                    ],
+                }
+            )
+
+        # SSE streaming: text deltas as they decode
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+            }
+        )
+        await resp.prepare(request)
+        sent_tokens = 0
+        async for out in self.engine.generate(prompt, sp, request_id):
+            if out.error:
+                break
+            comp = out.outputs[0] if out.outputs else None
+            if comp is None:
+                continue
+            new = comp.token_ids[sent_tokens:]
+            if new and self.tokenizer is not None:
+                delta_text = self.tokenizer.decode(new)
+                sent_tokens = len(comp.token_ids)
+                chunk = {
+                    "id": request_id,
+                    "object": "chat.completion.chunk",
+                    "choices": [
+                        {
+                            "index": 0,
+                            "delta": {"content": delta_text},
+                            "finish_reason": None,
+                        }
+                    ],
+                }
+                await resp.write(
+                    f"data: {json.dumps(chunk)}\n\n".encode()
+                )
+            if out.finished and out.final_output:
+                done = {
+                    "id": request_id,
+                    "object": "chat.completion.chunk",
+                    "choices": [
+                        {
+                            "index": 0,
+                            "delta": {},
+                            "finish_reason": comp.finish_reason or "stop",
+                        }
+                    ],
+                }
+                await resp.write(f"data: {json.dumps(done)}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    # ----------------------------------------------------- completions
+    async def completions(self, request: web.Request) -> web.Response:
+        try:
+            req = CompletionRequest(**await request.json())
+        except Exception as e:
+            raise web.HTTPBadRequest(reason=str(e))
+        if isinstance(req.prompt, str):
+            if self.tokenizer is None:
+                raise web.HTTPBadRequest(reason="no tokenizer loaded")
+            token_ids = self.tokenizer.encode(req.prompt)
+        else:
+            token_ids = list(req.prompt)
+        sp = self._sampling(req)
+        request_id = f"cmpl-{uuid.uuid4().hex[:24]}"
+        final = None
+        async for out in self.engine.generate(
+            OmniPrompt(token_ids=token_ids), sp, request_id
+        ):
+            if out.error:
+                raise web.HTTPInternalServerError(reason=out.error)
+            if out.finished and out.final_output:
+                final = out
+        comp = final.outputs[0] if final and final.outputs else None
+        text = ""
+        if comp is not None and self.tokenizer is not None:
+            text = comp.text or self.tokenizer.decode(comp.token_ids)
+        return web.json_response(
+            {
+                "id": request_id,
+                "object": "text_completion",
+                "model": self.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "text": text,
+                        "finish_reason": comp.finish_reason if comp else None,
+                        "token_ids": comp.token_ids if comp else [],
+                    }
+                ],
+            }
+        )
+
+    # ---------------------------------------------------------- speech
+    async def speech(self, request: web.Request) -> web.StreamResponse:
+        try:
+            req = SpeechRequest(**await request.json())
+        except Exception as e:
+            raise web.HTTPBadRequest(reason=str(e))
+        if req.voice not in self.voices:
+            raise web.HTTPBadRequest(reason=f"unknown voice {req.voice!r}")
+        if self.tokenizer is not None:
+            token_ids = self.tokenizer.encode(req.input)
+        else:
+            token_ids = [ord(c) % 256 for c in req.input]
+        prompt = OmniPrompt(
+            token_ids=token_ids,
+            additional_information={
+                "voice": req.voice,
+                "instructions": req.instructions,
+                **req.extra_body,
+            },
+        )
+        request_id = f"speech-{uuid.uuid4().hex[:24]}"
+
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": (
+                    "audio/wav" if req.response_format == "wav" else
+                    "application/octet-stream"
+                ),
+                "Transfer-Encoding": "chunked",
+            }
+        )
+        await resp.prepare(request)
+        header_sent = False
+        sent_samples = 0
+        sample_rate = req.sample_rate or DEFAULT_SAMPLE_RATE
+        async for out in self.engine.generate(prompt, None, request_id):
+            if out.error:
+                break
+            if not out.final_output:
+                continue  # comprehension-stage text events
+            sr = out.multimodal_output.get("sample_rate")
+            if sr is not None:
+                sample_rate = int(np.asarray(sr))
+            audio = out.consolidated_multimodal("audio")
+            if audio is None:
+                continue
+            # cumulative-list mode: stream only the delta samples
+            # (reference _generate_audio_chunks:952)
+            delta = audio[sent_samples:]
+            sent_samples = len(audio)
+            if delta.size == 0:
+                continue
+            if req.response_format == "wav" and not header_sent:
+                await resp.write(wav_header(sample_rate))
+                header_sent = True
+            await resp.write(float_to_pcm16(delta))
+        await resp.write_eof()
+        return resp
+
+    async def list_voices(self, request: web.Request) -> web.Response:
+        return web.json_response({"voices": sorted(self.voices)})
+
+    # ---------------------------------------------------------- images
+    async def images(self, request: web.Request) -> web.Response:
+        try:
+            req = ImageGenerationRequest(**await request.json())
+        except Exception as e:
+            raise web.HTTPBadRequest(reason=str(e))
+        request_id = f"img-{uuid.uuid4().hex[:24]}"
+        prompt = OmniPrompt(
+            text=req.prompt,
+            negative_text=req.negative_prompt,
+            additional_information={
+                "size": req.size,
+                "num_inference_steps": req.num_inference_steps,
+                "guidance_scale": req.guidance_scale,
+                "seed": req.seed,
+            },
+        )
+        final = None
+        async for out in self.engine.generate(prompt, None, request_id):
+            if out.error:
+                raise web.HTTPInternalServerError(reason=out.error)
+            if out.finished and out.final_output:
+                final = out
+        images = []
+        image = final.consolidated_multimodal("image") if final else None
+        if image is not None:
+            images.append(
+                {"b64_json": base64.b64encode(
+                    np.asarray(image, dtype=np.uint8).tobytes()
+                ).decode()}
+            )
+        return web.json_response(
+            {"created": int(time.time()), "data": images}
+        )
+
+    # -------------------------------------------------------- profiling
+    async def start_profile(self, request: web.Request) -> web.Response:
+        import jax
+
+        self._profile_dir = f"/tmp/ht_omni_profile_{int(time.time())}"
+        jax.profiler.start_trace(self._profile_dir)
+        return web.json_response({"status": "started",
+                                  "dir": self._profile_dir})
+
+    async def stop_profile(self, request: web.Request) -> web.Response:
+        import jax
+
+        jax.profiler.stop_trace()
+        return web.json_response(
+            {"status": "stopped", "dir": getattr(self, "_profile_dir", None)}
+        )
+
+
+def run_server(
+    engine: AsyncOmniEngine,
+    tokenizer=None,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+) -> None:
+    server = OmniAPIServer(engine, tokenizer)
+    web.run_app(server.build_app(), host=host, port=port)

@@ -1,0 +1,71 @@
+"""Request/response models for the OpenAI-compatible routes.
+
+Mirrors the reference's protocol surface (reference
+vllm_omni/entrypoints/openai/protocol/): chat completions with
+per-modality extensions, TTS speech requests (voice / response_format /
+stream), image generation requests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Literal
+
+import pydantic
+
+
+class ChatMessage(pydantic.BaseModel):
+    role: str
+    content: str | list[dict[str, Any]]
+
+
+class ChatCompletionRequest(pydantic.BaseModel):
+    model: str = ""
+    messages: list[ChatMessage]
+    max_tokens: int | None = None
+    max_completion_tokens: int | None = None
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0
+    seed: int | None = None
+    stream: bool = False
+    stop_token_ids: list[int] | None = None
+    modalities: list[str] | None = None  # ["text"], ["text", "audio"]
+    # per-stage sampling overrides (reference sampling_params_list)
+    sampling_params_list: list[dict[str, Any]] | None = None
+
+
+class CompletionRequest(pydantic.BaseModel):
+    model: str = ""
+    prompt: str | list[int]
+    max_tokens: int = 128
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0
+    seed: int | None = None
+    stream: bool = False
+
+
+class SpeechRequest(pydantic.BaseModel):
+    """POST /v1/audio/speech (reference OpenAICreateSpeechRequest)."""
+
+    model: str = ""
+    input: str
+    voice: str = "default"
+    response_format: Literal["wav", "pcm"] = "wav"
+    speed: float = 1.0
+    stream: bool = True
+    sample_rate: int | None = None
+    instructions: str | None = None
+    extra_body: dict[str, Any] = pydantic.Field(default_factory=dict)
+
+
+class ImageGenerationRequest(pydantic.BaseModel):
+    model: str = ""
+    prompt: str
+    negative_prompt: str | None = None
+    n: int = 1
+    size: str = "1024x1024"
+    num_inference_steps: int | None = None
+    guidance_scale: float | None = None
+    seed: int | None = None
+    response_format: Literal["b64_json", "url"] = "b64_json"

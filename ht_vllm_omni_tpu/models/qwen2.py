@@ -130,6 +130,8 @@ def prefill(
     inputs_embeds: jax.Array,  # [S, H] (padded)
     positions: jax.Array,  # [S] int32
     prompt_len: jax.Array,  # scalar int32: valid tokens
+    *,
+    tp_axis: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Run one request's prompt; returns (hidden [S, H] normed,
     kv_rows [L, S, 2F]).
@@ -156,11 +158,17 @@ def prefill(
             lens,
             causal=True,
         )[0].transpose(1, 0, 2).reshape(s, -1)
-        h = h + jnp.dot(
-            o, lp["wo"], preferred_element_type=jnp.float32
-        ).astype(h.dtype)
+        delta = jnp.dot(o, lp["wo"], preferred_element_type=jnp.float32)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)
+        h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        h = h + swiglu_mlp(x, lp["gate"], lp["up"], lp["down"])
+        delta = swiglu_mlp(
+            x, lp["gate"], lp["up"], lp["down"]
+        ).astype(jnp.float32)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)
+        h = h + delta.astype(h.dtype)
         return h, row
 
     h, kv_rows = jax.lax.scan(layer, inputs_embeds, _layer_params(params))
@@ -182,6 +190,7 @@ def decode(
     *,
     page_size: int,
     chunk_steps: int,
+    tp_axis: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """One batched decode step with deferred cache writes.
 
@@ -239,11 +248,17 @@ def decode(
         o = (o / denom).astype(h.dtype)
         o = o.reshape(s_slots, -1)
 
-        h = h + jnp.dot(
-            o, lp["wo"], preferred_element_type=jnp.float32
-        ).astype(h.dtype)
+        delta = jnp.dot(o, lp["wo"], preferred_element_type=jnp.float32)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)
+        h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        h = h + swiglu_mlp(x, lp["gate"], lp["up"], lp["down"])
+        delta = swiglu_mlp(
+            x, lp["gate"], lp["up"], lp["down"]
+        ).astype(jnp.float32)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)
+        h = h + delta.astype(h.dtype)
         return h, fresh_l
 
     num_layers = kv_cache.shape[0]

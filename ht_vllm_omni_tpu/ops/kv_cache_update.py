@@ -46,6 +46,11 @@ def _flush_kernel(
 ):
     li = pl.program_id(0)
     t_total = fresh_hbm.shape[1]
+    nslots = out_hbm.shape[1]
+
+    def valid(i):
+        # -1 padding and out-of-shard slots (dp-sharded cache) are skipped
+        return jnp.logical_and(slot_ref[i] >= 0, slot_ref[i] < nslots)
 
     def mk(i):
         return pltpu.make_async_copy(
@@ -55,11 +60,11 @@ def _flush_kernel(
         )
 
     def body(i, _):
-        @pl.when(jnp.logical_and(i >= _INFLIGHT, slot_ref[i - _INFLIGHT] >= 0))
+        @pl.when(jnp.logical_and(i >= _INFLIGHT, valid(i - _INFLIGHT)))
         def _():
             mk(i - _INFLIGHT).wait()
 
-        @pl.when(slot_ref[i] >= 0)
+        @pl.when(valid(i))
         def _():
             mk(i).start()
 
@@ -68,7 +73,7 @@ def _flush_kernel(
     jax.lax.fori_loop(0, t_total, body, 0)
 
     def drain(i, _):
-        @pl.when(slot_ref[i] >= 0)
+        @pl.when(valid(i))
         def _():
             mk(i).wait()
 

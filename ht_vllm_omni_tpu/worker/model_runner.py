@@ -23,6 +23,7 @@ sampled by steps 0..K-1 of this chunk.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import logging
 
@@ -30,8 +31,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from ht_vllm_omni_tpu.config import EngineConfig
 from ht_vllm_omni_tpu.models import qwen2
+from ht_vllm_omni_tpu.parallel.mesh import (
+    DP_AXIS,
+    TP_AXIS,
+    MeshConfig,
+    make_mesh,
+    param_pspecs,
+    validate_tp,
+)
 from ht_vllm_omni_tpu.models.loader import load_hf_params
 from ht_vllm_omni_tpu.ops.kv_cache_update import flush_kv_rows
 from ht_vllm_omni_tpu.sample.sampler import (
@@ -50,13 +62,41 @@ _NO_TOKEN = -1
 class ARModelRunner:
     """Single-mesh runner for one AR stage."""
 
-    def __init__(self, config: EngineConfig, params: dict | None = None):
+    def __init__(
+        self,
+        config: EngineConfig,
+        params: dict | None = None,
+        mesh=None,
+    ):
         from ht_vllm_omni_tpu.utils.platform import setup_compilation_cache
 
         setup_compilation_cache()
         self.config = config
         cfg = config.model
         self.arch = cfg
+
+        par = config.parallel
+        tp = par.tensor_parallel_size
+        dp = par.data_parallel_size
+        if mesh is None and tp * dp > 1:
+            mesh = make_mesh(MeshConfig(tp, dp))
+        self.mesh = mesh
+        if mesh is not None:
+            tp = mesh.shape[TP_AXIS]
+            dp = mesh.shape[DP_AXIS]
+            validate_tp(cfg, tp)
+        self.tp = tp
+        self.dp = dp
+        # head counts as seen by each tp shard inside shard_map
+        self.local_arch = (
+            dataclasses.replace(
+                cfg,
+                num_attention_heads=cfg.num_attention_heads // tp,
+                num_key_value_heads=cfg.num_key_value_heads // tp,
+            )
+            if mesh is not None
+            else cfg
+        )
         if params is not None:
             self.params = params
         elif config.model_path is not None:
@@ -86,7 +126,20 @@ class ARModelRunner:
             self.num_pages * self.page_size,
             2 * cfg.num_key_value_heads * cfg.head_dim,
         )
-        self.kv_cache = jnp.zeros(kv_shape, kv_dt)
+        if self.mesh is not None:
+            specs = param_pspecs(cfg)
+            self.params = {
+                k: jax.device_put(
+                    v, NamedSharding(self.mesh, specs[k])
+                )
+                for k, v in self.params.items()
+            }
+            self.kv_cache = jax.device_put(
+                jnp.zeros(kv_shape, kv_dt),
+                NamedSharding(self.mesh, P(None, DP_AXIS, TP_AXIS)),
+            )
+        else:
+            self.kv_cache = jnp.zeros(kv_shape, kv_dt)
 
         s = self.max_slots
         self.keys = jax.vmap(jax.random.PRNGKey)(
@@ -162,15 +215,18 @@ class ARModelRunner:
     def _prefill_program(
         cfg,
         collect_hidden: bool,
+        tp_axis,
+        dp_axis,
         params,
         kv_cache,
         keys,
         token_state,
         token_ids,  # [S_pad]
         positions,  # [S_pad]
-        slot_mapping,  # [S_pad]
+        slot_mapping,  # [S_pad] slots in the owner dp-group's local cache
         prompt_len,  # scalar
-        slot,  # scalar
+        slot,  # scalar: local slot id within the owner dp group
+        dp_owner,  # scalar: dp group that owns this request
         emitted_before,  # scalar (0 unless resumed)
         temperature,  # [1] etc.
         top_k,
@@ -178,8 +234,13 @@ class ARModelRunner:
     ):
         x = qwen2.embed_tokens(params, token_ids)
         hidden, kv_rows = qwen2.prefill(
-            cfg, params, x, positions, prompt_len
+            cfg, params, x, positions, prompt_len, tp_axis=tp_axis
         )
+        if dp_axis is not None:
+            # every dp shard computes the (replicated) forward; only the
+            # owner group writes its cache / slot state
+            is_owner = jax.lax.axis_index(dp_axis) == dp_owner
+            slot_mapping = jnp.where(is_owner, slot_mapping, -1)
         # single top-level aliased flush: the only copy-free composition
         kv_cache = flush_kv_rows(kv_cache, kv_rows, slot_mapping)
         last = jax.lax.dynamic_index_in_dim(
@@ -188,27 +249,79 @@ class ARModelRunner:
         logits = qwen2.compute_logits(cfg, params, last)
         slot_key = keys[slot]
         new_key, step_key = jax.random.split(slot_key)
-        keys = keys.at[slot].set(new_key)
         token = sample_tokens(
             logits,
             SamplingTensors(temperature, top_k, top_p),
             step_key[None],
         )[0]
-        token_state = token_state.at[slot].set(token)
+        new_keys = keys.at[slot].set(new_key)
+        new_token_state = token_state.at[slot].set(token)
+        if dp_axis is not None:
+            keep = is_owner
+            keys = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(keep, new, old), new_keys, keys
+            )
+            token_state = jnp.where(keep, new_token_state, token_state)
+        else:
+            keys = new_keys
+            token_state = new_token_state
         out_hidden = hidden if collect_hidden else last
         return kv_cache, keys, token_state, out_hidden
 
     def _prefill_fn(self, bucket: int, collect_hidden: bool):
         key = (bucket, collect_hidden)
         fn = self._prefill_fns.get(key)
-        if fn is None:
-            fn = jax.jit(
-                functools.partial(
-                    self._prefill_program, self.arch, collect_hidden
-                ),
-                donate_argnums=(1, 2, 3),
+        if fn is not None:
+            return fn
+        if self.mesh is None:
+            prog = functools.partial(
+                self._prefill_program, self.arch, collect_hidden, None, None
             )
-            self._prefill_fns[key] = fn
+        else:
+            body = functools.partial(
+                self._prefill_program,
+                self.local_arch,
+                collect_hidden,
+                TP_AXIS,
+                DP_AXIS,
+            )
+            pspec = {
+                k: v
+                for k, v in param_pspecs(self.arch).items()
+                if k in self.params
+            }
+            scalar = P()
+            in_specs = (
+                pspec,  # params
+                P(None, DP_AXIS, TP_AXIS),  # kv_cache
+                P(DP_AXIS, None),  # keys
+                P(DP_AXIS),  # token_state
+                scalar,  # token_ids
+                scalar,  # positions
+                scalar,  # slot_mapping
+                scalar,  # prompt_len
+                scalar,  # slot
+                scalar,  # dp_owner
+                scalar,  # emitted_before
+                scalar,  # temperature
+                scalar,  # top_k
+                scalar,  # top_p
+            )
+            out_specs = (
+                P(None, DP_AXIS, TP_AXIS),
+                P(DP_AXIS, None),
+                P(DP_AXIS),
+                P(),  # hidden (replicated)
+            )
+            prog = shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_vma=False,
+            )
+        fn = jax.jit(prog, donate_argnums=(1, 2, 3))
+        self._prefill_fns[key] = fn
         return fn
 
     def prefill(self, request) -> jax.Array:
@@ -235,6 +348,9 @@ class ARModelRunner:
         )
 
         st = SamplingTensors.from_params([sp], 1)
+        # with dp sharding, slot ids are local to the owning dp group
+        local_slots = self.max_slots // self.dp
+        dp_owner, local_slot = divmod(slot, local_slots)
         fn = self._prefill_fn(bucket, sp.return_hidden_states)
         (
             self.kv_cache,
@@ -250,7 +366,8 @@ class ARModelRunner:
             positions,
             slot_map,
             np.int32(s),
-            np.int32(slot),
+            np.int32(local_slot),
+            np.int32(dp_owner),
             np.int32(req.num_output_tokens),
             st.temperature,
             st.top_k,
@@ -281,6 +398,7 @@ class ARModelRunner:
         num_steps: int,
         page_size: int,
         collect_hidden: bool,
+        tp_axis,
         params,
         kv_cache,  # [L, NSLOTS, 2F] donated; read in-scan, flushed once
         keys,
@@ -326,6 +444,7 @@ class ARModelRunner:
                 cfg, params, kv_cache, fresh_buf, x, pos, j, written,
                 block_tables, seq_lens0,
                 page_size=page_size, chunk_steps=num_steps,
+                tp_axis=tp_axis,
             )
             logits = qwen2.compute_logits(cfg, params, hidden)
             keys, step_keys = _split_keys(keys)
@@ -382,18 +501,66 @@ class ARModelRunner:
     def _decode_fn(self, num_steps: int, collect_hidden: bool):
         key = (num_steps, collect_hidden)
         fn = self._decode_fns.get(key)
-        if fn is None:
-            fn = jax.jit(
-                functools.partial(
-                    self._decode_program,
-                    self.arch,
-                    num_steps,
-                    self.page_size,
-                    collect_hidden,
-                ),
-                donate_argnums=(1, 2, 3),
+        if fn is not None:
+            return fn
+        if self.mesh is None:
+            prog = functools.partial(
+                self._decode_program,
+                self.arch,
+                num_steps,
+                self.page_size,
+                collect_hidden,
+                None,
             )
-            self._decode_fns[key] = fn
+        else:
+            body = functools.partial(
+                self._decode_program,
+                self.local_arch,
+                num_steps,
+                self.page_size,
+                collect_hidden,
+                TP_AXIS,
+            )
+            pspec = {
+                k: v
+                for k, v in param_pspecs(self.arch).items()
+                if k in self.params
+            }
+            slotdim = P(DP_AXIS)
+            in_specs = (
+                pspec,
+                P(None, DP_AXIS, TP_AXIS),  # kv_cache
+                P(DP_AXIS, None),  # keys
+                slotdim,  # token_state
+                slotdim,  # positions
+                slotdim,  # active
+                slotdim,  # fresh
+                slotdim,  # emitted
+                slotdim,  # limit
+                slotdim,  # min_tokens
+                P(DP_AXIS, None),  # stops
+                P(DP_AXIS, None),  # block_tables
+                slotdim,  # temperature
+                slotdim,  # top_k
+                slotdim,  # top_p
+            )
+            out = [
+                P(None, DP_AXIS, TP_AXIS),  # kv_cache
+                P(DP_AXIS, None),  # keys
+                slotdim,  # token_state
+                P(None, DP_AXIS),  # packed
+            ]
+            if collect_hidden:
+                out.append(P(None, DP_AXIS, None))  # hidden [K, S, H]
+            prog = shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=tuple(out),
+                check_vma=False,
+            )
+        fn = jax.jit(prog, donate_argnums=(1, 2, 3))
+        self._decode_fns[key] = fn
         return fn
 
     def decode_chunk(

@@ -1,0 +1,220 @@
+"""API server e2e on CPU: aiohttp test client over a toy 2-stage pipeline."""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+import jax
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from ht_vllm_omni_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelArchConfig,
+    SchedulerConfig,
+)
+from ht_vllm_omni_tpu.config.stage_config import (
+    PipelineConfig,
+    StageConfig,
+)
+from ht_vllm_omni_tpu.engine.async_omni_engine import AsyncOmniEngine
+from ht_vllm_omni_tpu.engine.generation_engine import GenerationEngine
+from ht_vllm_omni_tpu.engine.llm_engine import LLMEngine
+from ht_vllm_omni_tpu.engine.orchestrator import StageHandle
+from ht_vllm_omni_tpu.entrypoints.openai.api_server import OmniAPIServer
+from ht_vllm_omni_tpu.models import qwen2
+
+
+class FakeTokenizer:
+    def encode(self, text):
+        return [ord(c) % 60 for c in text][:16] or [1]
+
+    def decode(self, ids):
+        return "".join(chr(97 + (i % 26)) for i in ids)
+
+
+def _vocoder(token_ids, prompt_embeds, info, state):
+    toks = np.asarray(token_ids or [], np.float32)
+    return {
+        "audio": np.sin(toks / 10.0),
+        "sample_rate": np.asarray(8000),
+    }
+
+
+def _mk_engine(with_tts: bool):
+    cfg = ModelArchConfig(
+        model_type="qwen2", vocab_size=64, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, dtype="float32", tie_word_embeddings=True,
+        eos_token_id=1,
+    )
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(3))
+    ar = LLMEngine(
+        EngineConfig(
+            model=cfg,
+            cache=CacheConfig(page_size=16, num_pages=64),
+            scheduler=SchedulerConfig(max_num_seqs=4, max_model_len=128),
+        ),
+        params=params,
+        decode_horizon=4,
+    )
+    if with_tts:
+        s0 = StageConfig(
+            stage_id=0, model_stage="talker", worker_type="ar",
+            is_comprehension=True,
+            default_sampling_params={"temperature": 0.0, "max_tokens": 8},
+        )
+        s1 = StageConfig(
+            stage_id=1, model_stage="voc", worker_type="generation",
+            input_sources=[0], final_output=True, final_output_type="audio",
+        )
+        pipeline = PipelineConfig("toy_tts", [s0, s1])
+        pipeline.validate()
+        handles = [
+            StageHandle(s0, ar), StageHandle(s1, GenerationEngine(_vocoder))
+        ]
+    else:
+        s0 = StageConfig(
+            stage_id=0, model_stage="llm", worker_type="ar",
+            final_output=True, final_output_type="text",
+            default_sampling_params={"temperature": 0.0, "max_tokens": 8},
+        )
+        pipeline = PipelineConfig("toy_llm", [s0])
+        pipeline.validate()
+        handles = [StageHandle(s0, ar)]
+    return AsyncOmniEngine(pipeline, handles)
+
+
+def _run(coro):
+    import asyncio
+
+    return asyncio.run(coro)
+
+
+async def _client(with_tts):
+    engine = _mk_engine(with_tts)
+    server = OmniAPIServer(engine, FakeTokenizer())
+    client = TestClient(TestServer(server.build_app()))
+    await client.start_server()
+    return client, engine
+
+
+def test_health_and_models():
+    _run(_test_health_and_models())
+
+
+async def _test_health_and_models():
+    client, engine = await _client(False)
+    try:
+        r = await client.get("/health")
+        assert r.status == 200
+        r = await client.get("/v1/models")
+        data = await r.json()
+        assert data["data"][0]["id"] == "ht-omni"
+    finally:
+        await client.close()
+        engine.shutdown()
+
+
+def test_completions_roundtrip():
+    _run(_test_completions_roundtrip())
+
+
+async def _test_completions_roundtrip():
+    client, engine = await _client(False)
+    try:
+        r = await client.post(
+            "/v1/completions",
+            json={"prompt": "hello", "max_tokens": 6, "temperature": 0.0},
+        )
+        assert r.status == 200
+        data = await r.json()
+        assert len(data["choices"][0]["token_ids"]) == 6
+        assert data["choices"][0]["text"]
+    finally:
+        await client.close()
+        engine.shutdown()
+
+
+def test_chat_stream_sse():
+    _run(_test_chat_stream_sse())
+
+
+async def _test_chat_stream_sse():
+    client, engine = await _client(False)
+    try:
+        r = await client.post(
+            "/v1/chat/completions",
+            json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 6,
+                "temperature": 0.0,
+                "stream": True,
+            },
+        )
+        assert r.status == 200
+        raw = await r.read()
+        events = [
+            json.loads(line[len(b"data: "):])
+            for line in raw.split(b"\n\n")
+            if line.startswith(b"data: ") and b"[DONE]" not in line
+        ]
+        text = "".join(
+            e["choices"][0]["delta"].get("content", "") for e in events
+        )
+        assert len(text) == 6  # one char per token from FakeTokenizer
+        assert raw.rstrip().endswith(b"data: [DONE]")
+    finally:
+        await client.close()
+        engine.shutdown()
+
+
+def test_speech_streams_wav():
+    _run(_test_speech_streams_wav())
+
+
+async def _test_speech_streams_wav():
+    client, engine = await _client(True)
+    try:
+        r = await client.post(
+            "/v1/audio/speech",
+            json={"input": "sing", "response_format": "wav"},
+        )
+        assert r.status == 200
+        body = await r.read()
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+        # unknown-size streaming header
+        assert struct.unpack("<I", body[4:8])[0] == 0xFFFFFFFF
+        sr = struct.unpack("<I", body[24:28])[0]
+        assert sr == 8000  # stage-provided sample rate wins
+        pcm = np.frombuffer(body[44:], dtype="<i2")
+        assert pcm.size == 8  # 8 talker tokens -> 8 samples
+        assert np.abs(pcm).max() > 0
+    finally:
+        await client.close()
+        engine.shutdown()
+
+
+def test_speech_pcm_format_and_bad_voice():
+    _run(_test_speech_pcm_format_and_bad_voice())
+
+
+async def _test_speech_pcm_format_and_bad_voice():
+    client, engine = await _client(True)
+    try:
+        r = await client.post(
+            "/v1/audio/speech",
+            json={"input": "x", "response_format": "pcm"},
+        )
+        body = await r.read()
+        assert not body.startswith(b"RIFF")
+        r = await client.post(
+            "/v1/audio/speech", json={"input": "x", "voice": "nope"}
+        )
+        assert r.status == 400
+    finally:
+        await client.close()
+        engine.shutdown()
