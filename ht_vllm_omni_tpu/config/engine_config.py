@@ -36,6 +36,8 @@ class ModelArchConfig:
     # sliding window / misc left for later model families
     eos_token_id: int | list[int] = 151645
     bos_token_id: int | None = None
+    # weight-only quantization: None | "int8" | "int4"
+    quantization: str | None = None
 
     def __post_init__(self) -> None:
         if self.head_dim is None:

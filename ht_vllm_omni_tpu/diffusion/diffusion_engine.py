@@ -1,0 +1,143 @@
+"""Diffusion engine: request queue + denoise execution.
+
+Counterpart of the reference DiffusionEngine + RequestScheduler (reference
+vllm_omni/diffusion/diffusion_engine.py:55, diffusion/sched/): requests
+queue FIFO, one runs at a time (reference _max_batch_size=1,
+base_scheduler.py:16); step-wise execution yields streaming progress.
+Duck-types the stage-engine interface so the orchestrator can pump it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from collections import deque
+from typing import Any
+
+from ht_vllm_omni_tpu.diffusion.data import (
+    DiffusionSamplingParams,
+    OmniDiffusionConfig,
+)
+from ht_vllm_omni_tpu.diffusion.models.pipeline_flow import FlowPipeline
+from ht_vllm_omni_tpu.inputs import OmniPrompt, as_prompt
+from ht_vllm_omni_tpu.outputs import CompletionOutput, OmniRequestOutput
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class _DiffRequest:
+    request_id: str
+    prompt: OmniPrompt
+    params: DiffusionSamplingParams
+    state: dict = dataclasses.field(default_factory=dict)
+    arrival: float = dataclasses.field(default_factory=time.time)
+
+
+def sampling_from_prompt(
+    prompt: OmniPrompt, defaults: DiffusionSamplingParams | None = None
+) -> DiffusionSamplingParams:
+    """Build denoise params from request payload (API server passes size /
+    steps / guidance via additional_information)."""
+    info = prompt.additional_information or {}
+    sp = defaults or DiffusionSamplingParams()
+    size = info.get("size")
+    if isinstance(size, str) and "x" in size:
+        w, h = size.lower().split("x")
+        sp = dataclasses.replace(sp, width=int(w), height=int(h))
+    if info.get("num_inference_steps"):
+        sp = dataclasses.replace(
+            sp, num_inference_steps=int(info["num_inference_steps"])
+        )
+    if info.get("guidance_scale") is not None:
+        sp = dataclasses.replace(
+            sp, guidance_scale=float(info["guidance_scale"])
+        )
+    if info.get("seed") is not None:
+        sp = dataclasses.replace(sp, seed=int(info["seed"]))
+    if info.get("stream_every"):
+        sp = dataclasses.replace(sp, stream_every=int(info["stream_every"]))
+    return sp
+
+
+class DiffusionEngine:
+    def __init__(
+        self,
+        config: OmniDiffusionConfig,
+        pipeline: Any | None = None,
+        default_params: DiffusionSamplingParams | None = None,
+    ) -> None:
+        self.config = config
+        self.pipeline = pipeline or FlowPipeline(
+            config.arch, seed=config.seed
+        )
+        self.default_params = default_params or DiffusionSamplingParams()
+        self.waiting: deque[_DiffRequest] = deque()
+        self.requests: dict[str, _DiffRequest] = {}
+
+    # ------------------------------------------------ stage-engine duck type
+    def add_request(
+        self, prompt, sampling_params=None, request_id: str | None = None
+    ) -> str:
+        p = as_prompt(prompt)
+        request_id = request_id or f"diff-{len(self.requests)}"
+        if isinstance(sampling_params, DiffusionSamplingParams):
+            sp = sampling_params
+        else:
+            sp = sampling_from_prompt(p, self.default_params)
+        req = _DiffRequest(request_id, p, sp)
+        self.requests[request_id] = req
+        self.waiting.append(req)
+        return request_id
+
+    def abort_request(self, request_id: str) -> None:
+        req = self.requests.pop(request_id, None)
+        if req is not None and req in self.waiting:
+            self.waiting.remove(req)
+
+    def has_unfinished_requests(self) -> bool:
+        return bool(self.waiting)
+
+    def step(self) -> list[OmniRequestOutput]:
+        if not self.waiting:
+            return []
+        req = self.waiting[0]
+        p = req.prompt
+        neg = p.negative_token_ids
+        if neg is None and p.negative_text:
+            neg = [ord(c) % 256 for c in p.negative_text]
+        token_ids = p.token_ids
+        if token_ids is None and p.text is not None:
+            token_ids = [ord(c) % 256 for c in p.text]
+        try:
+            image, req.state = self.pipeline.generate(
+                token_ids,
+                req.params,
+                negative_token_ids=neg,
+                prompt_embeds=p.embeds,
+                stepwise_state=req.state,
+            )
+            error = None
+        except Exception as e:
+            logger.exception("diffusion request %s failed", req.request_id)
+            image, error = None, f"{type(e).__name__}: {e}"
+        finished = image is not None or error is not None
+        if finished:
+            self.waiting.popleft()
+            self.requests.pop(req.request_id, None)
+        out = OmniRequestOutput(
+            request_id=req.request_id,
+            finished=finished,
+            error=error,
+            outputs=[
+                CompletionOutput(
+                    index=0, token_ids=[],
+                    finish_reason="stop" if finished else None,
+                )
+            ],
+        )
+        if image is not None:
+            out.multimodal_output["image"] = image
+        out.metrics["denoise_step"] = req.state.get("step", 0)
+        return [out]

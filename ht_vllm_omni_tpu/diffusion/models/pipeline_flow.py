@@ -1,0 +1,178 @@
+"""Flow-matching text-to-image pipeline over the generic DiT.
+
+Counterpart of the reference's per-model diffusion pipelines (reference
+vllm_omni/diffusion/models/qwen_image/pipeline_qwen_image.py etc.): text
+conditioning -> iterative denoise (CFG) -> latent decode.  The denoise
+loop is one jitted lax.fori_loop; step-wise execution (streaming /
+preemptible denoising, reference diffusion_model_runner.execute_stepwise
+:342) runs N steps per call by carrying (latents, step) between calls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ht_vllm_omni_tpu.diffusion.data import (
+    DiffusionSamplingParams,
+    DiTArchConfig,
+)
+from ht_vllm_omni_tpu.diffusion.models import dit
+from ht_vllm_omni_tpu.diffusion.schedulers.flow_match import (
+    FlowMatchEulerScheduler,
+)
+
+
+class FlowPipeline:
+    def __init__(
+        self,
+        cfg: DiTArchConfig,
+        params: dict | None = None,
+        seed: int = 0,
+    ) -> None:
+        self.cfg = cfg
+        self.params = (
+            params
+            if params is not None
+            else dit.init_params(cfg, jax.random.PRNGKey(seed))
+        )
+        self._denoise_fns: dict = {}
+
+    # ------------------------------------------------------ conditioning
+    def encode_text(self, token_ids: list[int] | None) -> jnp.ndarray:
+        """Toy built-in text encoder: embedding lookup (real model families
+        plug their own encoder or pass prompt embeds)."""
+        ids = jnp.asarray(token_ids or [0], jnp.int32) % self.cfg.vocab_size
+        emb = jnp.take(self.params["cond_embed"], ids, axis=0)
+        # project into cond_dim space (id map when dims equal)
+        if emb.shape[-1] != self.cfg.cond_dim:
+            emb = emb[..., : self.cfg.cond_dim]
+        return emb
+
+    # ---------------------------------------------------------- denoise
+    def _denoise_fn(self, num_steps: int, seq_hw: tuple[int, int]):
+        key = (num_steps, seq_hw)
+        fn = self._denoise_fns.get(key)
+        if fn is None:
+            sched = FlowMatchEulerScheduler(num_steps)
+            cfg = self.cfg
+
+            def run(params, latents, cond, uncond, gscale, start, count):
+                lat_hw = latents.shape[:2]
+
+                def body(i, x):
+                    tokens = dit.patchify(cfg, x)
+                    t = sched.timestep(i)
+                    v_c = dit.forward(cfg, params, tokens, cond, t)
+                    v_u = dit.forward(cfg, params, tokens, uncond, t)
+                    v = v_u + gscale * (v_c - v_u)
+                    x_tok = dit.patchify(cfg, x) + (
+                        sched.sigmas[i + 1] - sched.sigmas[i]
+                    ) * v.astype(jnp.float32)
+                    return dit.unpatchify(
+                        cfg, x_tok.astype(x.dtype), *lat_hw
+                    )
+
+                return jax.lax.fori_loop(
+                    start, jnp.minimum(start + count, num_steps), body,
+                    latents,
+                )
+
+            fn = jax.jit(run)
+            self._denoise_fns[key] = fn
+        return fn
+
+    def prepare(
+        self, sp: DiffusionSamplingParams, key: jax.Array
+    ) -> jax.Array:
+        lh = sp.height // 8
+        lw = sp.width // 8
+        lh -= lh % self.cfg.patch_size
+        lw -= lw % self.cfg.patch_size
+        return jax.random.normal(
+            key, (max(lh, self.cfg.patch_size),
+                  max(lw, self.cfg.patch_size), self.cfg.in_channels),
+            jnp.float32,
+        )
+
+    def denoise_steps(
+        self,
+        latents: jax.Array,
+        cond: jax.Array,
+        uncond: jax.Array,
+        sp: DiffusionSamplingParams,
+        start: int,
+        count: int,
+    ) -> jax.Array:
+        fn = self._denoise_fn(sp.num_inference_steps, latents.shape[:2])
+        return fn(
+            self.params, latents, cond, uncond,
+            jnp.float32(sp.guidance_scale), jnp.int32(start),
+            jnp.int32(count),
+        )
+
+    # ------------------------------------------------------------ decode
+    def decode_latents(self, latents: jax.Array) -> np.ndarray:
+        """Latents -> uint8 RGB.  Toy decoder: channel mix + nearest
+        upsample (real VAEs plug in via the model registry; the tiled /
+        patch-parallel decode lives in diffusion/vae_parallel.py)."""
+        lat = np.asarray(latents, dtype=np.float32)
+        mix = lat[..., :3] if lat.shape[-1] >= 3 else np.repeat(
+            lat, 3, axis=-1
+        )[..., :3]
+        img = np.tanh(mix) * 0.5 + 0.5
+        img = np.repeat(np.repeat(img, 8, axis=0), 8, axis=1)
+        return (img * 255).astype(np.uint8)
+
+    # ----------------------------------------------------------- full run
+    def generate(
+        self,
+        token_ids: list[int] | None,
+        sp: DiffusionSamplingParams,
+        negative_token_ids: list[int] | None = None,
+        prompt_embeds=None,
+        stepwise_state: dict | None = None,
+    ) -> tuple[np.ndarray | None, dict]:
+        """Run (part of) a request.  Returns (image_or_None, state): the
+        image is produced when the final step completes; with
+        sp.stream_every > 0 call repeatedly, carrying ``state``."""
+        state = stepwise_state or {}
+        if "latents" not in state:
+            key = jax.random.PRNGKey(
+                sp.seed if sp.seed is not None else 0
+            )
+            state["latents"] = self.prepare(sp, key)
+            state["cond"] = (
+                jnp.asarray(prompt_embeds)
+                if prompt_embeds is not None
+                else self.encode_text(token_ids)
+            )
+            state["uncond"] = self.encode_text(negative_token_ids or [0])
+            # pad cond/uncond to a common length so one compiled denoise
+            # program serves both branches
+            s = max(state["cond"].shape[0], state["uncond"].shape[0])
+            state["cond"] = _pad_rows(state["cond"], s)
+            state["uncond"] = _pad_rows(state["uncond"], s)
+            state["step"] = 0
+        count = (
+            sp.stream_every if sp.stream_every > 0 else sp.num_inference_steps
+        )
+        state["latents"] = self.denoise_steps(
+            state["latents"], state["cond"], state["uncond"], sp,
+            state["step"], count,
+        )
+        state["step"] = min(
+            state["step"] + count, sp.num_inference_steps
+        )
+        if state["step"] >= sp.num_inference_steps:
+            return self.decode_latents(state["latents"]), state
+        return None, state
+
+
+def _pad_rows(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    if x.shape[0] >= n:
+        return x[:n]
+    return jnp.pad(x, ((0, n - x.shape[0]), (0, 0)))

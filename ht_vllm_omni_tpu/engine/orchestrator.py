@@ -19,6 +19,7 @@ from typing import Any, Sequence
 
 from ht_vllm_omni_tpu.config.stage_config import PipelineConfig, StageConfig
 from ht_vllm_omni_tpu.inputs import OmniPrompt, as_prompt
+from ht_vllm_omni_tpu.metrics import OrchestratorAggregator
 from ht_vllm_omni_tpu.models.stage_input_processors import resolve
 from ht_vllm_omni_tpu.outputs import OmniRequestOutput
 from ht_vllm_omni_tpu.sampling_params import SamplingParams
@@ -76,6 +77,7 @@ class PipelineOrchestrator:
         self.pipeline = pipeline
         self.stages = {h.config.stage_id: h for h in stages}
         self.requests: dict[str, _RequestState] = {}
+        self.stats = OrchestratorAggregator()
         self._counter = itertools.count()
         self._final_ids = set(pipeline.final_stage_ids())
         # async-chunk plumbing: chunked edges + their connectors
@@ -123,6 +125,7 @@ class PipelineOrchestrator:
             )
         state = _RequestState(external_id, sp_list)
         self.requests[external_id] = state
+        self.stats.on_request(external_id)
         stage0 = self.stages[0]
         stage0.engine.add_request(
             as_prompt(prompt),
@@ -316,6 +319,16 @@ class PipelineOrchestrator:
         out.request_id = external_id
         is_final_stage = sid in self._final_ids
 
+        est = self.stats.get(external_id)
+        if est is not None:
+            ss = est.stage(sid)
+            if out.outputs:
+                ss.tokens_out = max(ss.tokens_out, len(out.outputs[0].token_ids))
+            if is_final_stage and not est.first_final_output_time:
+                est.first_final_output_time = time.time()
+            if out.finished:
+                ss.finish_time = time.time()
+
         # stream client-facing events: final-stage outputs always;
         # comprehension-stage (thinker) text streams too.
         if is_final_stage or cfg.is_comprehension:
@@ -332,6 +345,7 @@ class PipelineOrchestrator:
                 self._forward_to_next_stages(state, cfg, out)
         if out.finished and (is_final_stage or out.error is not None):
             state.finished = True
+            self.stats.on_finish(external_id)
         if out.error is not None:
             out.finished = True
             state.finished = True

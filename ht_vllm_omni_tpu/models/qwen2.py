@@ -21,7 +21,6 @@ from ht_vllm_omni_tpu.models.layers import (
     apply_rope,
     rms_norm,
     rope_cos_sin,
-    swiglu_mlp,
 )
 from ht_vllm_omni_tpu.ops.flash_attention import flash_attention
 from ht_vllm_omni_tpu.ops.paged_attention import (
@@ -73,13 +72,40 @@ def init_params(cfg: ModelArchConfig, key: jax.Array) -> dict:
     return params
 
 
+_LAYER_KEYS = (
+    "ln1", "ln2", "wq", "wk", "wv", "wo", "gate", "up", "down",
+    "bq", "bk", "bv", "q_norm", "k_norm",
+)
+
+
 def _layer_params(params: dict) -> dict:
-    """The per-layer (stacked) subset of params, used as scan xs."""
-    keys = (
-        "ln1", "ln2", "wq", "wk", "wv", "wo", "gate", "up", "down",
-        "bq", "bk", "bv", "q_norm", "k_norm",
-    )
-    return {k: params[k] for k in keys if k in params}
+    """The per-layer (stacked) subset of params, used as scan xs
+    (including quantized variants name:q8/:q4/:scale)."""
+    out = {}
+    for k, v in params.items():
+        base = k.split(":", 1)[0]
+        if base in _LAYER_KEYS:
+            out[k] = v
+    return out
+
+
+
+def _linear(lp: dict, name: str, x: jax.Array) -> jax.Array:
+    """x [T, K] @ weight ``name`` -> [T, N] f32, honouring weight-only
+    quantization (leaves produced by quantization/weight_quant.py)."""
+    if name + ":q8" in lp:
+        from ht_vllm_omni_tpu.ops.quant_matmul import matmul_int8
+
+        return matmul_int8(
+            x, lp[name + ":q8"], lp[name + ":s8"], out_dtype=jnp.float32
+        )
+    if name + ":q4" in lp:
+        from ht_vllm_omni_tpu.ops.quant_matmul import matmul_int4
+
+        return matmul_int4(
+            x, lp[name + ":q4"], lp[name + ":s4"], out_dtype=jnp.float32
+        )
+    return jnp.dot(x, lp[name], preferred_element_type=jnp.float32)
 
 
 def _qkv(
@@ -89,9 +115,9 @@ def _qkv(
     """x [T, H] -> q [T, QH, D], k/v [T, KVH, D] with norm+rope applied."""
     t = x.shape[0]
     d = cfg.head_dim
-    q = jnp.dot(x, lp["wq"], preferred_element_type=jnp.float32)
-    k = jnp.dot(x, lp["wk"], preferred_element_type=jnp.float32)
-    v = jnp.dot(x, lp["wv"], preferred_element_type=jnp.float32)
+    q = _linear(lp, "wq", x)
+    k = _linear(lp, "wk", x)
+    v = _linear(lp, "wv", x)
     if "bq" in lp:
         q = q + lp["bq"]
         k = k + lp["bk"]
@@ -158,14 +184,15 @@ def prefill(
             lens,
             causal=True,
         )[0].transpose(1, 0, 2).reshape(s, -1)
-        delta = jnp.dot(o, lp["wo"], preferred_element_type=jnp.float32)
+        delta = _linear(lp, "wo", o)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        delta = swiglu_mlp(
-            x, lp["gate"], lp["up"], lp["down"]
-        ).astype(jnp.float32)
+        g = _linear(lp, "gate", x)
+        u = _linear(lp, "up", x)
+        act = (jax.nn.silu(g) * u).astype(x.dtype)
+        delta = _linear(lp, "down", act)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         h = h + delta.astype(h.dtype)
@@ -248,14 +275,15 @@ def decode(
         o = (o / denom).astype(h.dtype)
         o = o.reshape(s_slots, -1)
 
-        delta = jnp.dot(o, lp["wo"], preferred_element_type=jnp.float32)
+        delta = _linear(lp, "wo", o)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        delta = swiglu_mlp(
-            x, lp["gate"], lp["up"], lp["down"]
-        ).astype(jnp.float32)
+        g = _linear(lp, "gate", x)
+        u = _linear(lp, "up", x)
+        act = (jax.nn.silu(g) * u).astype(x.dtype)
+        delta = _linear(lp, "down", act)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         h = h + delta.astype(h.dtype)

@@ -71,6 +71,20 @@ def param_pspecs(cfg: ModelArchConfig) -> dict[str, P]:
         "q_norm": P(),
         "k_norm": P(),
     }
+    # quantized leaves follow their base weight's layout; group/channel
+    # scales live on whichever dim survives: col-parallel weights shard
+    # scales on the out dim, row-parallel weights keep scales replicated
+    # on out but shard int4 K-groups.
+    for name in ("wq", "wk", "wv", "gate", "up"):  # column-parallel
+        specs[name + ":q8"] = P(None, None, TP_AXIS)
+        specs[name + ":q4"] = P(None, None, TP_AXIS)
+        specs[name + ":s8"] = P(None, TP_AXIS)  # [L, N]
+        specs[name + ":s4"] = P(None, None, TP_AXIS)  # [L, K/G, N]
+    for name in ("wo", "down"):  # row-parallel
+        specs[name + ":q8"] = P(None, TP_AXIS, None)
+        specs[name + ":q4"] = P(None, TP_AXIS, None)
+        specs[name + ":s8"] = P()  # [L, N] replicated
+        specs[name + ":s4"] = P(None, TP_AXIS, None)  # K-groups sharded
     return specs
 
 

@@ -106,6 +106,10 @@ class ARModelRunner:
             self.params = qwen2.init_params(
                 cfg, jax.random.PRNGKey(config.seed)
             )
+        if cfg.quantization is not None:
+            from ht_vllm_omni_tpu.quantization import quantize_params
+
+            self.params = quantize_params(self.params, cfg.quantization)
 
         self.page_size = config.cache.page_size
         self.num_pages = self._derive_num_pages()
