@@ -63,6 +63,10 @@ class Request:
     )
     arrival_time: float = 0.0
     status: RequestStatus = RequestStatus.WAITING
+    # keep pages alive after finish until the KV transfer manager extracts
+    # them (reference kv_extracted_req_ids deferred freeing,
+    # omni_ar_scheduler.py:454-479)
+    needs_kv_transfer: bool = False
 
     # --- scheduler state ---
     output_token_ids: list[int] = dataclasses.field(default_factory=list)

@@ -79,6 +79,19 @@ class Scheduler:
         self.requests[request.request_id] = request
         self.waiting.append(request)
 
+    def admit_running_with_kv(self, request: Request, horizon: int) -> None:
+        """Admit a request whose prompt KV arrives pre-computed (PD
+        disaggregation import): allocate pages covering the prompt +
+        horizon and place it straight into running (prefill-complete)."""
+        needed = cdiv(
+            request.num_prompt_tokens + max(horizon, 1), self.page_size
+        )
+        request.page_ids = self.pool.allocate(needed)
+        request.num_computed_tokens = request.num_prompt_tokens
+        request.status = RequestStatus.RUNNING
+        self.requests[request.request_id] = request
+        self.running.append(request)
+
     def abort_request(self, request_id: str) -> None:
         req = self.requests.get(request_id)
         if req is None or req.status.finished:
@@ -292,10 +305,18 @@ class Scheduler:
             self.running.remove(req)
         elif req in self.waiting:
             self.waiting.remove(req)
-        if req.page_ids:
+        if req.page_ids and not req.needs_kv_transfer:
             self.pool.free(req.page_ids)
             req.page_ids = []
         self.finished.append(req)
+
+    def free_transferred(self, request_id: str) -> None:
+        """Release pages held for KV extraction (the transfer manager's
+        ack; reference kv_extracted_req_ids handling)."""
+        req = self.requests.get(request_id)
+        if req is not None and req.page_ids:
+            self.pool.free(req.page_ids)
+            req.page_ids = []
 
     # decode bookkeeping for the runner: tokens whose KV the runner must
     # write this step live at positions [num_computed, num_computed+n).

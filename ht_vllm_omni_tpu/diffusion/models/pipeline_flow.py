@@ -16,6 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ht_vllm_omni_tpu.diffusion.cache.teacache import (
+    TeaCacheConfig,
+    cached_velocity,
+    init_state as teacache_init,
+)
 from ht_vllm_omni_tpu.diffusion.data import (
     DiffusionSamplingParams,
     DiTArchConfig,
@@ -32,8 +37,10 @@ class FlowPipeline:
         cfg: DiTArchConfig,
         params: dict | None = None,
         seed: int = 0,
+        teacache: TeaCacheConfig | None = None,
     ) -> None:
         self.cfg = cfg
+        self.teacache = teacache or TeaCacheConfig()
         self.params = (
             params
             if params is not None
@@ -60,26 +67,42 @@ class FlowPipeline:
             sched = FlowMatchEulerScheduler(num_steps)
             cfg = self.cfg
 
-            def run(params, latents, cond, uncond, gscale, start, count):
+            tc_cfg = self.teacache
+
+            def run(params, latents, cond, uncond, gscale, start, count,
+                    tc_state):
                 lat_hw = latents.shape[:2]
 
-                def body(i, x):
+                def body(i, carry):
+                    x, tc, skips = carry
                     tokens = dit.patchify(cfg, x)
                     t = sched.timestep(i)
-                    v_c = dit.forward(cfg, params, tokens, cond, t)
-                    v_u = dit.forward(cfg, params, tokens, uncond, t)
-                    v = v_u + gscale * (v_c - v_u)
-                    x_tok = dit.patchify(cfg, x) + (
-                        sched.sigmas[i + 1] - sched.sigmas[i]
-                    ) * v.astype(jnp.float32)
-                    return dit.unpatchify(
-                        cfg, x_tok.astype(x.dtype), *lat_hw
-                    )
 
-                return jax.lax.fori_loop(
+                    def compute():
+                        v_c = dit.forward(cfg, params, tokens, cond, t)
+                        v_u = dit.forward(cfg, params, tokens, uncond, t)
+                        return v_u + gscale * (v_c - v_u)
+
+                    if tc_cfg.enabled:
+                        v, tc = cached_velocity(
+                            tc, t, compute, tc_cfg.threshold
+                        )
+                        skips = skips + jnp.where(
+                            tc["accum"] != 0.0, 1, 0
+                        )
+                    else:
+                        v = compute().astype(jnp.float32)
+                    x_tok = tokens + (
+                        sched.sigmas[i + 1] - sched.sigmas[i]
+                    ) * v
+                    x = dit.unpatchify(cfg, x_tok.astype(x.dtype), *lat_hw)
+                    return x, tc, skips
+
+                x, tc, skips = jax.lax.fori_loop(
                     start, jnp.minimum(start + count, num_steps), body,
-                    latents,
+                    (latents, tc_state, jnp.int32(0)),
                 )
+                return x, tc, skips
 
             fn = jax.jit(run)
             self._denoise_fns[key] = fn
@@ -106,12 +129,15 @@ class FlowPipeline:
         sp: DiffusionSamplingParams,
         start: int,
         count: int,
-    ) -> jax.Array:
+        tc_state: dict | None = None,
+    ):
         fn = self._denoise_fn(sp.num_inference_steps, latents.shape[:2])
+        if tc_state is None:
+            tc_state = teacache_init(dit.patchify(self.cfg, latents).shape)
         return fn(
             self.params, latents, cond, uncond,
             jnp.float32(sp.guidance_scale), jnp.int32(start),
-            jnp.int32(count),
+            jnp.int32(count), tc_state,
         )
 
     # ------------------------------------------------------------ decode
@@ -160,10 +186,11 @@ class FlowPipeline:
         count = (
             sp.stream_every if sp.stream_every > 0 else sp.num_inference_steps
         )
-        state["latents"] = self.denoise_steps(
+        state["latents"], state["teacache"], skips = self.denoise_steps(
             state["latents"], state["cond"], state["uncond"], sp,
-            state["step"], count,
+            state["step"], count, state.get("teacache"),
         )
+        state["skipped_steps"] = state.get("skipped_steps", 0) + int(skips)
         state["step"] = min(
             state["step"] + count, sp.num_inference_steps
         )

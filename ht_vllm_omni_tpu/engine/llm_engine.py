@@ -92,6 +92,33 @@ class LLMEngine:
         self.scheduler.add_request(req)
         return request_id
 
+    def add_request_with_kv(
+        self,
+        token_ids: list[int],
+        kv_rows,
+        sampling_params: SamplingParams | None = None,
+        request_id: str | None = None,
+    ) -> str:
+        """PD-disaggregation import: ``token_ids`` = prompt + the first
+        sampled token; ``kv_rows`` [L, len-1, 2F] are its prompt KV.  The
+        request enters decode directly (no prefill pass)."""
+        sampling_params = sampling_params or SamplingParams()
+        request_id = request_id or f"req-{next(self._req_counter)}"
+        if not sampling_params.ignore_eos:
+            for eos in self.config.model.eos_token_ids:
+                if eos not in sampling_params.stop_token_ids:
+                    sampling_params.stop_token_ids.append(eos)
+        req = Request(
+            request_id=request_id,
+            prompt_token_ids=list(token_ids[:-1]),
+            sampling_params=sampling_params,
+            arrival_time=time.time(),
+        )
+        req.output_token_ids = [token_ids[-1]]
+        self.scheduler.admit_running_with_kv(req, self.decode_horizon)
+        self.runner.inject_kv(req, kv_rows)
+        return request_id
+
     def abort_request(self, request_id: str) -> None:
         self.scheduler.abort_request(request_id)
         self.runner.release_slot(request_id)

@@ -42,6 +42,9 @@ def config_from_hf(path: str) -> ModelArchConfig:
         attention_bias=hf.get("attention_bias", mt == "qwen2"),
         eos_token_id=hf.get("eos_token_id", 151645),
         bos_token_id=hf.get("bos_token_id"),
+        num_experts=hf.get("num_experts", 0) if mt.endswith("_moe") else 0,
+        num_experts_per_tok=hf.get("num_experts_per_tok", 0),
+        moe_intermediate_size=hf.get("moe_intermediate_size", 0),
     )
 
 
@@ -88,11 +91,28 @@ def load_hf_params(cfg: ModelArchConfig, path: str, dtype=None) -> dict:
         "wk": stack(p + "self_attn.k_proj.weight", True),
         "wv": stack(p + "self_attn.v_proj.weight", True),
         "wo": stack(p + "self_attn.o_proj.weight", True),
-        "gate": stack(p + "mlp.gate_proj.weight", True),
-        "up": stack(p + "mlp.up_proj.weight", True),
-        "down": stack(p + "mlp.down_proj.weight", True),
         "norm_f": jnp.asarray(get("model.norm.weight"), dt),
     }
+    if cfg.num_experts > 0:
+        params["router"] = stack(p + "mlp.gate.weight", True)
+        for our, hfname in (
+            ("egate", "gate_proj"), ("eup", "up_proj"), ("edown", "down_proj")
+        ):
+            mats = []
+            for i in range(nl):
+                layer_mats = [
+                    get(
+                        f"model.layers.{i}.mlp.experts.{e}."
+                        f"{hfname}.weight"
+                    ).T
+                    for e in range(cfg.num_experts)
+                ]
+                mats.append(np.stack(layer_mats))
+            params[our] = jnp.asarray(np.stack(mats), dtype=dt)
+    else:
+        params["gate"] = stack(p + "mlp.gate_proj.weight", True)
+        params["up"] = stack(p + "mlp.up_proj.weight", True)
+        params["down"] = stack(p + "mlp.down_proj.weight", True)
     if cfg.attention_bias:
         params["bq"] = stack(p + "self_attn.q_proj.bias", False)
         params["bk"] = stack(p + "self_attn.k_proj.bias", False)

@@ -67,6 +67,13 @@ def init_params(cfg: ModelArchConfig, key: jax.Array) -> dict:
     if cfg.qk_norm:
         params["q_norm"] = jnp.ones((nl, d), dt)
         params["k_norm"] = jnp.ones((nl, d), dt)
+    if cfg.num_experts > 0:
+        e, im = cfg.num_experts, cfg.moe_intermediate_size
+        params["router"] = w(next(keys), (nl, h, e), 0.02)
+        params["egate"] = w(next(keys), (nl, e, h, im))
+        params["eup"] = w(next(keys), (nl, e, h, im))
+        params["edown"] = w(next(keys), (nl, e, im, h))
+        params.pop("gate"), params.pop("up"), params.pop("down")
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(next(keys), (h, cfg.vocab_size), 0.02)
     return params
@@ -75,6 +82,7 @@ def init_params(cfg: ModelArchConfig, key: jax.Array) -> dict:
 _LAYER_KEYS = (
     "ln1", "ln2", "wq", "wk", "wv", "wo", "gate", "up", "down",
     "bq", "bk", "bv", "q_norm", "k_norm",
+    "router", "egate", "eup", "edown",
 )
 
 
@@ -150,6 +158,46 @@ def compute_logits(
     )
 
 
+
+def _mlp(cfg: ModelArchConfig, lp: dict, x: jax.Array) -> jax.Array:
+    """Dense SwiGLU or top-k MoE (qwen3-moe style), returns f32 [T, H]."""
+    if "router" not in lp:
+        g = _linear(lp, "gate", x)
+        u = _linear(lp, "up", x)
+        act = (jax.nn.silu(g) * u).astype(x.dtype)
+        return _linear(lp, "down", act)
+    # MoE: softmax router, normalised top-k (HF Qwen3Moe norm_topk_prob)
+    t = x.shape[0]
+    logits = jnp.dot(
+        x, lp["router"], preferred_element_type=jnp.float32
+    )  # [T, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    k = cfg.num_experts_per_tok
+    top_w, top_i = jax.lax.top_k(probs, k)  # [T, k]
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+
+    def expert(acc, xs):
+        eg, eu, ed, e_idx = xs
+        gg = jnp.dot(x, eg, preferred_element_type=jnp.float32)
+        uu = jnp.dot(x, eu, preferred_element_type=jnp.float32)
+        act = (jax.nn.silu(gg) * uu).astype(x.dtype)
+        out = jnp.dot(act, ed, preferred_element_type=jnp.float32)
+        gate = jnp.sum(
+            jnp.where(top_i == e_idx, top_w, 0.0), axis=-1
+        )  # [T]
+        return acc + out * gate[:, None], None
+
+    num_e = lp["router"].shape[-1]
+    acc0 = jnp.zeros((t, x.shape[-1]), jnp.float32)
+    acc, _ = jax.lax.scan(
+        expert,
+        acc0,
+        (lp["egate"], lp["eup"], lp["edown"],
+         jnp.arange(num_e, dtype=jnp.int32)[:, None]),
+    )
+    return acc
+
+
 def prefill(
     cfg: ModelArchConfig,
     params: dict,
@@ -189,10 +237,7 @@ def prefill(
             delta = jax.lax.psum(delta, tp_axis)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        g = _linear(lp, "gate", x)
-        u = _linear(lp, "up", x)
-        act = (jax.nn.silu(g) * u).astype(x.dtype)
-        delta = _linear(lp, "down", act)
+        delta = _mlp(cfg, lp, x)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         h = h + delta.astype(h.dtype)
@@ -280,10 +325,7 @@ def decode(
             delta = jax.lax.psum(delta, tp_axis)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        g = _linear(lp, "gate", x)
-        u = _linear(lp, "up", x)
-        act = (jax.nn.silu(g) * u).astype(x.dtype)
-        delta = _linear(lp, "down", act)
+        delta = _mlp(cfg, lp, x)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         h = h + delta.astype(h.dtype)

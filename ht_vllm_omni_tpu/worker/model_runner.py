@@ -45,7 +45,10 @@ from ht_vllm_omni_tpu.parallel.mesh import (
     validate_tp,
 )
 from ht_vllm_omni_tpu.models.loader import load_hf_params
-from ht_vllm_omni_tpu.ops.kv_cache_update import flush_kv_rows
+from ht_vllm_omni_tpu.ops.kv_cache_update import (
+    flush_kv_rows,
+    flush_kv_rows_donated as flush_kv_rows_donated_entry,
+)
 from ht_vllm_omni_tpu.sample.sampler import (
     SamplingTensors,
     sample_tokens,
@@ -394,6 +397,46 @@ class ARModelRunner:
         self.h_top_k[slot] = sp.top_k if sp.top_k > 0 else 64
         self.h_top_p[slot] = sp.top_p
         return hidden
+
+    def inject_kv(self, request, kv_rows) -> None:
+        """Populate a slot for a request whose prompt KV was transferred
+        from another stage (distributed/kv_transfer.py): flush the rows
+        into this cache and prime the decode state — no prefill pass."""
+        import jax.numpy as jnp
+
+        req = request
+        sp = req.sampling_params
+        slot = self.slot_for(req.request_id)
+        if sp.seed is not None:
+            self.keys = self.keys.at[slot].set(jax.random.PRNGKey(sp.seed))
+        n = req.num_prompt_tokens  # rows cover the whole prompt
+        idx = np.arange(n)
+        pages = np.asarray(req.page_ids, np.int32)
+        slots = pages[idx // self.page_size] * self.page_size + (
+            idx % self.page_size
+        )
+        self.kv_cache = flush_kv_rows_donated_entry(
+            self.kv_cache, jnp.asarray(kv_rows), jnp.asarray(slots, jnp.int32)
+        )
+        last = req.output_token_ids[-1] if req.output_token_ids else (
+            req.prompt_token_ids[-1]
+        )
+        self.token_state = self.token_state.at[slot].set(jnp.int32(last))
+        self.h_positions[slot] = n
+        self.h_active[slot] = True
+        self.h_fresh[slot] = False
+        self.h_emitted[slot] = req.num_output_tokens
+        self.h_limit[slot] = sp.max_tokens
+        self.h_min_tokens[slot] = sp.min_tokens
+        self.h_tables[slot, : len(req.page_ids)] = req.page_ids
+        stops = (sp.stop_token_ids or [])[:MAX_STOP_TOKENS]
+        self.h_stops[slot] = -2
+        self.h_stops[slot, : len(stops)] = stops
+        if sp.ignore_eos:
+            self.h_stops[slot] = -2
+        self.h_temp[slot] = sp.temperature
+        self.h_top_k[slot] = sp.top_k if sp.top_k > 0 else 64
+        self.h_top_p[slot] = sp.top_p
 
     # ----------------------------------------------------------- decode
     @staticmethod

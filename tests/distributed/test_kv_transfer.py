@@ -1,0 +1,79 @@
+"""PD disaggregation: prefill on engine A, decode on engine B — the
+token stream must match a single-engine run exactly (greedy).
+
+Mirrors the reference's MockConnector KV-flow test strategy (reference
+tests/distributed/omni_connectors/test_kv_flow.py)."""
+
+import jax
+
+from ht_vllm_omni_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelArchConfig,
+    SchedulerConfig,
+)
+from ht_vllm_omni_tpu.distributed.connectors import OmniConnectorFactory
+from ht_vllm_omni_tpu.distributed.kv_transfer import OmniKVTransferManager
+from ht_vllm_omni_tpu.engine.llm_engine import LLMEngine
+from ht_vllm_omni_tpu.models import qwen2
+from ht_vllm_omni_tpu.sampling_params import SamplingParams
+
+
+def _cfg():
+    return ModelArchConfig(
+        model_type="qwen2", vocab_size=64, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, dtype="float32", tie_word_embeddings=True,
+        eos_token_id=1,
+    )
+
+
+def _engine(params):
+    return LLMEngine(
+        EngineConfig(
+            model=_cfg(),
+            cache=CacheConfig(page_size=16, num_pages=64),
+            scheduler=SchedulerConfig(max_num_seqs=4, max_model_len=128),
+        ),
+        params=params,
+        decode_horizon=4,
+    )
+
+
+def test_prefill_decode_disaggregation():
+    params = qwen2.init_params(_cfg(), jax.random.PRNGKey(21))
+    prompt = [7, 3, 11, 30, 4]
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+
+    # reference: one engine does everything
+    want = _engine(params).generate([prompt], sp)[0].outputs[0].token_ids
+
+    # prefill instance: run exactly the prompt + first token
+    prefill_engine = _engine(params)
+    sp_pref = SamplingParams(temperature=0.0, max_tokens=1, ignore_eos=True)
+    rid = prefill_engine.add_request(prompt, sp_pref, request_id="pd-0")
+    prefill_engine.scheduler.requests[rid].needs_kv_transfer = True
+    while prefill_engine.has_unfinished_requests():
+        outs = prefill_engine.step()
+    req = prefill_engine.scheduler.requests[rid]
+    assert req.num_computed_tokens == len(prompt)
+
+    mgr = OmniKVTransferManager(OmniConnectorFactory.create("MockConnector"))
+    payload = mgr.extract(prefill_engine, rid)
+    assert prefill_engine.scheduler.pool.num_free == 64  # pages released
+    assert payload.kv_rows.shape[1] == len(prompt)
+    assert len(payload.token_ids) == len(prompt) + 1
+    mgr.put(0, 1, "pd-0", payload)
+
+    # decode instance: import + continue, no prefill pass
+    decode_engine = _engine(params)
+    got_payload = mgr.get(0, 1, "pd-0")
+    sp_dec = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    mgr.inject(decode_engine, got_payload, "pd-0", sp_dec)
+
+    tokens = list(got_payload.token_ids[len(prompt):])  # first sampled
+    while decode_engine.has_unfinished_requests():
+        for out in decode_engine.step():
+            if out.finished:
+                tokens = out.outputs[0].token_ids
+    assert tokens == want

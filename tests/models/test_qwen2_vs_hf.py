@@ -202,3 +202,69 @@ def test_batched_mixed_generation():
     for p, b in zip(prompts, batched):
         solo = single_engine.generate([p], sp)[0]
         assert solo.outputs[0].token_ids == b.outputs[0].token_ids
+
+
+def test_qwen3_moe_matches_hf(tmp_path):
+    """Golden test for the MoE path vs HF Qwen3MoeForCausalLM."""
+    torch.manual_seed(3)
+    cfg_hf = transformers.Qwen3MoeConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        moe_intermediate_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        num_experts=4,
+        num_experts_per_tok=2,
+        decoder_sparse_step=1,
+        norm_topk_prob=True,
+        max_position_embeddings=512,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        eos_token_id=1,
+        mlp_only_layers=[],
+    )
+    hf = transformers.Qwen3MoeForCausalLM(cfg_hf).eval().to(torch.float32)
+    hf.save_pretrained(tmp_path, safe_serialization=True)
+    cfg = config_from_hf(str(tmp_path))
+    cfg.dtype = "float32"
+    assert cfg.num_experts == 4 and cfg.num_experts_per_tok == 2
+    params = load_hf_params(cfg, str(tmp_path))
+
+    prompt = [3, 17, 42, 99, 7]
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor([prompt])).logits[0].numpy()
+    s = 8
+    ids = jnp.asarray(prompt + [0] * (s - len(prompt)), jnp.int32)
+    pos = jnp.arange(s, dtype=jnp.int32)
+    hidden, _ = qwen2.prefill(
+        cfg, params, qwen2.embed_tokens(params, ids), pos,
+        jnp.int32(len(prompt)),
+    )
+    logits = qwen2.compute_logits(cfg, params, hidden)
+    np.testing.assert_allclose(
+        np.asarray(logits)[: len(prompt)], hf_logits, atol=5e-4, rtol=5e-3
+    )
+
+    engine = LLMEngine(
+        EngineConfig(
+            model=cfg,
+            cache=CacheConfig(page_size=16, num_pages=32),
+            scheduler=SchedulerConfig(max_num_seqs=2, max_model_len=128),
+            model_path=str(tmp_path),
+        ),
+        decode_horizon=4,
+    )
+    with torch.no_grad():
+        want = hf.generate(
+            torch.tensor([prompt]), max_new_tokens=10, do_sample=False,
+            eos_token_id=None,
+        )[0][len(prompt):].tolist()
+    got = engine.generate(
+        [prompt],
+        SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True),
+    )[0]
+    assert got.outputs[0].token_ids == want
+
