@@ -69,14 +69,18 @@ class LLMEngine:
         sampling_params = sampling_params or SamplingParams()
         request_id = request_id or f"req-{next(self._req_counter)}"
         p = as_prompt(prompt)
-        if p.token_ids is not None:
+        if p.embeds is not None:
+            # prompt embeds (thinker->talker handoff): token ids are
+            # placeholders for length bookkeeping
+            token_ids = list(p.token_ids or [0] * len(p.embeds))
+        elif p.token_ids is not None:
             token_ids = list(p.token_ids)
         elif p.text is not None:
             if self.tokenizer is None:
                 raise ValueError("text prompt but no tokenizer available")
             token_ids = self.tokenizer.encode(p.text)
         else:
-            raise NotImplementedError("embeds prompts: use the omni pipeline")
+            raise ValueError("empty prompt")
         if not sampling_params.ignore_eos:
             for eos in self.config.model.eos_token_ids:
                 if eos not in sampling_params.stop_token_ids:

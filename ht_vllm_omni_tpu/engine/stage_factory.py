@@ -30,6 +30,20 @@ logger = logging.getLogger(__name__)
 _GENERATION_BUILDERS: dict[str, Any] = {}
 
 
+def _build_code2wav(cfg: StageConfig, model_path: str | None):
+    from ht_vllm_omni_tpu.engine.generation_engine import GenerationEngine
+    from ht_vllm_omni_tpu.models.tts.code2wav import (
+        Code2WavConfig,
+        Code2WavModel,
+    )
+
+    c2w = Code2WavConfig(**cfg.engine_args.get("code2wav", {}))
+    return GenerationEngine(
+        Code2WavModel(c2w),
+        max_batch_size=cfg.engine_args.get("max_num_seqs", 1),
+    )
+
+
 def register_generation_model(name: str):
     def deco(fn):
         _GENERATION_BUILDERS[name] = fn
@@ -75,6 +89,9 @@ def engine_config_from_stage(
         model_path=args.get("model", model_path),
         seed=args.get("seed", 0),
     )
+
+
+_GENERATION_BUILDERS["code2wav"] = _build_code2wav
 
 
 def build_stages(

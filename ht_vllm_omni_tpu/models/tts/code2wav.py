@@ -1,0 +1,124 @@
+"""Causal-convolution codec decoder (code2wav) in pure jax.
+
+Structural counterpart of the reference's speech-tokenizer decoders
+(reference vllm_omni/model_executor/models/qwen3_tts/tokenizer_12hz|25hz/
+and qwen2.5/3-omni code2wav): codec-token embeddings run through a stack
+of dilated causal conv blocks and are projected to ``hop`` waveform
+samples per frame.  Strict causality means chunked streaming with
+``left_context >= receptive_field`` frames reproduces the full-sequence
+output exactly — the property the async-chunk pipeline relies on
+(reference chunk_size_utils / 25-frame chunks with 25-frame left context).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Code2WavConfig:
+    vocab_size: int = 4096
+    channels: int = 128
+    num_blocks: int = 4
+    kernel_size: int = 3
+    # dilations double per block: receptive field = 1 + sum((k-1)*d)
+    hop: int = 240  # samples per codec frame
+    sample_rate: int = 24000
+    dtype: str = "float32"
+
+    @property
+    def receptive_field(self) -> int:
+        return 1 + sum(
+            (self.kernel_size - 1) * (2**i) for i in range(self.num_blocks)
+        )
+
+
+def init_params(cfg: Code2WavConfig, key: jax.Array) -> dict:
+    dt = jnp.dtype(cfg.dtype)
+    keys = iter(jax.random.split(key, cfg.num_blocks * 2 + 3))
+    c = cfg.channels
+
+    def w(k, shape, scale=0.1):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+
+    params = {
+        "embed": w(next(keys), (cfg.vocab_size, c), 0.3),
+        "proj_out": w(next(keys), (c, cfg.hop), 0.05),
+        "blocks": [],
+    }
+    for i in range(cfg.num_blocks):
+        params["blocks"].append(
+            {
+                "conv": w(next(keys), (cfg.kernel_size, c, c)),
+                "gate": w(next(keys), (cfg.kernel_size, c, c)),
+            }
+        )
+    return params
+
+
+def _causal_conv(x: jax.Array, w: jax.Array, dilation: int) -> jax.Array:
+    """x [T, C] * w [K, C, C] with left (causal) padding."""
+    k = w.shape[0]
+    pad = (k - 1) * dilation
+    xp = jnp.pad(x, ((pad, 0), (0, 0)))
+    return jax.lax.conv_general_dilated(
+        xp[None],
+        w,
+        window_strides=(1,),
+        padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )[0]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def forward(cfg: Code2WavConfig, params: dict, token_ids: jax.Array):
+    """token_ids [T] -> waveform [T * hop] in [-1, 1]."""
+    x = jnp.take(params["embed"], token_ids % cfg.vocab_size, axis=0)
+    for i, blk in enumerate(params["blocks"]):
+        d = 2**i
+        h = _causal_conv(x, blk["conv"], d)
+        g = _causal_conv(x, blk["gate"], d)
+        x = x + jnp.tanh(h) * jax.nn.sigmoid(g)
+    frames = jnp.dot(x, params["proj_out"])  # [T, hop]
+    return jnp.tanh(frames).reshape(-1)
+
+
+class Code2WavModel:
+    """GenerationEngine-compatible callable with chunked streaming."""
+
+    def __init__(
+        self, cfg: Code2WavConfig | None = None, params: dict | None = None,
+        seed: int = 0,
+    ) -> None:
+        self.cfg = cfg or Code2WavConfig()
+        self.params = (
+            params
+            if params is not None
+            else init_params(self.cfg, jax.random.PRNGKey(seed))
+        )
+
+    def __call__(self, token_ids, prompt_embeds, info, state):
+        tokens = list(token_ids or [])
+        if not tokens:
+            return {
+                "audio": np.zeros(0, np.float32),
+                "sample_rate": np.asarray(self.cfg.sample_rate),
+            }
+        new = info.get("new_tokens")
+        wave = np.asarray(
+            forward(self.cfg, self.params, jnp.asarray(tokens, jnp.int32))
+        )
+        if new is not None and new < len(tokens):
+            # chunked feed: emit only the new frames' samples (the left
+            # context was already played)
+            wave = wave[(len(tokens) - new) * self.cfg.hop:]
+        return {
+            "audio": wave.astype(np.float32),
+            "sample_rate": np.asarray(self.cfg.sample_rate),
+        }

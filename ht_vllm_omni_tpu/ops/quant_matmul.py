@@ -141,9 +141,10 @@ def _int4_kernel(
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    packed = w_ref[...]
-    lo = (packed & 0xF).astype(jnp.int32) - 8  # rows 0,2,4,... of the block
-    hi = (packed >> 4).astype(jnp.int32) - 8  # rows 1,3,5,...
+    # unpack in int32: Mosaic has no uint8 vector shift (arith.shrui)
+    packed = w_ref[...].astype(jnp.int32)
+    lo = (packed & 0xF) - 8  # rows 0,2,4,... of the block
+    hi = ((packed >> 4) & 0xF) - 8  # rows 1,3,5,...
     bk2, bn = packed.shape
     # interleave back to [BK, BN]: stack on a new minor-of-sublane axis
     w = jnp.stack(

@@ -224,11 +224,12 @@ class ARModelRunner:
         collect_hidden: bool,
         tp_axis,
         dp_axis,
+        use_embeds: bool,
         params,
         kv_cache,
         keys,
         token_state,
-        token_ids,  # [S_pad]
+        token_ids,  # [S_pad] int32, or [S_pad, H] prompt embeds
         positions,  # [S_pad]
         slot_mapping,  # [S_pad] slots in the owner dp-group's local cache
         prompt_len,  # scalar
@@ -239,7 +240,10 @@ class ARModelRunner:
         top_k,
         top_p,
     ):
-        x = qwen2.embed_tokens(params, token_ids)
+        if use_embeds:
+            x = token_ids.astype(params["embed"].dtype)
+        else:
+            x = qwen2.embed_tokens(params, token_ids)
         hidden, kv_rows = qwen2.prefill(
             cfg, params, x, positions, prompt_len, tp_axis=tp_axis
         )
@@ -275,14 +279,17 @@ class ARModelRunner:
         out_hidden = hidden if collect_hidden else last
         return kv_cache, keys, token_state, out_hidden
 
-    def _prefill_fn(self, bucket: int, collect_hidden: bool):
-        key = (bucket, collect_hidden)
+    def _prefill_fn(
+        self, bucket: int, collect_hidden: bool, use_embeds: bool = False
+    ):
+        key = (bucket, collect_hidden, use_embeds)
         fn = self._prefill_fns.get(key)
         if fn is not None:
             return fn
         if self.mesh is None:
             prog = functools.partial(
-                self._prefill_program, self.arch, collect_hidden, None, None
+                self._prefill_program, self.arch, collect_hidden, None, None,
+                use_embeds,
             )
         else:
             body = functools.partial(
@@ -291,6 +298,7 @@ class ARModelRunner:
                 collect_hidden,
                 TP_AXIS,
                 DP_AXIS,
+                use_embeds,
             )
             pspec = {
                 k: v
@@ -341,11 +349,20 @@ class ARModelRunner:
         if sp.seed is not None:
             self.keys = self.keys.at[slot].set(jax.random.PRNGKey(sp.seed))
 
-        prompt = req.prompt_token_ids
-        s = len(prompt)
+        use_embeds = req.prompt_embeds is not None
+        if use_embeds:
+            s = len(req.prompt_embeds)
+        else:
+            s = len(req.prompt_token_ids)
         bucket = max(next_power_of_2(s), self.page_size)
-        ids = np.zeros(bucket, np.int32)
-        ids[:s] = prompt
+        if use_embeds:
+            ids = np.zeros(
+                (bucket, self.arch.hidden_size), np.float32
+            )
+            ids[:s] = np.asarray(req.prompt_embeds, np.float32)
+        else:
+            ids = np.zeros(bucket, np.int32)
+            ids[:s] = req.prompt_token_ids
         positions = np.arange(bucket, dtype=np.int32)
         slot_map = np.full(bucket, -1, np.int32)
         pages = np.asarray(req.page_ids, np.int32)
@@ -358,7 +375,7 @@ class ARModelRunner:
         # with dp sharding, slot ids are local to the owning dp group
         local_slots = self.max_slots // self.dp
         dp_owner, local_slot = divmod(slot, local_slots)
-        fn = self._prefill_fn(bucket, sp.return_hidden_states)
+        fn = self._prefill_fn(bucket, sp.return_hidden_states, use_embeds)
         (
             self.kv_cache,
             self.keys,
