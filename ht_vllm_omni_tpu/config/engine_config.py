@@ -38,6 +38,9 @@ class ModelArchConfig:
     bos_token_id: int | None = None
     # weight-only quantization: None | "int8" | "int4"
     quantization: str | None = None
+    # M-RoPE half-dim section sizes (t, h, w); None = standard RoPE
+    mrope_sections: tuple | None = None
+    image_token_id: int | None = None
 
     def __post_init__(self) -> None:
         if self.head_dim is None:

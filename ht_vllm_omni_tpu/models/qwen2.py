@@ -217,7 +217,15 @@ def prefill(
     """
     s = inputs_embeds.shape[0]
     f = cfg.num_key_value_heads * cfg.head_dim
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    if positions.ndim == 2:  # [3, S] multimodal M-RoPE positions
+        from ht_vllm_omni_tpu.models.mrope import mrope_cos_sin
+
+        cos, sin = mrope_cos_sin(
+            positions, cfg.head_dim, cfg.rope_theta,
+            tuple(cfg.mrope_sections),
+        )
+    else:
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
     lens = prompt_len[None].astype(jnp.int32)
 
     def layer(h, lp):
@@ -263,6 +271,7 @@ def decode(
     page_size: int,
     chunk_steps: int,
     tp_axis: str | None = None,
+    rope_delta: jax.Array | None = None,  # [S] M-RoPE decode offset
 ) -> tuple[jax.Array, jax.Array]:
     """One batched decode step with deferred cache writes.
 
@@ -276,7 +285,10 @@ def decode(
     f = kvh * d
     group = cfg.num_attention_heads // kvh
     sm_scale = d**-0.5
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    rope_pos = (
+        positions + rope_delta if rope_delta is not None else positions
+    )
+    cos, sin = rope_cos_sin(rope_pos, cfg.head_dim, cfg.rope_theta)
     row_idx = jnp.arange(s_slots) * chunk_steps + step  # this step's rows
 
     def layer(h, xs):

@@ -163,6 +163,8 @@ class ARModelRunner:
         self.h_tables = np.zeros((s, self.max_pages_per_seq), np.int32)
         self.h_stops = np.full((s, MAX_STOP_TOKENS), -2, np.int32)
         self.h_fresh = np.zeros(s, bool)
+        # M-RoPE decode offset per slot (max multimodal pos + 1 - seq len)
+        self.h_rope_delta = np.zeros(s, np.int32)
         self.h_temp = np.zeros(s, np.float32)
         self.h_top_k = np.zeros(s, np.int32)
         self.h_top_p = np.ones(s, np.float32)
@@ -363,7 +365,18 @@ class ARModelRunner:
         else:
             ids = np.zeros(bucket, np.int32)
             ids[:s] = req.prompt_token_ids
-        positions = np.arange(bucket, dtype=np.int32)
+        mrope = req.additional_information.get("mrope_positions")
+        if mrope is not None and self.arch.mrope_sections:
+            positions = np.zeros((3, bucket), np.int32)
+            positions[:, :s] = np.asarray(mrope, np.int32)
+            tail = np.arange(bucket - s, dtype=np.int32)
+            positions[:, s:] = positions[:, s - 1 : s] + 1 + tail
+            self.h_rope_delta[slot] = int(
+                req.additional_information.get("mrope_delta", 0)
+            )
+        else:
+            positions = np.arange(bucket, dtype=np.int32)
+            self.h_rope_delta[slot] = 0
         slot_map = np.full(bucket, -1, np.int32)
         pages = np.asarray(req.page_ids, np.int32)
         idx = np.arange(s)
@@ -475,6 +488,7 @@ class ARModelRunner:
         min_tokens,  # [S]
         stops,  # [S, MAX_STOP]
         block_tables,  # [S, P]
+        rope_delta,  # [S] M-RoPE decode offset
         temperature,
         top_k,
         top_p,
@@ -508,7 +522,7 @@ class ARModelRunner:
                 cfg, params, kv_cache, fresh_buf, x, pos, j, written,
                 block_tables, seq_lens0,
                 page_size=page_size, chunk_steps=num_steps,
-                tp_axis=tp_axis,
+                tp_axis=tp_axis, rope_delta=rope_delta,
             )
             logits = qwen2.compute_logits(cfg, params, hidden)
             keys, step_keys = _split_keys(keys)
@@ -604,6 +618,7 @@ class ARModelRunner:
                 slotdim,  # min_tokens
                 P(DP_AXIS, None),  # stops
                 P(DP_AXIS, None),  # block_tables
+                slotdim,  # rope_delta
                 slotdim,  # temperature
                 slotdim,  # top_k
                 slotdim,  # top_p
@@ -651,6 +666,7 @@ class ARModelRunner:
             self.h_min_tokens,
             self.h_stops,
             self.h_tables,
+            self.h_rope_delta,
             self.h_temp,
             self.h_top_k,
             self.h_top_p,
