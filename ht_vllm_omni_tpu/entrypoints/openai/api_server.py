@@ -69,7 +69,10 @@ class OmniAPIServer:
                 web.post("/v1/chat/completions", self.chat_completions),
                 web.post("/v1/completions", self.completions),
                 web.post("/v1/audio/speech", self.speech),
+                web.post("/v1/audio/speech/batch", self.speech_batch),
+                web.get("/v1/audio/speech/stream", self.speech_ws),
                 web.get("/v1/audio/voices", self.list_voices),
+                web.post("/v1/audio/voices", self.upload_voice),
                 web.post("/v1/images/generations", self.images),
                 web.post("/start_profile", self.start_profile),
                 web.post("/stop_profile", self.stop_profile),
@@ -339,6 +342,74 @@ class OmniAPIServer:
 
     async def list_voices(self, request: web.Request) -> web.Response:
         return web.json_response({"voices": sorted(self.voices)})
+
+    async def upload_voice(self, request: web.Request) -> web.Response:
+        """Register a custom voice (name + optional reference audio or raw
+        speaker embedding; reference upload_voice_embedding,
+        serving_speech.py:607)."""
+        body = await request.json()
+        name = body.get("name")
+        if not name:
+            raise web.HTTPBadRequest(reason="voice name required")
+        entry: dict[str, Any] = {}
+        if "speaker_embedding" in body:
+            entry["speaker_embedding"] = np.asarray(
+                body["speaker_embedding"], np.float32
+            )
+        if "reference_audio_b64" in body:
+            entry["reference_audio"] = np.frombuffer(
+                base64.b64decode(body["reference_audio_b64"]), dtype="<i2"
+            ).astype(np.float32) / 32767.0
+        self.voices[name] = entry
+        return web.json_response({"ok": True, "voice": name})
+
+    async def speech_batch(self, request: web.Request) -> web.Response:
+        """Batch TTS (reference create_speech_batch,
+        serving_speech.py:1589): run every input, return base64 PCM."""
+        body = await request.json()
+        inputs = body.get("inputs") or []
+        voice = body.get("voice", "default")
+        if voice not in self.voices:
+            raise web.HTTPBadRequest(reason=f"unknown voice {voice!r}")
+        results = []
+        for text in inputs:
+            token_ids = (
+                self.tokenizer.encode(text)
+                if self.tokenizer is not None
+                else [ord(c) % 256 for c in text]
+            )
+            request_id = f"speechb-{uuid.uuid4().hex[:16]}"
+            audio = None
+            sample_rate = DEFAULT_SAMPLE_RATE
+            async for out in self.engine.generate(
+                OmniPrompt(token_ids=token_ids,
+                           additional_information={"voice": voice}),
+                None, request_id,
+            ):
+                if out.error:
+                    raise web.HTTPInternalServerError(reason=out.error)
+                if out.finished and out.final_output:
+                    audio = out.consolidated_multimodal("audio")
+                    sr = out.multimodal_output.get("sample_rate")
+                    if sr is not None:
+                        sample_rate = int(np.asarray(sr))
+            results.append(
+                {
+                    "audio_b64": base64.b64encode(
+                        float_to_pcm16(audio if audio is not None else
+                                       np.zeros(0))
+                    ).decode(),
+                    "sample_rate": sample_rate,
+                }
+            )
+        return web.json_response({"data": results})
+
+    async def speech_ws(self, request: web.Request):
+        from ht_vllm_omni_tpu.entrypoints.openai.serving_speech_stream import (
+            StreamingSpeechHandler,
+        )
+
+        return await StreamingSpeechHandler(self).handle(request)
 
     # ---------------------------------------------------------- images
     async def images(self, request: web.Request) -> web.Response:
