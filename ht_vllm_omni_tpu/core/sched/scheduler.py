@@ -194,26 +194,49 @@ class Scheduler:
         self.newly_preempted.append(req)
 
     # ------------------------------------------- horizon (multi-step) API
-    def step_plan(self, horizon: int) -> tuple[list[Request], list[Request]]:
+    def step_plan(
+        self, horizon: int
+    ) -> tuple[list[tuple[Request, int, int]], list[Request]]:
         """Plan one engine iteration with a K-token decode horizon.
 
-        Returns (prefills, decode_reqs):
-        - prefills: newly admitted requests to prefill now (whole prompt);
-          pages cover prompt + horizon so the upcoming decode chunk has
-          room.
-        - decode_reqs: already-running requests whose pages now cover
-          num_computed + horizon (preempting from the back on pressure).
+        Returns (prefill_works, decode_reqs):
+        - prefill_works: (request, start, num_tokens) prompt chunks to run
+          now — a whole prompt when it fits the chunk budget, otherwise
+          successive chunked-prefill pieces (paged context attention);
+        - decode_reqs: running prefill-complete requests whose pages now
+          cover num_computed + horizon (preempting from the back on
+          pressure).
         """
         self.newly_preempted = []
+        chunk_cap = self.config.effective_prefill_chunk
         decode_reqs: list[Request] = []
-        for req in list(self.running):
-            if req.status != RequestStatus.RUNNING or not req.prefill_done:
-                continue
-            if self._ensure_pages(req, req.num_computed_tokens + horizon):
-                decode_reqs.append(req)
-
-        prefills: list[Request] = []
+        prefill_works: list[tuple[Request, int, int]] = []
         budget = self.config.max_num_batched_tokens
+
+        for req in list(self.running):
+            if req.status != RequestStatus.RUNNING:
+                continue
+            if req.prefill_done:
+                if self._ensure_pages(
+                    req, req.num_computed_tokens + horizon
+                ):
+                    decode_reqs.append(req)
+            else:
+                # continue a chunked prefill
+                num = min(
+                    req.num_prompt_tokens - req.num_computed_tokens,
+                    chunk_cap,
+                    max(budget, 1),
+                )
+                target = req.num_computed_tokens + num
+                if target >= req.num_prompt_tokens:
+                    target = req.num_prompt_tokens + horizon
+                if self._ensure_pages(req, target):
+                    prefill_works.append(
+                        (req, req.num_computed_tokens, num)
+                    )
+                    budget -= num
+
         while (
             self.waiting
             and budget > 0
@@ -222,12 +245,13 @@ class Scheduler:
             req = self.waiting[0]
             if req.status == RequestStatus.WAITING_FOR_CHUNK:
                 break
-            num_new = req.num_prompt_tokens
-            if num_new > budget and prefills:
-                break
-            needed = cdiv(num_new + horizon, self.page_size) - len(
-                req.page_ids
-            )
+            num_new = min(req.num_prompt_tokens, chunk_cap, budget)
+            if num_new < req.num_prompt_tokens and prefill_works:
+                break  # big prompt: wait for a clean slot to chunk through
+            target = num_new
+            if num_new >= req.num_prompt_tokens:
+                target = req.num_prompt_tokens + horizon
+            needed = cdiv(target, self.page_size) - len(req.page_ids)
             if needed > self.pool.num_free:
                 break
             if needed > 0:
@@ -236,8 +260,8 @@ class Scheduler:
             req.status = RequestStatus.RUNNING
             self.running.append(req)
             budget -= num_new
-            prefills.append(req)
-        return prefills, decode_reqs
+            prefill_works.append((req, 0, num_new))
+        return prefill_works, decode_reqs
 
     def apply_decoded(
         self, req: Request, tokens: list[int], includes_entry: bool = False

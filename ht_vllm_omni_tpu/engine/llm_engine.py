@@ -135,18 +135,32 @@ class LLMEngine:
     def step(self) -> list[OmniRequestOutput]:
         """One engine iteration (prefills + one decode chunk); returns
         streaming deltas for every request that made progress."""
-        prefills, decode_reqs = self.scheduler.step_plan(self.decode_horizon)
+        prefill_works, decode_reqs = self.scheduler.step_plan(
+            self.decode_horizon
+        )
         for req in self.scheduler.newly_preempted:
             self.runner.release_slot(req.request_id)
 
         want_hidden: dict[str, bool] = {}
         prefill_hidden: dict[str, object] = {}
-        for req in prefills:
-            hidden = self.runner.prefill(req)
-            # the whole prompt's KV is materialised by the prefill pass
-            req.num_computed_tokens = req.num_prompt_tokens
+        prefills: list[Request] = []
+        for req, start, num in prefill_works:
+            whole = start == 0 and num == req.num_prompt_tokens
+            if whole:
+                hidden = self.runner.prefill(req)
+            else:
+                hidden = self.runner.prefill_chunk(req, start, num)
+            req.num_computed_tokens = start + num
+            if not req.prefill_done:
+                continue  # mid-prefill: not active in this decode chunk
+            prefills.append(req)
             if req.sampling_params.return_hidden_states:
-                prefill_hidden[req.request_id] = hidden
+                # producing hidden of the first sampled token = hidden at
+                # the prompt's last position: row prompt_len-1 for a whole
+                # prefill, row num-1 of the final chunk otherwise
+                prefill_hidden[req.request_id] = (
+                    hidden, (req.num_prompt_tokens - 1) if whole else num - 1
+                )
                 want_hidden[req.request_id] = True
         for req in decode_reqs:
             if req.sampling_params.return_hidden_states:
@@ -207,8 +221,9 @@ class LLMEngine:
         )
         rows = []
         if is_fresh and p_hidden is not None:
-            store["prompt"] = p_hidden
-            rows.append(np.asarray(p_hidden)[req.num_prompt_tokens - 1])
+            arr, last_idx = p_hidden
+            store["prompt"] = arr
+            rows.append(np.asarray(arr)[last_idx])
         if chunk_hidden is not None:
             n_chunk_rows = accepted - (1 if is_fresh else 0)
             for j in range(max(n_chunk_rows, 0)):

@@ -355,3 +355,77 @@ def decode(
     )
     h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
     return h, fresh
+
+
+def prefill_chunk(
+    cfg: ModelArchConfig,
+    params: dict,
+    kv_cache: jax.Array,  # [L, NSLOTS, 2F] — READ ONLY here
+    inputs_embeds: jax.Array,  # [T_pad, H] chunk (padded)
+    positions: jax.Array,  # [T_pad]
+    ctx_len: jax.Array,  # scalar: tokens already in pages
+    page_table: jax.Array,  # [P] this sequence's pages
+    valid_len: jax.Array,  # scalar: real tokens in this chunk
+    *,
+    page_size: int,
+    tp_axis: str | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """One prompt chunk with paged context attention (chunked prefill).
+
+    Attention = logsumexp-merge of (a) the Pallas paged-context partial
+    over pages [0, ctx_len) and (b) dense causal self-attention within
+    the chunk (ops/paged_prefill.py).  Returns (hidden [T_pad, H],
+    kv_rows [L, T_pad, 2F]) — the caller flushes rows once, top-level.
+    """
+    from ht_vllm_omni_tpu.ops.paged_prefill import (
+        chunk_self_partial,
+        merge_partials,
+        paged_context_partial,
+    )
+
+    t = inputs_embeds.shape[0]
+    kvh, d = cfg.num_key_value_heads, cfg.head_dim
+    f = kvh * d
+    group = cfg.num_attention_heads // kvh
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    def layer(h, xs):
+        lp, li = xs
+        x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lp, x, cos, sin)
+        row = jnp.concatenate([k.reshape(t, f), v.reshape(t, f)], axis=-1)
+        acc_c, m_c, l_c = paged_context_partial(
+            q, kv_cache, li, page_table, ctx_len,
+            page_size=page_size, kv_heads=kvh,
+        )
+        acc_s, m_s, l_s = chunk_self_partial(
+            q, k, v, valid_len, kv_heads=kvh
+        )
+        o = merge_partials(
+            [
+                (acc_c[:, :, :group], m_c[:, :, :group], l_c[:, :, :group]),
+                (acc_s, m_s, l_s),
+            ]
+        ).astype(h.dtype).reshape(t, -1)
+        delta = _linear(lp, "wo", o)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)
+        h = h + delta.astype(h.dtype)
+        x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
+        delta = _mlp(cfg, lp, x)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)
+        h = h + delta.astype(h.dtype)
+        return h, row
+
+    num_layers = kv_cache.shape[0]
+    h, kv_rows = jax.lax.scan(
+        layer,
+        inputs_embeds,
+        (
+            _layer_params(params),
+            jnp.arange(num_layers, dtype=jnp.int32),
+        ),
+    )
+    h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
+    return h, kv_rows

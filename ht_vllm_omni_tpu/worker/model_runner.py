@@ -428,6 +428,139 @@ class ARModelRunner:
         self.h_top_p[slot] = sp.top_p
         return hidden
 
+    @staticmethod
+    def _prefill_chunk_program(
+        cfg,
+        tp_axis,
+        page_size: int,
+        params,
+        kv_cache,
+        keys,
+        token_state,
+        token_ids,  # [T_pad] int32 (or [T_pad, H] embeds — rank keyed)
+        positions,  # [T_pad]
+        slot_mapping,  # [T_pad] chunk rows' cache slots
+        ctx_len,  # scalar
+        page_table,  # [P]
+        valid_len,  # scalar
+        is_final,  # scalar bool: last chunk of the prompt -> sample
+        slot,  # scalar
+        temperature,
+        top_k,
+        top_p,
+    ):
+        if token_ids.ndim == 2:
+            x = token_ids.astype(params["embed"].dtype)
+        else:
+            x = qwen2.embed_tokens(params, token_ids)
+        hidden, kv_rows = qwen2.prefill_chunk(
+            cfg, params, kv_cache, x, positions, ctx_len, page_table,
+            valid_len, page_size=page_size, tp_axis=tp_axis,
+        )
+        kv_cache = flush_kv_rows(kv_cache, kv_rows, slot_mapping)
+        last = jax.lax.dynamic_index_in_dim(
+            hidden, valid_len - 1, axis=0, keepdims=True
+        )
+        logits = qwen2.compute_logits(cfg, params, last)
+        slot_key = keys[slot]
+        new_key, step_key = jax.random.split(slot_key)
+        token = sample_tokens(
+            logits,
+            SamplingTensors(temperature, top_k, top_p),
+            step_key[None],
+        )[0]
+        # only the final chunk samples + advances the slot PRNG
+        keys = jnp.where(is_final, keys.at[slot].set(new_key), keys)
+        token_state = jnp.where(
+            is_final, token_state.at[slot].set(token), token_state
+        )
+        return kv_cache, keys, token_state, hidden
+
+    def _prefill_chunk_fn(self, bucket: int, use_embeds: bool):
+        key = ("chunk", bucket, use_embeds)
+        fn = self._prefill_fns.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    self._prefill_chunk_program, self.arch, None,
+                    self.page_size,
+                ),
+                donate_argnums=(1, 2, 3),
+            )
+            self._prefill_fns[key] = fn
+        return fn
+
+    def prefill_chunk(self, request, start: int, num_tokens: int):
+        """Run prompt tokens [start, start+num) against context pages
+        [0, start).  Returns the device hidden array for the chunk."""
+        req = request
+        sp = req.sampling_params
+        slot = self.slot_for(req.request_id)
+        if start == 0 and sp.seed is not None:
+            self.keys = self.keys.at[slot].set(jax.random.PRNGKey(sp.seed))
+
+        is_final = start + num_tokens >= req.num_prompt_tokens
+        use_embeds = req.prompt_embeds is not None
+        bucket = max(next_power_of_2(num_tokens), 16)
+        if use_embeds:
+            ids = np.zeros((bucket, self.arch.hidden_size), np.float32)
+            ids[:num_tokens] = np.asarray(
+                req.prompt_embeds[start : start + num_tokens], np.float32
+            )
+        else:
+            ids = np.zeros(bucket, np.int32)
+            ids[:num_tokens] = req.prompt_token_ids[
+                start : start + num_tokens
+            ]
+        positions = start + np.arange(bucket, dtype=np.int32)
+        slot_map = np.full(bucket, -1, np.int32)
+        pages = np.asarray(req.page_ids, np.int32)
+        idx = start + np.arange(num_tokens)
+        slot_map[:num_tokens] = pages[idx // self.page_size] * (
+            self.page_size
+        ) + idx % self.page_size
+        table = np.zeros(self.max_pages_per_seq, np.int32)
+        table[: len(pages)] = pages
+
+        st = SamplingTensors.from_params([sp], 1)
+        fn = self._prefill_chunk_fn(bucket, use_embeds)
+        (self.kv_cache, self.keys, self.token_state, hidden) = fn(
+            self.params,
+            self.kv_cache,
+            self.keys,
+            self.token_state,
+            ids,
+            positions,
+            slot_map,
+            np.int32(start),
+            table,
+            np.int32(num_tokens),
+            np.bool_(is_final),
+            np.int32(slot),
+            st.temperature,
+            st.top_k,
+            st.top_p,
+        )
+        if is_final:
+            s = req.num_prompt_tokens
+            self.h_positions[slot] = s
+            self.h_active[slot] = True
+            self.h_fresh[slot] = True
+            self.h_emitted[slot] = req.num_output_tokens + 1
+            self.h_limit[slot] = sp.max_tokens
+            self.h_min_tokens[slot] = sp.min_tokens
+            self.h_tables[slot, : len(req.page_ids)] = req.page_ids
+            stops = (sp.stop_token_ids or [])[:MAX_STOP_TOKENS]
+            self.h_stops[slot] = -2
+            self.h_stops[slot, : len(stops)] = stops
+            if sp.ignore_eos:
+                self.h_stops[slot] = -2
+            self.h_rope_delta[slot] = 0
+            self.h_temp[slot] = sp.temperature
+            self.h_top_k[slot] = sp.top_k if sp.top_k > 0 else 64
+            self.h_top_p[slot] = sp.top_p
+        return hidden
+
     def inject_kv(self, request, kv_rows) -> None:
         """Populate a slot for a request whose prompt KV was transferred
         from another stage (distributed/kv_transfer.py): flush the rows
