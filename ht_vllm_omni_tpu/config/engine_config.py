@@ -63,7 +63,11 @@ class CacheConfig:
 
     page_size: int = 128
     num_pages: int | None = None  # None: derived from gpu_memory_utilization
-    kv_cache_dtype: str = "auto"  # "auto" | "bfloat16" | "int8" | "fp8"
+    kv_cache_dtype: str = "auto"  # "auto" | "bfloat16" | "float32" | "int8"
+    # per-tensor symmetric scales for int8 KV (value = q * scale); folded
+    # into the attention kernels as static constants
+    kv_scale_k: float = 0.05
+    kv_scale_v: float = 0.05
     memory_utilization: float = 0.9
 
     def pages_for(self, num_tokens: int) -> int:

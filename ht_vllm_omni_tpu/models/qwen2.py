@@ -272,6 +272,7 @@ def decode(
     chunk_steps: int,
     tp_axis: str | None = None,
     rope_delta: jax.Array | None = None,  # [S] M-RoPE decode offset
+    kv_scales: tuple | None = None,  # (k_scale, v_scale) for int8 caches
 ) -> tuple[jax.Array, jax.Array]:
     """One batched decode step with deferred cache writes.
 
@@ -301,9 +302,11 @@ def decode(
         fresh_l = fresh_l.at[row_idx].set(row.astype(fresh_l.dtype))
 
         # paged partials over the pre-chunk cache
+        ks_, vs_ = kv_scales if kv_scales is not None else (1.0, 1.0)
         acc, m_p, l_p = paged_attention_partial(
             q, kv_cache, li, block_tables, seq_lens0,
             page_size=page_size, kv_heads=kvh,
+            k_scale=ks_, v_scale=vs_,
         )
         acc = acc[:, :, :group]  # [S, KVH, G, D] f32
         m_p = m_p[:, :, :group]
@@ -369,6 +372,7 @@ def prefill_chunk(
     *,
     page_size: int,
     tp_axis: str | None = None,
+    kv_scales: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """One prompt chunk with paged context attention (chunked prefill).
 
@@ -394,9 +398,11 @@ def prefill_chunk(
         x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lp, x, cos, sin)
         row = jnp.concatenate([k.reshape(t, f), v.reshape(t, f)], axis=-1)
+        ks_, vs_ = kv_scales if kv_scales is not None else (1.0, 1.0)
         acc_c, m_c, l_c = paged_context_partial(
             q, kv_cache, li, page_table, ctx_len,
             page_size=page_size, kv_heads=kvh,
+            k_scale=ks_, v_scale=vs_,
         )
         acc_s, m_s, l_s = chunk_self_partial(
             q, k, v, valid_len, kv_heads=kvh

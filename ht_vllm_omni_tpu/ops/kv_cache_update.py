@@ -33,6 +33,17 @@ _LANES = 128
 _INFLIGHT = 8  # row DMAs kept in flight per layer
 
 
+def quantize_rows(
+    rows: jax.Array, f: int, k_scale: float, v_scale: float
+) -> jax.Array:
+    """Symmetric per-tensor int8 quantization of [..., 2F] K||V rows."""
+    kq = jnp.clip(jnp.round(rows[..., :f].astype(jnp.float32) / k_scale),
+                  -127, 127)
+    vq = jnp.clip(jnp.round(rows[..., f:].astype(jnp.float32) / v_scale),
+                  -127, 127)
+    return jnp.concatenate([kq, vq], axis=-1).astype(jnp.int8)
+
+
 def _flush_kernel(
     # scalar prefetch
     slot_ref,  # [T] int32 flat slot ids (-1 = skip)
@@ -83,17 +94,31 @@ def _flush_kernel(
 
 
 def flush_kv_rows(
-    cache: jax.Array,  # [L, NSLOTS, 2F]
+    cache: jax.Array,  # [L, NSLOTS, 2F (+pad)]
     fresh: jax.Array,  # [L, T, 2F] rows to write ([K || V] per token)
     slot_mapping: jax.Array,  # [T] int32, -1 = skip
+    *,
+    true_f: int | None = None,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
 ) -> jax.Array:
     """Write fresh rows into the cache at flat slots, in place.
 
     MUST be called at top level of a jit whose ``cache`` argument is
     donated — that is the only composition where XLA elides the copy.
+    For int8 caches, rows are per-tensor quantized here and the feature
+    dim may carry alignment padding (true_f = real KVH*D).
     """
     num_layers, nslots, two_f = cache.shape
     t = fresh.shape[1]
+    if cache.dtype == jnp.int8:
+        f = true_f if true_f is not None else fresh.shape[-1] // 2
+        fresh = quantize_rows(fresh, f, k_scale, v_scale)
+    if fresh.shape[-1] < two_f:  # alignment padding
+        fresh = jnp.pad(
+            fresh,
+            ((0, 0), (0, 0), (0, two_f - fresh.shape[-1])),
+        )
     itemsize = jnp.dtype(cache.dtype).itemsize
     req_sublanes = {4: 8, 2: 2, 1: 4}.get(itemsize, 8)
     r = two_f // _LANES
@@ -135,7 +160,15 @@ def flush_kv_rows(
     return out.reshape(cache.shape)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def flush_kv_rows_donated(cache, fresh, slot_mapping):
+@functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("true_f", "k_scale", "v_scale"),
+)
+def flush_kv_rows_donated(
+    cache, fresh, slot_mapping, *, true_f=None, k_scale=1.0, v_scale=1.0
+):
     """Standalone jitted flush (tests / direct use)."""
-    return flush_kv_rows(cache, fresh, slot_mapping)
+    return flush_kv_rows(
+        cache, fresh, slot_mapping,
+        true_f=true_f, k_scale=k_scale, v_scale=v_scale,
+    )

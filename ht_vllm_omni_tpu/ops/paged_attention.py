@@ -194,12 +194,16 @@ def _paged_fused_kernel(
     kv_heads: int,
     group_pad: int,
     head_dim: int,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
 ):
     """All kv heads of one (sequence, page) in a single program.
 
     K and V arrive in one block DMA (combined rows); per-head slices are
     static and 128-aligned.  The kv-head loop is a static Python unroll,
-    keeping the grid at (batch, pages).
+    keeping the grid at (batch, pages).  int8 KV caches dequantize with
+    per-tensor static scales: k_scale folds into sm_scale (pre-softmax),
+    v_scale is linear and applied to the accumulator at finalize.
     """
     del layer_ref
     b = pl.program_id(0)
@@ -232,7 +236,7 @@ def _paged_fused_kernel(
                     preferred_element_type=jnp.float32,
                 )
             )
-        s = jnp.concatenate(rows, axis=0) * sm_scale  # [KVH*G, PS]
+        s = jnp.concatenate(rows, axis=0) * (sm_scale * k_scale)
 
         pos = page_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(pos < seq_len, s, NEG_INF)
@@ -263,17 +267,20 @@ def _paged_fused_kernel(
 
     @pl.when(p == num_pages - 1)
     def _finalize():
-        o_ref[0, ...] = acc_ref[...]
+        o_ref[0, ...] = acc_ref[...] * v_scale
         mo_ref[0, ...] = m_ref[...]
         lo_ref[0, ...] = l_ref[...]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("page_size", "kv_heads", "sm_scale")
+    jax.jit,
+    static_argnames=(
+        "page_size", "kv_heads", "sm_scale", "k_scale", "v_scale"
+    ),
 )
 def paged_attention_partial(
     q: jax.Array,  # [B, QH, D]
-    kv_cache: jax.Array,  # [L, NSLOTS, 2F] combined cache (F = KVH * D)
+    kv_cache: jax.Array,  # [L, NSLOTS, >=2F] combined (+pad for int8)
     layer: jax.Array,  # scalar int32
     block_tables: jax.Array,  # [B, P] int32
     seq_lens: jax.Array,  # [B] int32
@@ -281,6 +288,8 @@ def paged_attention_partial(
     page_size: int,
     kv_heads: int,
     sm_scale: float | None = None,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
 ) -> jax.Array:
     """Decode attention partials over the combined paged cache, one layer.
 
@@ -291,7 +300,7 @@ def paged_attention_partial(
     seq_len == 0 yield acc=0, m=-inf, l=0."""
     batch, q_heads, head_dim = q.shape
     num_layers, nslots, two_f = kv_cache.shape
-    assert two_f == 2 * kv_heads * head_dim, (two_f, kv_heads, head_dim)
+    assert two_f >= 2 * kv_heads * head_dim, (two_f, kv_heads, head_dim)
     num_pages = nslots // page_size
     group = q_heads // kv_heads
     if sm_scale is None:
@@ -311,6 +320,8 @@ def paged_attention_partial(
         kv_heads=kv_heads,
         group_pad=group_pad,
         head_dim=head_dim,
+        k_scale=k_scale,
+        v_scale=v_scale,
     )
     grid = (batch, max_pages)
 

@@ -48,6 +48,8 @@ def _ctx_kernel(
     group_pad: int,
     head_dim: int,
     block_q: int,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
 ):
     del layer_ref, tables_ref
     p = pl.program_id(1)
@@ -74,7 +76,7 @@ def _ctx_kernel(
                 q_flat, k_h,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * sm_scale  # [BQ*G, PS]
+            ) * (sm_scale * k_scale)  # [BQ*G, PS]
             pos = page_start + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, 1
             )
@@ -106,14 +108,17 @@ def _ctx_kernel(
         for h in range(kv_heads):
             acc_out[:, h] = acc_ref[h].reshape(
                 block_q, group_pad, head_dim
-            )
+            ) * v_scale
             m_out[:, h] = m_ref[h].reshape(block_q, group_pad, _LANES)
             l_out[:, h] = l_ref[h].reshape(block_q, group_pad, _LANES)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("page_size", "kv_heads", "sm_scale", "block_q"),
+    static_argnames=(
+        "page_size", "kv_heads", "sm_scale", "block_q", "k_scale",
+        "v_scale",
+    ),
 )
 def paged_context_partial(
     q: jax.Array,  # [T, QH, D] chunk queries
@@ -126,6 +131,8 @@ def paged_context_partial(
     kv_heads: int,
     sm_scale: float | None = None,
     block_q: int = 128,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
 ):
     """Unnormalized attention of chunk queries against context pages.
 
@@ -155,6 +162,8 @@ def paged_context_partial(
         group_pad=group_pad,
         head_dim=head_dim,
         block_q=block_q,
+        k_scale=k_scale,
+        v_scale=v_scale,
     )
     grid = (t_pad // block_q, max_pages)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -126,12 +126,25 @@ class ARModelRunner:
             if config.cache.kv_cache_dtype == "auto"
             else jnp.dtype(config.cache.kv_cache_dtype)
         )
-        # combined flat-slot layout [L, NP*PS, 2*KVH*D]: a token's row is
-        # [K_feat || V_feat]; kernels view it paged (see ops/kv_cache_update)
+        self.kv_int8 = kv_dt == jnp.int8
+        self.true_f = cfg.num_key_value_heads * cfg.head_dim
+        two_f = 2 * self.true_f
+        if self.kv_int8:
+            # int8 rows must cover whole (4,128) tiles: pad to 512 elems
+            from ht_vllm_omni_tpu.utils import round_up as _ru
+
+            two_f = _ru(two_f, 512)
+        self.kv_scales = (
+            (config.cache.kv_scale_k, config.cache.kv_scale_v)
+            if self.kv_int8
+            else None
+        )
+        # combined flat-slot layout [L, NP*PS, 2*KVH*D (+pad)]: a token's
+        # row is [K_feat || V_feat]; kernels view it paged
         kv_shape = (
             cfg.num_hidden_layers,
             self.num_pages * self.page_size,
-            2 * cfg.num_key_value_heads * cfg.head_dim,
+            two_f,
         )
         if self.mesh is not None:
             specs = param_pspecs(cfg)
@@ -227,6 +240,7 @@ class ARModelRunner:
         tp_axis,
         dp_axis,
         use_embeds: bool,
+        kv_scales,
         params,
         kv_cache,
         keys,
@@ -255,7 +269,12 @@ class ARModelRunner:
             is_owner = jax.lax.axis_index(dp_axis) == dp_owner
             slot_mapping = jnp.where(is_owner, slot_mapping, -1)
         # single top-level aliased flush: the only copy-free composition
-        kv_cache = flush_kv_rows(kv_cache, kv_rows, slot_mapping)
+        ksc, vsc = kv_scales if kv_scales is not None else (1.0, 1.0)
+        kv_cache = flush_kv_rows(
+            kv_cache, kv_rows, slot_mapping,
+            true_f=cfg.num_key_value_heads * cfg.head_dim,
+            k_scale=ksc, v_scale=vsc,
+        )
         last = jax.lax.dynamic_index_in_dim(
             hidden, prompt_len - 1, axis=0, keepdims=True
         )
@@ -291,7 +310,7 @@ class ARModelRunner:
         if self.mesh is None:
             prog = functools.partial(
                 self._prefill_program, self.arch, collect_hidden, None, None,
-                use_embeds,
+                use_embeds, self.kv_scales,
             )
         else:
             body = functools.partial(
@@ -301,6 +320,7 @@ class ARModelRunner:
                 TP_AXIS,
                 DP_AXIS,
                 use_embeds,
+                self.kv_scales,
             )
             pspec = {
                 k: v
@@ -433,6 +453,7 @@ class ARModelRunner:
         cfg,
         tp_axis,
         page_size: int,
+        kv_scales,
         params,
         kv_cache,
         keys,
@@ -456,8 +477,14 @@ class ARModelRunner:
         hidden, kv_rows = qwen2.prefill_chunk(
             cfg, params, kv_cache, x, positions, ctx_len, page_table,
             valid_len, page_size=page_size, tp_axis=tp_axis,
+            kv_scales=kv_scales,
         )
-        kv_cache = flush_kv_rows(kv_cache, kv_rows, slot_mapping)
+        ksc, vsc = kv_scales if kv_scales is not None else (1.0, 1.0)
+        kv_cache = flush_kv_rows(
+            kv_cache, kv_rows, slot_mapping,
+            true_f=cfg.num_key_value_heads * cfg.head_dim,
+            k_scale=ksc, v_scale=vsc,
+        )
         last = jax.lax.dynamic_index_in_dim(
             hidden, valid_len - 1, axis=0, keepdims=True
         )
@@ -483,7 +510,7 @@ class ARModelRunner:
             fn = jax.jit(
                 functools.partial(
                     self._prefill_chunk_program, self.arch, None,
-                    self.page_size,
+                    self.page_size, self.kv_scales,
                 ),
                 donate_argnums=(1, 2, 3),
             )
@@ -578,8 +605,11 @@ class ARModelRunner:
         slots = pages[idx // self.page_size] * self.page_size + (
             idx % self.page_size
         )
+        ksc, vsc = self.kv_scales if self.kv_scales else (1.0, 1.0)
         self.kv_cache = flush_kv_rows_donated_entry(
-            self.kv_cache, jnp.asarray(kv_rows), jnp.asarray(slots, jnp.int32)
+            self.kv_cache, jnp.asarray(kv_rows),
+            jnp.asarray(slots, jnp.int32),
+            true_f=self.true_f, k_scale=ksc, v_scale=vsc,
         )
         last = req.output_token_ids[-1] if req.output_token_ids else (
             req.prompt_token_ids[-1]
@@ -609,6 +639,7 @@ class ARModelRunner:
         page_size: int,
         collect_hidden: bool,
         tp_axis,
+        kv_scales,
         params,
         kv_cache,  # [L, NSLOTS, 2F] donated; read in-scan, flushed once
         keys,
@@ -641,9 +672,12 @@ class ARModelRunner:
         # chunk-invariant: pages hold exactly `positions` tokens per slot
         seq_lens0 = jnp.where(active, positions, 0)
         pos0 = positions
-        two_f = kv_cache.shape[-1]
+        true_f = cfg.num_key_value_heads * cfg.head_dim
+        # fresh rows stay in model precision; quantization (if any)
+        # happens once at the flush
         fresh_buf = jnp.zeros(
-            (kv_cache.shape[0], s * num_steps, two_f), kv_cache.dtype
+            (kv_cache.shape[0], s * num_steps, 2 * true_f),
+            params["embed"].dtype,
         )
         written0 = jnp.zeros((s, num_steps), bool)
 
@@ -656,6 +690,7 @@ class ARModelRunner:
                 block_tables, seq_lens0,
                 page_size=page_size, chunk_steps=num_steps,
                 tp_axis=tp_axis, rope_delta=rope_delta,
+                kv_scales=kv_scales,
             )
             logits = qwen2.compute_logits(cfg, params, hidden)
             keys, step_keys = _split_keys(keys)
@@ -688,7 +723,11 @@ class ARModelRunner:
         slots = jnp.where(
             written, page * page_size + posm % page_size, -1
         ).reshape(s * num_steps)
-        kv_cache = flush_kv_rows(kv_cache, fresh_buf, slots)
+        ksc, vsc = kv_scales if kv_scales is not None else (1.0, 1.0)
+        kv_cache = flush_kv_rows(
+            kv_cache, fresh_buf, slots,
+            true_f=true_f, k_scale=ksc, v_scale=vsc,
+        )
 
         # Pack every host-bound scalar array into ONE int32 matrix so the
         # host pays a single d2h sync (~30 ms on a tunneled TPU) per chunk:
@@ -722,6 +761,7 @@ class ARModelRunner:
                 self.page_size,
                 collect_hidden,
                 None,
+                self.kv_scales,
             )
         else:
             body = functools.partial(
@@ -731,6 +771,7 @@ class ARModelRunner:
                 self.page_size,
                 collect_hidden,
                 TP_AXIS,
+                self.kv_scales,
             )
             pspec = {
                 k: v
