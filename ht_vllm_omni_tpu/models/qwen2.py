@@ -88,19 +88,41 @@ _LAYER_KEYS = (
 
 def _layer_params(params: dict) -> dict:
     """The per-layer (stacked) subset of params, used as scan xs
-    (including quantized variants name:q8/:q4/:scale)."""
+    (including quantized name:q8/:q4/:s* and LoRA name:lora_a/b)."""
     out = {}
     for k, v in params.items():
         base = k.split(":", 1)[0]
         if base in _LAYER_KEYS:
             out[k] = v
+    if "lora_scale" in params:
+        # broadcast the scalar so scan can slice it per layer
+        nl = out["ln1"].shape[0]
+        out["lora_scale"] = jnp.broadcast_to(
+            params["lora_scale"], (nl,)
+        )
     return out
 
 
 
 def _linear(lp: dict, name: str, x: jax.Array) -> jax.Array:
     """x [T, K] @ weight ``name`` -> [T, N] f32, honouring weight-only
-    quantization (leaves produced by quantization/weight_quant.py)."""
+    quantization (quantization/weight_quant.py) and LoRA adapters
+    (lora/manager.py: base + x @ A @ B * scale)."""
+    y = _linear_base(lp, name, x)
+    if name + ":lora_a" in lp:
+        a = lp[name + ":lora_a"]
+        b = lp[name + ":lora_b"]
+        xa = jnp.dot(
+            x.astype(jnp.float32), a.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + jnp.dot(
+            xa, b.astype(jnp.float32), preferred_element_type=jnp.float32
+        ) * lp["lora_scale"]
+    return y
+
+
+def _linear_base(lp: dict, name: str, x: jax.Array) -> jax.Array:
     if name + ":q8" in lp:
         from ht_vllm_omni_tpu.ops.quant_matmul import matmul_int8
 
