@@ -58,6 +58,8 @@ class OmniAPIServer:
         self.tokenizer = tokenizer
         self.model_name = model_name
         self.voices: dict[str, Any] = {"default": {}}
+        # async video job store (reference stores.py VIDEO_STORE/VIDEO_TASKS)
+        self.video_jobs: dict[str, dict[str, Any]] = {}
 
     # ------------------------------------------------------------- app
     def build_app(self) -> web.Application:
@@ -74,6 +76,11 @@ class OmniAPIServer:
                 web.get("/v1/audio/voices", self.list_voices),
                 web.post("/v1/audio/voices", self.upload_voice),
                 web.post("/v1/images/generations", self.images),
+                web.post("/v1/videos", self.create_video),
+                web.get("/v1/videos/{video_id}", self.video_status),
+                web.get(
+                    "/v1/videos/{video_id}/content", self.video_content
+                ),
                 web.post("/start_profile", self.start_profile),
                 web.post("/stop_profile", self.stop_profile),
             ]
@@ -444,6 +451,87 @@ class OmniAPIServer:
             )
         return web.json_response(
             {"created": int(time.time()), "data": images}
+        )
+
+    # ---------------------------------------------------------- videos
+    async def create_video(self, request: web.Request) -> web.Response:
+        """Async video job (reference OmniOpenAIServingVideo: job store,
+        status polling, content download).  Frames come from the diffusion
+        stage; generation runs as a background task."""
+        import asyncio
+
+        body = await request.json()
+        prompt_text = body.get("prompt", "")
+        num_frames = int(body.get("num_frames", 8))
+        video_id = f"video-{uuid.uuid4().hex[:16]}"
+        job = {"status": "queued", "frames": [], "error": None,
+               "created": time.time()}
+        self.video_jobs[video_id] = job
+
+        async def run():
+            job["status"] = "running"
+            try:
+                for i in range(num_frames):
+                    prompt = OmniPrompt(
+                        text=prompt_text,
+                        additional_information={
+                            "seed": int(body.get("seed", 0)) + i,
+                            "size": body.get("size", "64x64"),
+                            "num_inference_steps": body.get(
+                                "num_inference_steps", 8
+                            ),
+                        },
+                    )
+                    rid = f"{video_id}-f{i}"
+                    async for out in self.engine.generate(
+                        prompt, None, rid
+                    ):
+                        if out.error:
+                            raise RuntimeError(out.error)
+                        if out.finished and out.final_output:
+                            frame = out.consolidated_multimodal("image")
+                            job["frames"].append(np.asarray(frame))
+                job["status"] = "completed"
+            except Exception as e:
+                job["status"] = "failed"
+                job["error"] = str(e)
+
+        asyncio.get_running_loop().create_task(run())
+        return web.json_response(
+            {"id": video_id, "status": "queued"}, status=202
+        )
+
+    def _job_or_404(self, request) -> tuple[str, dict]:
+        video_id = request.match_info["video_id"]
+        job = self.video_jobs.get(video_id)
+        if job is None:
+            raise web.HTTPNotFound(reason=f"unknown video {video_id}")
+        return video_id, job
+
+    async def video_status(self, request: web.Request) -> web.Response:
+        video_id, job = self._job_or_404(request)
+        return web.json_response(
+            {
+                "id": video_id,
+                "status": job["status"],
+                "frames_done": len(job["frames"]),
+                "error": job["error"],
+            }
+        )
+
+    async def video_content(self, request: web.Request) -> web.Response:
+        video_id, job = self._job_or_404(request)
+        if job["status"] != "completed":
+            raise web.HTTPConflict(reason=f"status={job['status']}")
+        frames = np.stack(job["frames"])  # [N, H, W, 3] uint8
+        return web.Response(
+            body=frames.tobytes(),
+            headers={
+                "Content-Type": "application/octet-stream",
+                "X-Frames": str(frames.shape[0]),
+                "X-Height": str(frames.shape[1]),
+                "X-Width": str(frames.shape[2]),
+            },
         )
 
     # -------------------------------------------------------- profiling

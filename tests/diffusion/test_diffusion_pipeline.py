@@ -80,3 +80,47 @@ def test_images_api_route():
             engine.shutdown()
 
     asyncio.run(run())
+
+
+def test_video_job_store():
+    async def run():
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        pipeline, handles = _mk_stage()
+        engine = AsyncOmniEngine(pipeline, handles)
+        server = OmniAPIServer(engine)
+        client = TestClient(TestServer(server.build_app()))
+        await client.start_server()
+        try:
+            r = await client.post(
+                "/v1/videos",
+                json={"prompt": "waves", "num_frames": 2, "size": "32x32",
+                      "num_inference_steps": 2},
+            )
+            assert r.status == 202
+            vid = (await r.json())["id"]
+            for _ in range(200):
+                r = await client.get(f"/v1/videos/{vid}")
+                st = await r.json()
+                if st["status"] in ("completed", "failed"):
+                    break
+                await asyncio.sleep(0.05)
+            assert st["status"] == "completed", st
+            r = await client.get(f"/v1/videos/{vid}/content")
+            assert r.status == 200
+            raw = await r.read()
+            n = int(r.headers["X-Frames"])
+            h = int(r.headers["X-Height"])
+            w = int(r.headers["X-Width"])
+            assert (n, h, w) == (2, 32, 32)
+            assert len(raw) == n * h * w * 3
+            # 404 for unknown id
+            r = await client.get("/v1/videos/nope")
+            assert r.status == 404
+        finally:
+            await client.close()
+            engine.shutdown()
+
+    asyncio.run(run())
