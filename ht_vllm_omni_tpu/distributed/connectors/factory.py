@@ -37,6 +37,11 @@ def _register_builtins() -> None:
     OmniConnectorFactory.register(
         "SharedMemoryConnector", SharedMemoryConnector
     )
+    from ht_vllm_omni_tpu.distributed.connectors.tcp import TcpConnector
+
+    OmniConnectorFactory.register("TcpConnector", TcpConnector)
+    # drop-in name for reference configs written for Mooncake
+    OmniConnectorFactory.register("MooncakeStoreConnector", TcpConnector)
 
 
 _register_builtins()

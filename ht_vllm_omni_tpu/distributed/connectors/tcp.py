@@ -1,0 +1,158 @@
+"""TCP connector for multi-node stage-to-stage transfer.
+
+Counterpart of the reference's Mooncake connectors (reference
+vllm_omni/distributed/omni_connectors/connectors/
+mooncake_transfer_engine_connector.py / mooncake_store_connector.py):
+where Mooncake moves pinned GPU buffers over RDMA, the TPU deployment
+moves host payloads between hosts over the data-center network — here a
+small length-prefixed-pickle protocol over TCP sockets, with a store
+server that consumers drain.  A stale-entry TTL mirrors the reference's
+5-minute pinned-buffer reclaim (mooncake_transfer_engine_connector.py:31).
+"""
+
+from __future__ import annotations
+
+import pickle
+import socket
+import socketserver
+import struct
+import threading
+import time
+from typing import Any
+
+from ht_vllm_omni_tpu.distributed.connectors.base import OmniConnectorBase
+
+_HDR = struct.Struct("<IQ")  # op, payload length
+_OP_PUT = 1
+_OP_GET = 2
+_OP_NONE = 0
+_OP_DATA = 3
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return buf
+
+
+class KVStoreServer:
+    """The store side (run next to the consuming stage)."""
+
+    def __init__(
+        self, host: str = "127.0.0.1", port: int = 0,
+        ttl_s: float = 300.0,
+    ) -> None:
+        self._store: dict[str, tuple[float, bytes]] = {}
+        self._lock = threading.Lock()
+        self.ttl_s = ttl_s
+        store = self._store
+        lock = self._lock
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:
+                try:
+                    while True:
+                        op, length = _HDR.unpack(
+                            _recv_exact(self.request, _HDR.size)
+                        )
+                        body = _recv_exact(self.request, length)
+                        if op == _OP_PUT:
+                            key, blob = pickle.loads(body)
+                            with lock:
+                                store[key] = (time.time(), blob)
+                            self.request.sendall(_HDR.pack(_OP_NONE, 0))
+                        elif op == _OP_GET:
+                            key = pickle.loads(body)
+                            with lock:
+                                item = store.pop(key, None)
+                            if item is None:
+                                self.request.sendall(
+                                    _HDR.pack(_OP_NONE, 0)
+                                )
+                            else:
+                                self.request.sendall(
+                                    _HDR.pack(_OP_DATA, len(item[1]))
+                                    + item[1]
+                                )
+                except (ConnectionError, OSError):
+                    return
+
+        self._server = socketserver.ThreadingTCPServer(
+            (host, port), Handler
+        )
+        self._server.daemon_threads = True
+        self.address = self._server.server_address
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._gc = threading.Thread(target=self._expire, daemon=True)
+        self._running = True
+
+    def start(self) -> None:
+        self._thread.start()
+        self._gc.start()
+
+    def _expire(self) -> None:
+        while self._running:
+            now = time.time()
+            with self._lock:
+                dead = [
+                    k
+                    for k, (ts, _) in self._store.items()
+                    if now - ts > self.ttl_s
+                ]
+                for k in dead:
+                    del self._store[k]
+            time.sleep(min(self.ttl_s / 4, 5.0))
+
+    def stop(self) -> None:
+        self._running = False
+        self._server.shutdown()
+        self._server.server_close()
+
+
+class TcpConnector(OmniConnectorBase):
+    """put/get client against a KVStoreServer."""
+
+    def __init__(self, host: str, port: int, **extra: Any) -> None:
+        super().__init__(**extra)
+        self.addr = (host, int(port))
+        self._local = threading.local()
+
+    def _sock(self) -> socket.socket:
+        sock = getattr(self._local, "sock", None)
+        if sock is None:
+            sock = socket.create_connection(self.addr, timeout=10)
+            sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            self._local.sock = sock
+        return sock
+
+    def _key(self, from_stage: int, to_stage: int, key: str) -> str:
+        return f"{from_stage}->{to_stage}:{key}"
+
+    def put(self, from_stage, to_stage, key, data):
+        blob = pickle.dumps(data, protocol=pickle.HIGHEST_PROTOCOL)
+        body = pickle.dumps((self._key(from_stage, to_stage, key), blob))
+        sock = self._sock()
+        sock.sendall(_HDR.pack(_OP_PUT, len(body)) + body)
+        _HDR.unpack(_recv_exact(sock, _HDR.size))
+        return True, len(blob)
+
+    def get(self, from_stage, to_stage, key):
+        body = pickle.dumps(self._key(from_stage, to_stage, key))
+        sock = self._sock()
+        sock.sendall(_HDR.pack(_OP_GET, len(body)) + body)
+        op, length = _HDR.unpack(_recv_exact(sock, _HDR.size))
+        if op != _OP_DATA:
+            return None, 0
+        blob = _recv_exact(sock, length)
+        return pickle.loads(blob), len(blob)
+
+    def close(self) -> None:
+        sock = getattr(self._local, "sock", None)
+        if sock is not None:
+            sock.close()

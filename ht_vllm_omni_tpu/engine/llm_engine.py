@@ -128,6 +128,43 @@ class LLMEngine:
         self.runner.release_slot(request_id)
         self._hidden.pop(request_id, None)
 
+    # --------------------------------------------------- sleep / wake
+    def sleep(self, level: int = 1) -> None:
+        """Release device memory between bursts (reference
+        enable_sleep_mode, diffusion_worker.py:77): level 1 drops the KV
+        cache; level 2 additionally offloads weights to host RAM."""
+        if self.has_unfinished_requests():
+            raise RuntimeError("cannot sleep with unfinished requests")
+        import jax
+        import jax.numpy as jnp
+
+        runner = self.runner
+        self._sleep_kv_shape = (
+            runner.kv_cache.shape, runner.kv_cache.dtype
+        )
+        runner.kv_cache.delete()
+        runner.kv_cache = None
+        if level >= 2:
+            self._host_params = jax.device_get(runner.params)
+            for leaf in jax.tree_util.tree_leaves(runner.params):
+                leaf.delete()
+            runner.params = None
+        self._asleep = level
+
+    def wake(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        runner = self.runner
+        shape, dtype = self._sleep_kv_shape
+        runner.kv_cache = jnp.zeros(shape, dtype)
+        if getattr(self, "_asleep", 0) >= 2:
+            runner.params = jax.tree_util.tree_map(
+                jnp.asarray, self._host_params
+            )
+            self._host_params = None
+        self._asleep = 0
+
     def has_unfinished_requests(self) -> bool:
         return self.scheduler.has_unfinished()
 

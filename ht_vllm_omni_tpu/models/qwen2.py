@@ -181,8 +181,19 @@ def compute_logits(
 
 
 
-def _mlp(cfg: ModelArchConfig, lp: dict, x: jax.Array) -> jax.Array:
-    """Dense SwiGLU or top-k MoE (qwen3-moe style), returns f32 [T, H]."""
+def _mlp(
+    cfg: ModelArchConfig, lp: dict, x: jax.Array,
+    ep_axis: str | None = None,
+) -> jax.Array:
+    """Dense SwiGLU or top-k MoE (qwen3-moe style), returns f32 [T, H].
+
+    Expert parallelism: with ep_axis set (inside shard_map), the expert
+    leaves arrive sharded over the axis; each shard evaluates its LOCAL
+    experts against globally-routed gates (expert ids offset by
+    shard * local_E) and the caller's existing per-layer psum sums the
+    expert partials — no extra collectives (reference EP via
+    vllm_parallel_state._EP, parallel_state.py:854-864).
+    """
     if "router" not in lp:
         g = _linear(lp, "gate", x)
         u = _linear(lp, "up", x)
@@ -192,11 +203,17 @@ def _mlp(cfg: ModelArchConfig, lp: dict, x: jax.Array) -> jax.Array:
     t = x.shape[0]
     logits = jnp.dot(
         x, lp["router"], preferred_element_type=jnp.float32
-    )  # [T, E]
+    )  # [T, E_global] — router is replicated
     probs = jax.nn.softmax(logits, axis=-1)
     k = cfg.num_experts_per_tok
     top_w, top_i = jax.lax.top_k(probs, k)  # [T, k]
     top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+
+    num_local = lp["egate"].shape[0]
+    if ep_axis is not None:
+        offset = jax.lax.axis_index(ep_axis) * num_local
+    else:
+        offset = 0
 
     def expert(acc, xs):
         eg, eu, ed, e_idx = xs
@@ -205,17 +222,16 @@ def _mlp(cfg: ModelArchConfig, lp: dict, x: jax.Array) -> jax.Array:
         act = (jax.nn.silu(gg) * uu).astype(x.dtype)
         out = jnp.dot(act, ed, preferred_element_type=jnp.float32)
         gate = jnp.sum(
-            jnp.where(top_i == e_idx, top_w, 0.0), axis=-1
+            jnp.where(top_i == e_idx + offset, top_w, 0.0), axis=-1
         )  # [T]
         return acc + out * gate[:, None], None
 
-    num_e = lp["router"].shape[-1]
     acc0 = jnp.zeros((t, x.shape[-1]), jnp.float32)
     acc, _ = jax.lax.scan(
         expert,
         acc0,
         (lp["egate"], lp["eup"], lp["edown"],
-         jnp.arange(num_e, dtype=jnp.int32)[:, None]),
+         jnp.arange(num_local, dtype=jnp.int32)[:, None]),
     )
     return acc
 
@@ -267,7 +283,7 @@ def prefill(
             delta = jax.lax.psum(delta, tp_axis)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        delta = _mlp(cfg, lp, x)
+        delta = _mlp(cfg, lp, x, ep_axis=tp_axis)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         h = h + delta.astype(h.dtype)
@@ -362,7 +378,7 @@ def decode(
             delta = jax.lax.psum(delta, tp_axis)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        delta = _mlp(cfg, lp, x)
+        delta = _mlp(cfg, lp, x, ep_axis=tp_axis)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         h = h + delta.astype(h.dtype)
@@ -440,7 +456,7 @@ def prefill_chunk(
             delta = jax.lax.psum(delta, tp_axis)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        delta = _mlp(cfg, lp, x)
+        delta = _mlp(cfg, lp, x, ep_axis=tp_axis)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         h = h + delta.astype(h.dtype)

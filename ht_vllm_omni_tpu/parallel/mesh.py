@@ -70,6 +70,11 @@ def param_pspecs(cfg: ModelArchConfig) -> dict[str, P]:
         "bv": P(None, TP_AXIS),
         "q_norm": P(),
         "k_norm": P(),
+        # MoE: router replicated, experts sharded over tp (expert parallel)
+        "router": P(),
+        "egate": P(None, TP_AXIS, None, None),
+        "eup": P(None, TP_AXIS, None, None),
+        "edown": P(None, TP_AXIS, None, None),
     }
     # quantized leaves follow their base weight's layout; group/channel
     # scales live on whichever dim survives: col-parallel weights shard
@@ -102,6 +107,10 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 
 
 def validate_tp(cfg: ModelArchConfig, tp: int) -> None:
+    if cfg.num_experts and cfg.num_experts % tp != 0:
+        raise ValueError(
+            f"experts {cfg.num_experts} not divisible by tp={tp}"
+        )
     if cfg.num_attention_heads % tp != 0:
         raise ValueError(
             f"q heads {cfg.num_attention_heads} not divisible by tp={tp}"

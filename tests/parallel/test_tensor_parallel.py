@@ -62,3 +62,33 @@ def test_tp_matches_single_device(tp):
 def test_tp_rejects_indivisible_heads():
     with pytest.raises(ValueError, match="kv heads"):
         _engine(tp=4)  # 2 kv heads not divisible by 4
+
+
+def test_moe_expert_parallel_matches_single_device():
+    """Experts sharded over the tp axis (EP): greedy output identical."""
+    cfg_kwargs = dict(
+        model_type="qwen3_moe", vocab_size=64, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, dtype="float32", qk_norm=True,
+        attention_bias=False, tie_word_embeddings=True, eos_token_id=1,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=16,
+    )
+
+    def mk(tp):
+        cfg = ModelArchConfig(**cfg_kwargs)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(29))
+        return LLMEngine(
+            EngineConfig(
+                model=cfg,
+                cache=CacheConfig(page_size=16, num_pages=64),
+                scheduler=SchedulerConfig(max_num_seqs=2, max_model_len=64),
+                parallel=ParallelConfig(tensor_parallel_size=tp),
+            ),
+            params=params,
+            decode_horizon=4,
+        )
+
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    want = mk(1).generate([[3, 7, 9]], sp)[0].outputs[0].token_ids
+    got = mk(2).generate([[3, 7, 9]], sp)[0].outputs[0].token_ids
+    assert got == want
