@@ -69,6 +69,12 @@ class LLMEngine:
         sampling_params = sampling_params or SamplingParams()
         request_id = request_id or f"req-{next(self._req_counter)}"
         p = as_prompt(prompt)
+        if p.multi_modal_data and self.config.model.image_token_id is not None:
+            from ht_vllm_omni_tpu.models.input_processing import (
+                process_multimodal_prompt,
+            )
+
+            p = process_multimodal_prompt(p, self.config.model)
         if p.embeds is not None:
             # prompt embeds (thinker->talker handoff): token ids are
             # placeholders for length bookkeeping

@@ -256,8 +256,15 @@ class ARModelRunner:
         top_k,
         top_p,
     ):
-        if use_embeds:
+        if use_embeds == "embeds":
             x = token_ids.astype(params["embed"].dtype)
+        elif use_embeds == "overlay":
+            ids, overlay, mask = token_ids
+            x = jnp.where(
+                mask[:, None],
+                overlay.astype(params["embed"].dtype),
+                qwen2.embed_tokens(params, ids),
+            )
         else:
             x = qwen2.embed_tokens(params, token_ids)
         hidden, kv_rows = qwen2.prefill(
@@ -301,7 +308,7 @@ class ARModelRunner:
         return kv_cache, keys, token_state, out_hidden
 
     def _prefill_fn(
-        self, bucket: int, collect_hidden: bool, use_embeds: bool = False
+        self, bucket: int, collect_hidden: bool, use_embeds: str = "tokens"
     ):
         key = (bucket, collect_hidden, use_embeds)
         fn = self._prefill_fns.get(key)
@@ -371,17 +378,29 @@ class ARModelRunner:
         if sp.seed is not None:
             self.keys = self.keys.at[slot].set(jax.random.PRNGKey(sp.seed))
 
-        use_embeds = req.prompt_embeds is not None
-        if use_embeds:
+        mm_segments = req.additional_information.get("mm_embeds")
+        if req.prompt_embeds is not None:
+            use_embeds = "embeds"
             s = len(req.prompt_embeds)
         else:
+            use_embeds = "overlay" if mm_segments else "tokens"
             s = len(req.prompt_token_ids)
         bucket = max(next_power_of_2(s), self.page_size)
-        if use_embeds:
+        if use_embeds == "embeds":
             ids = np.zeros(
                 (bucket, self.arch.hidden_size), np.float32
             )
             ids[:s] = np.asarray(req.prompt_embeds, np.float32)
+        elif use_embeds == "overlay":
+            tok = np.zeros(bucket, np.int32)
+            tok[:s] = req.prompt_token_ids
+            overlay = np.zeros((bucket, self.arch.hidden_size), np.float32)
+            mask = np.zeros(bucket, bool)
+            for seg_start, emb in mm_segments:
+                emb = np.asarray(emb, np.float32)
+                overlay[seg_start : seg_start + len(emb)] = emb
+                mask[seg_start : seg_start + len(emb)] = True
+            ids = (tok, overlay, mask)
         else:
             ids = np.zeros(bucket, np.int32)
             ids[:s] = req.prompt_token_ids
