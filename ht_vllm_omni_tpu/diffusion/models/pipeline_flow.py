@@ -10,7 +10,6 @@ preemptible denoising, reference diffusion_model_runner.execute_stepwise
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from collections import deque
-from typing import Any, Callable, Protocol
+from typing import Any, Protocol
 
 import numpy as np
 

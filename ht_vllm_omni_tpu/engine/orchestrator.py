@@ -62,6 +62,9 @@ class _RequestState:
     forwarded: set = dataclasses.field(default_factory=set)
     # (from_stage, to_stage) -> chunk progress
     chunks: dict = dataclasses.field(default_factory=dict)
+    # accumulated multimodal stream for client events (the reference's
+    # MultimodalOutputProcessor accumulation, output_processor.py:24)
+    mm_accum: dict = dataclasses.field(default_factory=dict)
 
 
 class PipelineOrchestrator:
@@ -330,9 +333,31 @@ class PipelineOrchestrator:
                 ss.finish_time = time.time()
 
         # stream client-facing events: final-stage outputs always;
-        # comprehension-stage (thinker) text streams too.
+        # comprehension-stage (thinker) text streams too.  Final-stage
+        # multimodal tensors accumulate across events so consumers always
+        # see the cumulative stream (list-append; scalars latest-wins).
         if is_final_stage or cfg.is_comprehension:
             out.final_output = is_final_stage
+            if is_final_stage and out.multimodal_output:
+                acc = state.mm_accum
+                for key, val in out.multimodal_output.items():
+                    vals = val if isinstance(val, list) else [val]
+                    import numpy as _np
+
+                    for v in vals:
+                        if _np.isscalar(v) or (
+                            isinstance(v, _np.ndarray) and v.ndim == 0
+                        ):
+                            acc[key] = v
+                        else:
+                            acc.setdefault(key, [])
+                            if not isinstance(acc[key], list):
+                                acc[key] = [acc[key]]
+                            acc[key].append(v)
+                out.multimodal_output = {
+                    k: (list(v) if isinstance(v, list) else v)
+                    for k, v in acc.items()
+                }
             client_outputs.append(out)
 
         if sid in self._chunk_edges:

@@ -67,21 +67,12 @@ class Omni:
             for p in prompts
         ]
         finals: dict[str, OmniRequestOutput] = {}
-        partial: dict[str, OmniRequestOutput] = {}
         while self.orchestrator.has_unfinished():
             for out in self.orchestrator.step():
-                if out.final_output:
-                    prev = partial.get(out.request_id)
-                    if prev is not None:
-                        for key, val in prev.multimodal_output.items():
-                            bucket = out.multimodal_output.setdefault(key, [])
-                            if isinstance(bucket, list) and isinstance(
-                                val, list
-                            ):
-                                out.multimodal_output[key] = val + bucket
-                    partial[out.request_id] = out
-                    if out.finished:
-                        finals[out.request_id] = out
+                # the orchestrator accumulates multimodal streams, so each
+                # final-stage event already carries the cumulative tensors
+                if out.final_output and out.finished:
+                    finals[out.request_id] = out
         return [finals[rid] for rid in order]
 
     def abort(self, request_id: str) -> None:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ht_vllm_omni_tpu.utils import cdiv, pallas_interpret_mode, round_up
+from ht_vllm_omni_tpu.utils import pallas_interpret_mode, round_up
 
 NEG_INF = float("-inf")
 _LANES = 128
