@@ -84,6 +84,8 @@ class SchedulerConfig:
     # chunked prefill: cap on tokens of a single prefill chunk.
     # None disables chunking (whole prompt in one pass).
     prefill_chunk_size: int | None = None
+    # content-addressed page reuse across requests (vLLM prefix caching)
+    enable_prefix_caching: bool = False
 
     @property
     def effective_prefill_chunk(self) -> int:

@@ -61,6 +61,11 @@ class Scheduler:
         self.cache_config = cache_config
         self.page_size = cache_config.page_size
         self.pool = PagePool(num_pages)
+        self.prefix_cache = None
+        if scheduler_config.enable_prefix_caching:
+            from ht_vllm_omni_tpu.core.prefix_cache import PrefixCache
+
+            self.prefix_cache = PrefixCache(self.pool, self.page_size)
         self.waiting: deque[Request] = deque()
         self.running: list[Request] = []
         self.requests: dict[str, Request] = {}
@@ -167,6 +172,8 @@ class Scheduler:
         needed = cdiv(target_tokens, self.page_size) - len(req.page_ids)
         if needed <= 0:
             return True
+        if self.prefix_cache is not None and needed > self.pool.num_free:
+            self.prefix_cache.evict(needed - self.pool.num_free)
         while needed > self.pool.num_free:
             victim = self.running[-1]
             self._preempt(victim)
@@ -245,13 +252,26 @@ class Scheduler:
             req = self.waiting[0]
             if req.status == RequestStatus.WAITING_FOR_CHUNK:
                 break
-            num_new = min(req.num_prompt_tokens, chunk_cap, budget)
-            if num_new < req.num_prompt_tokens and prefill_works:
+            if (
+                self.prefix_cache is not None
+                and req.num_computed_tokens == 0
+                and not req.page_ids
+                and self._prefix_cacheable(req)
+            ):
+                matched = self.prefix_cache.match(req.prompt_token_ids)
+                if matched:
+                    req.page_ids = matched
+                    req.num_computed_tokens = len(matched) * self.page_size
+            remaining = req.num_prompt_tokens - req.num_computed_tokens
+            num_new = min(remaining, chunk_cap, budget)
+            if num_new < remaining and prefill_works:
                 break  # big prompt: wait for a clean slot to chunk through
-            target = num_new
-            if num_new >= req.num_prompt_tokens:
+            target = req.num_computed_tokens + num_new
+            if target >= req.num_prompt_tokens:
                 target = req.num_prompt_tokens + horizon
             needed = cdiv(target, self.page_size) - len(req.page_ids)
+            if needed > self.pool.num_free and self.prefix_cache is not None:
+                self.prefix_cache.evict(needed - self.pool.num_free)
             if needed > self.pool.num_free:
                 break
             if needed > 0:
@@ -260,8 +280,23 @@ class Scheduler:
             req.status = RequestStatus.RUNNING
             self.running.append(req)
             budget -= num_new
-            prefill_works.append((req, 0, num_new))
+            prefill_works.append(
+                (req, req.num_computed_tokens, num_new)
+            )
         return prefill_works, decode_reqs
+
+    @staticmethod
+    def _prefix_cacheable(req: Request) -> bool:
+        # only pure token prompts are content-addressable
+        return (
+            req.prompt_embeds is None
+            and not req.additional_information.get("mm_embeds")
+        )
+
+    def register_prefix(self, req: Request) -> None:
+        """Publish a prefill-complete request's prompt pages for reuse."""
+        if self.prefix_cache is not None and self._prefix_cacheable(req):
+            self.prefix_cache.register(req.prompt_token_ids, req.page_ids)
 
     def apply_decoded(
         self, req: Request, tokens: list[int], includes_entry: bool = False

@@ -196,6 +196,7 @@ class LLMEngine:
             req.num_computed_tokens = start + num
             if not req.prefill_done:
                 continue  # mid-prefill: not active in this decode chunk
+            self.scheduler.register_prefix(req)
             prefills.append(req)
             if req.sampling_params.return_hidden_states:
                 # producing hidden of the first sampled token = hidden at
