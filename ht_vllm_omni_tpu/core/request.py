@@ -69,6 +69,9 @@ class Request:
     needs_kv_transfer: bool = False
 
     # --- scheduler state ---
+    # dp page-pool partition this request allocates from (assigned at
+    # every waiting->running admission; core/block_pool.py groups)
+    pool_group: int = 0
     output_token_ids: list[int] = dataclasses.field(default_factory=list)
     num_computed_tokens: int = 0  # prompt tokens whose KV is materialised
     page_ids: list[int] = dataclasses.field(default_factory=list)

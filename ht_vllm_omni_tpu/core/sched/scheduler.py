@@ -56,11 +56,19 @@ class Scheduler:
         scheduler_config: SchedulerConfig,
         cache_config: CacheConfig,
         num_pages: int,
+        num_groups: int = 1,
+        group_fn=None,
     ) -> None:
+        """``num_groups``/``group_fn``: with a dp-sharded cache the page
+        pool is partitioned per dp group (see core/block_pool.py) and
+        ``group_fn(request)`` — typically the runner's slot->dp-owner map —
+        picks the group a request allocates from, assigned once at every
+        waiting->running admission."""
         self.config = scheduler_config
         self.cache_config = cache_config
         self.page_size = cache_config.page_size
-        self.pool = PagePool(num_pages)
+        self.pool = PagePool(num_pages, num_groups)
+        self._group_fn = group_fn or (lambda req: 0)
         self.prefix_cache = None
         if scheduler_config.enable_prefix_caching:
             from ht_vllm_omni_tpu.core.prefix_cache import PrefixCache
@@ -91,7 +99,8 @@ class Scheduler:
         needed = cdiv(
             request.num_prompt_tokens + max(horizon, 1), self.page_size
         )
-        request.page_ids = self.pool.allocate(needed)
+        request.pool_group = self._group_fn(request)
+        request.page_ids = self.pool.allocate(needed, request.pool_group)
         request.num_computed_tokens = request.num_prompt_tokens
         request.status = RequestStatus.RUNNING
         self.requests[request.request_id] = request
@@ -149,13 +158,16 @@ class Scheduler:
             )
             if num_new <= 0:
                 break
+            req.pool_group = self._group_fn(req)
             needed = cdiv(
                 req.num_computed_tokens + num_new, self.page_size
             ) - len(req.page_ids)
-            if needed > self.pool.num_free:
+            if needed > self.pool.free_in_group(req.pool_group):
                 break  # don't preempt running work to admit new work
             if needed:
-                req.page_ids.extend(self.pool.allocate(needed))
+                req.page_ids.extend(
+                    self.pool.allocate(needed, req.pool_group)
+                )
             self.waiting.popleft()
             req.status = RequestStatus.RUNNING
             self.running.append(req)
@@ -169,18 +181,29 @@ class Scheduler:
 
         Returns False if ``req`` itself got preempted.
         """
+        g = req.pool_group
         needed = cdiv(target_tokens, self.page_size) - len(req.page_ids)
         if needed <= 0:
             return True
-        if self.prefix_cache is not None and needed > self.pool.num_free:
-            self.prefix_cache.evict(needed - self.pool.num_free)
-        while needed > self.pool.num_free:
-            victim = self.running[-1]
+        free = self.pool.free_in_group(g)
+        if self.prefix_cache is not None and needed > free:
+            self.prefix_cache.evict(needed - free, group=g)
+        while needed > self.pool.free_in_group(g):
+            # preempt from the back, same pool group only — freeing pages
+            # from another dp group's partition would not help this request
+            victim = next(
+                (
+                    r
+                    for r in reversed(self.running)
+                    if r.pool_group == g
+                ),
+                req,
+            )
             self._preempt(victim)
             if victim is req:
                 return False
         try:
-            req.page_ids.extend(self.pool.allocate(needed))
+            req.page_ids.extend(self.pool.allocate(needed, g))
         except NoFreePagesError:
             self._preempt(req)
             return False
@@ -252,13 +275,17 @@ class Scheduler:
             req = self.waiting[0]
             if req.status == RequestStatus.WAITING_FOR_CHUNK:
                 break
+            req.pool_group = self._group_fn(req)
+            g = req.pool_group
             if (
                 self.prefix_cache is not None
                 and req.num_computed_tokens == 0
                 and not req.page_ids
                 and self._prefix_cacheable(req)
             ):
-                matched = self.prefix_cache.match(req.prompt_token_ids)
+                matched = self.prefix_cache.match(
+                    req.prompt_token_ids, group=g
+                )
                 if matched:
                     req.page_ids = matched
                     req.num_computed_tokens = len(matched) * self.page_size
@@ -270,12 +297,13 @@ class Scheduler:
             if target >= req.num_prompt_tokens:
                 target = req.num_prompt_tokens + horizon
             needed = cdiv(target, self.page_size) - len(req.page_ids)
-            if needed > self.pool.num_free and self.prefix_cache is not None:
-                self.prefix_cache.evict(needed - self.pool.num_free)
-            if needed > self.pool.num_free:
+            free = self.pool.free_in_group(g)
+            if needed > free and self.prefix_cache is not None:
+                self.prefix_cache.evict(needed - free, group=g)
+            if needed > self.pool.free_in_group(g):
                 break
             if needed > 0:
-                req.page_ids.extend(self.pool.allocate(needed))
+                req.page_ids.extend(self.pool.allocate(needed, g))
             self.waiting.popleft()
             req.status = RequestStatus.RUNNING
             self.running.append(req)
@@ -296,7 +324,9 @@ class Scheduler:
     def register_prefix(self, req: Request) -> None:
         """Publish a prefill-complete request's prompt pages for reuse."""
         if self.prefix_cache is not None and self._prefix_cacheable(req):
-            self.prefix_cache.register(req.prompt_token_ids, req.page_ids)
+            self.prefix_cache.register(
+                req.prompt_token_ids, req.page_ids, group=req.pool_group
+            )
 
     def apply_decoded(
         self, req: Request, tokens: list[int], includes_entry: bool = False

@@ -5,14 +5,18 @@ vllm_omni/distributed/omni_connectors/connectors/
 mooncake_transfer_engine_connector.py / mooncake_store_connector.py):
 where Mooncake moves pinned GPU buffers over RDMA, the TPU deployment
 moves host payloads between hosts over the data-center network — here a
-small length-prefixed-pickle protocol over TCP sockets, with a store
-server that consumers drain.  A stale-entry TTL mirrors the reference's
+small length-prefixed protocol over TCP sockets, with a store server
+that consumers drain.  A stale-entry TTL mirrors the reference's
 5-minute pinned-buffer reclaim (mooncake_transfer_engine_connector.py:31).
+
+Wire safety: payloads cross a network trust boundary, so they are framed
+with the data-only codec (connectors/codec.py — JSON structure + raw
+ndarray buffers), never pickle; the store server treats blobs as opaque
+bytes and deserializes nothing.
 """
 
 from __future__ import annotations
 
-import pickle
 import socket
 import socketserver
 import struct
@@ -21,8 +25,13 @@ import time
 from typing import Any
 
 from ht_vllm_omni_tpu.distributed.connectors.base import OmniConnectorBase
+from ht_vllm_omni_tpu.distributed.connectors.codec import (
+    decode_payload,
+    encode_payload,
+)
 
 _HDR = struct.Struct("<IQ")  # op, payload length
+_KLEN = struct.Struct("<H")  # key length prefix inside PUT bodies
 _OP_PUT = 1
 _OP_GET = 2
 _OP_NONE = 0
@@ -61,12 +70,15 @@ class KVStoreServer:
                         )
                         body = _recv_exact(self.request, length)
                         if op == _OP_PUT:
-                            key, blob = pickle.loads(body)
+                            (klen,) = _KLEN.unpack_from(body, 0)
+                            key = body[_KLEN.size : _KLEN.size + klen]
+                            key = key.decode("utf-8")
+                            blob = body[_KLEN.size + klen :]
                             with lock:
                                 store[key] = (time.time(), blob)
                             self.request.sendall(_HDR.pack(_OP_NONE, 0))
                         elif op == _OP_GET:
-                            key = pickle.loads(body)
+                            key = body.decode("utf-8")
                             with lock:
                                 item = store.pop(key, None)
                             if item is None:
@@ -135,22 +147,23 @@ class TcpConnector(OmniConnectorBase):
         return f"{from_stage}->{to_stage}:{key}"
 
     def put(self, from_stage, to_stage, key, data):
-        blob = pickle.dumps(data, protocol=pickle.HIGHEST_PROTOCOL)
-        body = pickle.dumps((self._key(from_stage, to_stage, key), blob))
+        blob = encode_payload(data)
+        kb = self._key(from_stage, to_stage, key).encode("utf-8")
+        body = _KLEN.pack(len(kb)) + kb + blob
         sock = self._sock()
         sock.sendall(_HDR.pack(_OP_PUT, len(body)) + body)
         _HDR.unpack(_recv_exact(sock, _HDR.size))
         return True, len(blob)
 
     def get(self, from_stage, to_stage, key):
-        body = pickle.dumps(self._key(from_stage, to_stage, key))
+        body = self._key(from_stage, to_stage, key).encode("utf-8")
         sock = self._sock()
         sock.sendall(_HDR.pack(_OP_GET, len(body)) + body)
         op, length = _HDR.unpack(_recv_exact(sock, _HDR.size))
         if op != _OP_DATA:
             return None, 0
         blob = _recv_exact(sock, length)
-        return pickle.loads(blob), len(blob)
+        return decode_payload(blob), len(blob)
 
     def close(self) -> None:
         sock = getattr(self._local, "sock", None)

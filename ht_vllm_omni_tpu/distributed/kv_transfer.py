@@ -36,6 +36,57 @@ def _gather_rows(cache: jax.Array, slots: jax.Array) -> jax.Array:
     return jnp.take(cache, slots, axis=1)  # [L, T, 2F]
 
 
+def rows_to_canonical(rows: np.ndarray, runner) -> np.ndarray:
+    """Producer-layout rows -> canonical [L, T, 2*true_f] model-dtype.
+
+    The payload that crosses stages is always dequantized, unpadded, and
+    laid out [K_feat || V_feat] globally.  The producer's cache may be
+    (a) int8 with per-tensor scales — dequantize HERE so the consumer's
+    flush quantizes exactly ONCE (a second divide-by-scale would corrupt
+    the transfer), and (b) tp-sharded on the feature axis, in which case
+    the global array interleaves per-shard [K_s || V_s (|| pad_s)]
+    segments — de-interleave to the canonical order.
+    """
+    num_l, t, width = rows.shape
+    tp = runner.tp
+    f = runner.true_f
+    shard_w = width // tp
+    local_f = f // tp
+    r = rows.reshape(num_l, t, tp, shard_w)
+    k = r[..., :local_f]  # [L, T, tp, f/tp]
+    v = r[..., local_f : 2 * local_f]
+    if runner.kv_int8:
+        ksc, vsc = runner.kv_scales
+        k = k.astype(np.float32) * ksc
+        v = v.astype(np.float32) * vsc
+    out = np.concatenate(
+        [k.reshape(num_l, t, f), v.reshape(num_l, t, f)], axis=-1
+    )
+    return np.ascontiguousarray(out, dtype=np.float32)
+
+
+def rows_from_canonical(rows: np.ndarray, runner) -> np.ndarray:
+    """Canonical [L, T, 2f] rows -> the consumer runner's global feature
+    layout (inverse of rows_to_canonical, minus quantization — the
+    consumer's flush kernel quantizes if its cache is int8)."""
+    tp = runner.tp
+    if tp == 1:
+        return rows
+    if runner.kv_int8:
+        # per-shard int8 padding would interleave with features; the
+        # global-semantics flush cannot express that layout
+        raise NotImplementedError(
+            "KV inject into a tp-sharded int8 cache is unsupported; "
+            "use a bf16 cache on the consumer or tp=1"
+        )
+    num_l, t, two_f = rows.shape
+    f = two_f // 2
+    local_f = f // tp
+    k = rows[..., :f].reshape(num_l, t, tp, local_f)
+    v = rows[..., f:].reshape(num_l, t, tp, local_f)
+    return np.concatenate([k, v], axis=-1).reshape(num_l, t, two_f)
+
+
 class OmniKVTransferManager:
     def __init__(self, connector: OmniConnectorBase) -> None:
         self.connector = connector
@@ -52,7 +103,8 @@ class OmniKVTransferManager:
         The request must have been added with needs_kv_transfer=True so
         the scheduler held its pages past finish (the reference defers
         block freeing until extraction acks,
-        omni_ar_scheduler.py:454-479)."""
+        omni_ar_scheduler.py:454-479).  Rows leave in the canonical
+        dequantized [K || V] layout (rows_to_canonical)."""
         req = engine.scheduler.requests[request_id]
         runner = engine.runner
         n = req.num_computed_tokens
@@ -66,7 +118,7 @@ class OmniKVTransferManager:
             # includes the pending last token (KV not yet written: it is
             # the first decode input on the importing side)
             token_ids=list(req.all_token_ids[: n + 1]),
-            kv_rows=np.asarray(rows),
+            kv_rows=rows_to_canonical(np.asarray(rows), runner),
         )
         if release:
             engine.scheduler.free_transferred(request_id)
@@ -101,8 +153,12 @@ class OmniKVTransferManager:
         """Add a request to ``engine`` whose prompt KV is pre-populated:
         pages are allocated, rows flushed in place, and the request enters
         the running queue prefill-complete (decode-only instance of a PD
-        pair)."""
+        pair).  Canonical payload rows are re-interleaved to the
+        consumer's tp layout first."""
+        rows = rows_from_canonical(
+            np.asarray(payload.kv_rows), engine.runner
+        )
         return engine.add_request_with_kv(
-            payload.token_ids, payload.kv_rows, sampling_params,
+            payload.token_ids, rows, sampling_params,
             request_id=request_id,
         )

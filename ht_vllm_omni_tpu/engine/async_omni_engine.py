@@ -90,6 +90,7 @@ class AsyncOmniEngine:
         external_id = request_id or f"req-{id(queue):x}-{time.monotonic_ns()}"
         with self._lock:
             self._queues[external_id] = queue
+        completed = False
         try:
             self.orchestrator.add_request(
                 prompt, sampling_params, request_id=external_id
@@ -98,12 +99,21 @@ class AsyncOmniEngine:
                 out = await queue.get()
                 yield out
                 if out.finished and out.final_output:
+                    completed = True
                     break
                 if out.error is not None:
+                    completed = True
                     break
         finally:
             with self._lock:
                 self._queues.pop(external_id, None)
+            if not completed:
+                # client disconnected mid-stream: abort so the pipeline
+                # stops decoding and KV pages / decode slots are released
+                try:
+                    self.orchestrator.abort_request(external_id)
+                except Exception:
+                    logger.exception("abort on disconnect failed")
 
     async def abort(self, request_id: str) -> None:
         self.orchestrator.abort_request(request_id)

@@ -42,8 +42,18 @@ class LLMEngine:
         self.config = config
         self.decode_horizon = decode_horizon
         self.runner = ARModelRunner(config, params=params)
+        # dp-sharded caches: a request's pages must come from the page
+        # partition of the dp group that owns its slot (ids are global;
+        # the runner translates to shard-local, core/block_pool.py)
+        local_slots = self.runner.max_slots // self.runner.dp
         self.scheduler = Scheduler(
-            config.scheduler, config.cache, self.runner.num_pages
+            config.scheduler,
+            config.cache,
+            self.runner.num_pages,
+            num_groups=self.runner.dp,
+            group_fn=lambda req: (
+                self.runner.slot_for(req.request_id) // local_slots
+            ),
         )
         self.tokenizer = tokenizer
         if tokenizer is None and config.model_path is not None:

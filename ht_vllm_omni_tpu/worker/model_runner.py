@@ -116,6 +116,13 @@ class ARModelRunner:
 
         self.page_size = config.cache.page_size
         self.num_pages = self._derive_num_pages()
+        # the slot axis shards over dp: pages partition into dp groups and
+        # each request's pages come from its owner group's range; kernels
+        # see shard-LOCAL ids (global - group base) in slot mappings and
+        # block tables, while scheduler/extract paths keep GLOBAL ids
+        if self.num_pages % self.dp:
+            self.num_pages -= self.num_pages % self.dp
+        self.pages_per_group = self.num_pages // self.dp
         self.max_slots = config.scheduler.max_num_seqs
         self.max_pages_per_seq = cdiv(
             config.scheduler.max_model_len, self.page_size
@@ -416,17 +423,20 @@ class ARModelRunner:
         else:
             positions = np.arange(bucket, dtype=np.int32)
             self.h_rope_delta[slot] = 0
+        # with dp sharding, slot/page ids are local to the owning dp group
+        local_slots = self.max_slots // self.dp
+        dp_owner, local_slot = divmod(slot, local_slots)
         slot_map = np.full(bucket, -1, np.int32)
-        pages = np.asarray(req.page_ids, np.int32)
+        pages = (
+            np.asarray(req.page_ids, np.int32)
+            - dp_owner * self.pages_per_group
+        )
         idx = np.arange(s)
         slot_map[:s] = pages[idx // self.page_size] * self.page_size + (
             idx % self.page_size
         )
 
         st = SamplingTensors.from_params([sp], 1)
-        # with dp sharding, slot ids are local to the owning dp group
-        local_slots = self.max_slots // self.dp
-        dp_owner, local_slot = divmod(slot, local_slots)
         fn = self._prefill_fn(bucket, sp.return_hidden_states, use_embeds)
         (
             self.kv_cache,
@@ -456,7 +466,7 @@ class ARModelRunner:
         self.h_emitted[slot] = req.num_output_tokens + 1
         self.h_limit[slot] = sp.max_tokens
         self.h_min_tokens[slot] = sp.min_tokens
-        self.h_tables[slot, : len(req.page_ids)] = req.page_ids
+        self.h_tables[slot, : len(req.page_ids)] = pages[: len(req.page_ids)]
         stops = (sp.stop_token_ids or [])[:MAX_STOP_TOKENS]
         self.h_stops[slot] = -2
         self.h_stops[slot, : len(stops)] = stops
@@ -466,6 +476,15 @@ class ARModelRunner:
         self.h_top_k[slot] = sp.top_k if sp.top_k > 0 else 64
         self.h_top_p[slot] = sp.top_p
         return hidden
+
+    def _local_pages(self, slot: int, page_ids) -> np.ndarray:
+        """Translate a request's global page ids to its dp shard's local
+        ids (identity at dp=1)."""
+        dp_owner = slot // (self.max_slots // self.dp)
+        return (
+            np.asarray(page_ids, np.int32)
+            - dp_owner * self.pages_per_group
+        )
 
     @staticmethod
     def _prefill_chunk_program(
@@ -595,7 +614,11 @@ class ARModelRunner:
             self.h_emitted[slot] = req.num_output_tokens + 1
             self.h_limit[slot] = sp.max_tokens
             self.h_min_tokens[slot] = sp.min_tokens
-            self.h_tables[slot, : len(req.page_ids)] = req.page_ids
+            # chunked prefill ran in global semantics (no shard_map); the
+            # decode program's tables are shard-local
+            self.h_tables[slot, : len(req.page_ids)] = self._local_pages(
+                slot, req.page_ids
+            )
             stops = (sp.stop_token_ids or [])[:MAX_STOP_TOKENS]
             self.h_stops[slot] = -2
             self.h_stops[slot, : len(stops)] = stops
@@ -640,7 +663,11 @@ class ARModelRunner:
         self.h_emitted[slot] = req.num_output_tokens
         self.h_limit[slot] = sp.max_tokens
         self.h_min_tokens[slot] = sp.min_tokens
-        self.h_tables[slot, : len(req.page_ids)] = req.page_ids
+        # the donated flush above ran in global semantics; decode tables
+        # are shard-local
+        self.h_tables[slot, : len(req.page_ids)] = self._local_pages(
+            slot, req.page_ids
+        )
         stops = (sp.stop_token_ids or [])[:MAX_STOP_TOKENS]
         self.h_stops[slot] = -2
         self.h_stops[slot, : len(stops)] = stops

@@ -1,0 +1,42 @@
+"""Data-only wire codec: round trip + refusal of executable content."""
+
+import numpy as np
+import pytest
+
+from ht_vllm_omni_tpu.distributed.connectors.codec import (
+    decode_payload,
+    encode_payload,
+)
+
+
+def test_roundtrip_nested():
+    payload = {
+        "token_ids": [1, 2, 3],
+        "kv_rows": np.arange(24, dtype=np.float32).reshape(2, 3, 4),
+        "extra": {"nested": [True, None, 1.5, "s"], 7: "int-key"},
+        "blob": b"\x00\x01raw",
+        "i8": np.array([[-3, 7]], dtype=np.int8),
+    }
+    out = decode_payload(encode_payload(payload))
+    assert out["token_ids"] == [1, 2, 3]
+    np.testing.assert_array_equal(out["kv_rows"], payload["kv_rows"])
+    assert out["kv_rows"].dtype == np.float32
+    assert out["extra"]["nested"] == [True, None, 1.5, "s"]
+    assert out["extra"][7] == "int-key"
+    assert out["blob"] == b"\x00\x01raw"
+    np.testing.assert_array_equal(out["i8"], payload["i8"])
+
+
+def test_rejects_arbitrary_objects():
+    class Evil:
+        def __reduce__(self):
+            return (print, ("pwned",))
+
+    with pytest.raises(TypeError):
+        encode_payload({"x": Evil()})
+    with pytest.raises(TypeError):
+        encode_payload(np.array([Evil()], dtype=object))
+
+
+def test_tuple_decodes_as_list():
+    assert decode_payload(encode_payload((1, 2))) == [1, 2]

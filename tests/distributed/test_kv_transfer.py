@@ -77,3 +77,57 @@ def test_prefill_decode_disaggregation():
             if out.finished:
                 tokens = out.outputs[0].token_ids
     assert tokens == want
+
+
+def test_int8_kv_transfer_dequantizes_once():
+    """Producer has an int8 KV cache: extract must hand over DEQUANTIZED
+    rows so the consumer's flush quantizes exactly once (a second
+    divide-by-scale corrupts the transfer)."""
+    import numpy as np
+
+    params = qwen2.init_params(_cfg(), jax.random.PRNGKey(21))
+
+    def int8_engine():
+        return LLMEngine(
+            EngineConfig(
+                model=_cfg(),
+                cache=CacheConfig(
+                    page_size=16, num_pages=64, kv_cache_dtype="int8",
+                    kv_scale_k=0.05, kv_scale_v=0.05,
+                ),
+                scheduler=SchedulerConfig(max_num_seqs=4, max_model_len=128),
+            ),
+            params=params,
+            decode_horizon=4,
+        )
+
+    prompt = [7, 3, 11, 30, 4]
+    sp1 = SamplingParams(temperature=0.0, max_tokens=1, ignore_eos=True)
+    prefill_engine = int8_engine()
+    rid = prefill_engine.add_request(prompt, sp1, request_id="pd-q")
+    prefill_engine.scheduler.requests[rid].needs_kv_transfer = True
+    while prefill_engine.has_unfinished_requests():
+        prefill_engine.step()
+
+    mgr = OmniKVTransferManager(OmniConnectorFactory.create("MockConnector"))
+    payload = mgr.extract(prefill_engine, rid)
+    # canonical rows: float, unpadded [L, T, 2*KVH*D]
+    assert payload.kv_rows.dtype == np.float32
+    assert payload.kv_rows.shape[-1] == 2 * 2 * 32 // 4  # 2*KVH*D = 32
+    # values must be de-scaled multiples of the scale, not raw int8 codes
+    nz = payload.kv_rows[np.abs(payload.kv_rows) > 0]
+    assert nz.size and np.all(np.abs(nz) <= 127 * 0.05 + 1e-6)
+
+    # inject into a fresh int8 engine; its cache rows must equal the
+    # producer's rows (quantized once with the same scales)
+    decode_engine = int8_engine()
+    sp2 = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    rid2 = mgr.inject(decode_engine, payload, "pd-q2", sp2)
+    req = decode_engine.scheduler.requests[rid2]
+    n = len(prompt)
+    idx = np.arange(n)
+    pages = np.asarray(req.page_ids)
+    slots = pages[idx // 16] * 16 + idx % 16
+    src = np.asarray(prefill_engine.runner.kv_cache)[:, :n]  # pages 0.. dense
+    dst = np.asarray(decode_engine.runner.kv_cache)[:, slots]
+    np.testing.assert_array_equal(src, dst)

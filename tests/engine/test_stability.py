@@ -81,3 +81,51 @@ def test_sustained_concurrent_load_with_aborts():
         engine.shutdown()
 
     asyncio.run(run())
+
+
+def test_disconnect_aborts_request():
+    """Closing the async generator mid-stream (client disconnect) must
+    abort the pipeline request so pages/slots are reclaimed."""
+
+    async def run():
+        cfg = ModelArchConfig(
+            model_type="qwen2", vocab_size=64, hidden_size=32,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, dtype="float32",
+            tie_word_embeddings=True, eos_token_id=1,
+        )
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(62))
+        ar = LLMEngine(
+            EngineConfig(
+                model=cfg,
+                cache=CacheConfig(page_size=16, num_pages=48),
+                scheduler=SchedulerConfig(max_num_seqs=4, max_model_len=96),
+            ),
+            params=params,
+            decode_horizon=4,
+        )
+        stage = StageConfig(
+            stage_id=0, model_stage="llm", worker_type="ar",
+            final_output=True, final_output_type="text",
+        )
+        pipeline = PipelineConfig("llm", [stage])
+        pipeline.validate()
+        engine = AsyncOmniEngine(pipeline, [StageHandle(stage, ar)])
+        sp = SamplingParams(temperature=0.0, max_tokens=64, ignore_eos=True)
+        agen = engine.generate([2, 3, 4], sp, "dc-0")
+        await agen.__anext__()  # stream started
+        await agen.aclose()  # client went away WITHOUT calling abort()
+        # the request must disappear from the orchestrator + AR engine
+        for _ in range(100):
+            if (
+                "dc-0" not in engine.orchestrator.requests
+                and not ar.has_unfinished_requests()
+            ):
+                break
+            await asyncio.sleep(0.02)
+        assert "dc-0" not in engine.orchestrator.requests
+        assert not ar.has_unfinished_requests()
+        assert ar.scheduler.pool.num_free == 48
+        engine.shutdown()
+
+    asyncio.run(run())
