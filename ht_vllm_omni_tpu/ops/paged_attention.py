@@ -391,6 +391,253 @@ def paged_attention_partial(
     return acc, m, l
 
 
+def _paged_fresh_kernel(
+    # scalar prefetch
+    meta_ref,  # [2] int32: (layer, step) — consumed by index maps too
+    block_tables_ref,  # [B, P] int32
+    seq_lens_ref,  # [B] int32
+    # inputs
+    q_ref,  # [1, KVH * G_pad, D]
+    kv_ref,  # [1, 1, page_size, 2F] (paged rows = [K_feat || V_feat])
+    fresh_ref,  # [1, FSUB, 2f] one sub-block of in-chunk rows
+    # output
+    o_ref,  # [1, KVH * G_pad, D] NORMALIZED attention output
+    # scratch
+    m_ref,  # [KVH * G_pad, LANES]
+    l_ref,
+    acc_ref,  # [KVH * G_pad, D]
+    *,
+    sm_scale: float,
+    page_size: int,
+    kv_heads: int,
+    group_pad: int,
+    head_dim: int,
+    fsub: int,
+    n_paged: int,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+):
+    """Fused decode attention: paged context + this chunk's fresh rows.
+
+    Grid is (batch, n_paged + n_fresh_blocks): steps [0, n_paged) stream
+    the paged cache — the index map clamps to the sequence's LIVE pages,
+    so dead table entries never cost a DMA (revisiting the same block
+    index skips the fetch) — and the remaining steps fold the in-chunk
+    fresh-KV rows into the same online softmax.  Fresh rows are streamed
+    in FSUB-row sub-blocks whose index map clamps to the current decode
+    step, so rows not yet written are neither fetched nor computed; the
+    in-chunk validity mask is simply ``row <= step`` (a slot's written
+    rows are a prefix — ``active`` is monotone within a chunk, and
+    inactive slots' outputs are discarded by the caller).
+
+    This one kernel subsumes paged_attention_partial + the per-layer
+    logsumexp merge the model previously did in XLA ops.  int8 caches
+    dequantize in-kernel via static per-tensor scales: k_scale folds into
+    the score scale, v_scale into the paged pv accumulation; fresh rows
+    are model-precision (scale 1).
+    """
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    n_total = pl.num_programs(1)
+    f = kv_heads * head_dim
+    step = meta_ref[1]
+
+    @pl.when(p == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    seq_len = seq_lens_ref[b]
+    page_start = p * page_size
+
+    def _scores(q, k_rows, scale):
+        rows = []
+        for h in range(kv_heads):
+            q_h = q[h * group_pad : (h + 1) * group_pad]
+            k_h = k_rows[:, h * head_dim : (h + 1) * head_dim]
+            rows.append(
+                jax.lax.dot_general(
+                    q_h, k_h,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        return jnp.concatenate(rows, axis=0) * scale
+
+    def _online_update(s, v_rows, pv_scale):
+        # s [KVH*G, T] f32 scores, v_rows [T, f] f32: one online-softmax
+        # accumulation step shared by the paged and fresh paths
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        shift = jnp.where(m_new == NEG_INF, 0.0, m_new)
+        pexp = jnp.exp(s - shift)
+        alpha = jnp.where(m_prev == NEG_INF, 0.0, jnp.exp(m_prev - shift))
+        l_ref[...] = jnp.broadcast_to(
+            alpha * l_ref[:, :1] + jnp.sum(pexp, axis=1, keepdims=True),
+            l_ref.shape,
+        )
+        outs = []
+        for h in range(kv_heads):
+            p_h = pexp[h * group_pad : (h + 1) * group_pad]
+            v_h = v_rows[:, h * head_dim : (h + 1) * head_dim]
+            outs.append(
+                jax.lax.dot_general(
+                    p_h, v_h,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        pv = jnp.concatenate(outs, axis=0)
+        acc_ref[...] = acc_ref[...] * alpha + pv * pv_scale
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(jnp.logical_and(p < n_paged, page_start < seq_len))
+    def _paged():
+        q = q_ref[0].astype(jnp.float32)  # [KVH*G, D]
+        kv_all = kv_ref[0, 0].astype(jnp.float32)  # [PS, 2F]
+        s = _scores(q, kv_all, sm_scale * k_scale)
+        pos = page_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < seq_len, s, NEG_INF)
+        _online_update(s, kv_all[:, f:], v_scale)
+
+    row0 = (p - n_paged) * fsub  # first fresh row of this sub-block
+
+    @pl.when(jnp.logical_and(p >= n_paged, row0 <= step))
+    def _fresh():
+        q = q_ref[0].astype(jnp.float32)
+        fr = fresh_ref[0].astype(jnp.float32)  # [FSUB, 2f]
+        s = _scores(q, fr, sm_scale)  # [KVH*G, FSUB]
+        row = row0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(row <= step, s, NEG_INF)
+        _online_update(s, fr[:, f:], 1.0)
+
+    @pl.when(p == n_total - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        denom = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, ...] = (acc_ref[...] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "page_size", "kv_heads", "sm_scale", "k_scale", "v_scale"
+    ),
+)
+def paged_attention_fresh(
+    q: jax.Array,  # [B, QH, D]
+    kv_cache: jax.Array,  # [L, NSLOTS, >=2F] combined (+pad for int8)
+    layer: jax.Array,  # scalar int32
+    fresh: jax.Array,  # [B, K, 2f] this chunk's rows (model dtype)
+    step: jax.Array,  # scalar int32: current decode step within the chunk
+    block_tables: jax.Array,  # [B, P] int32 (pass only LIVE page columns)
+    seq_lens: jax.Array,  # [B] int32 — tokens materialised in pages
+    *,
+    page_size: int,
+    kv_heads: int,
+    sm_scale: float | None = None,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+) -> jax.Array:
+    """Normalized decode attention over paged context + fresh chunk rows.
+
+    Replaces paged_attention_partial + the XLA-side dense merge in the
+    decode hot loop (models/qwen2.decode).  Returns [B, QH, D]."""
+    batch, q_heads, head_dim = q.shape
+    num_layers, nslots, two_f = kv_cache.shape
+    chunk_steps = fresh.shape[1]
+    assert two_f >= 2 * kv_heads * head_dim, (two_f, kv_heads, head_dim)
+    num_pages = nslots // page_size
+    group = q_heads // kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    max_pages = block_tables.shape[1]
+    # single fresh block: at decode sizes the whole-buffer DMA is ~7.5us/
+    # step — sub-blocking it costs more in grid iterations than it saves
+    fsub = chunk_steps
+    n_fresh = chunk_steps // fsub
+
+    group_pad = round_up(group, 8)
+    qg = q.reshape(batch, kv_heads, group, head_dim)
+    if group_pad != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_pad - group), (0, 0)))
+    qg = qg.reshape(batch, kv_heads * group_pad, head_dim)
+
+    kernel = functools.partial(
+        _paged_fresh_kernel,
+        sm_scale=sm_scale,
+        page_size=page_size,
+        kv_heads=kv_heads,
+        group_pad=group_pad,
+        head_dim=head_dim,
+        fsub=fsub,
+        n_paged=max_pages,
+        k_scale=k_scale,
+        v_scale=v_scale,
+    )
+    grid = (batch, max_pages + n_fresh)
+
+    def _kv_index(b, p, meta, tables, lens):
+        # clamp to the sequence's live pages: iterations past the live
+        # range (and the fresh steps) revisit the last live block, which
+        # Mosaic recognises and skips the DMA for
+        live_hi = jnp.maximum(
+            jax.lax.div(lens[b] + page_size - 1, page_size), 1
+        ) - 1
+        return (meta[0], tables[b, jnp.minimum(p, live_hi)], 0, 0)
+
+    def _fresh_index(b, p, meta, tables, lens):
+        # sub-blocks beyond the current step clamp to the last written
+        # one (no DMA); paged iterations pin to sub-block 0
+        return (b, jnp.clip(p - max_pages, 0, meta[1] // fsub), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, kv_heads * group_pad, head_dim),
+                lambda b, p, meta, tables, lens: (b, 0, 0),
+            ),
+            pl.BlockSpec((1, 1, page_size, two_f), _kv_index),
+            pl.BlockSpec((1, fsub, fresh.shape[-1]), _fresh_index),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, kv_heads * group_pad, head_dim),
+            lambda b, p, meta, tables, lens: (b, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((kv_heads * group_pad, _LANES), jnp.float32),
+            pltpu.VMEM((kv_heads * group_pad, _LANES), jnp.float32),
+            pltpu.VMEM((kv_heads * group_pad, head_dim), jnp.float32),
+        ],
+    )
+    meta = jnp.stack(
+        [jnp.asarray(layer, jnp.int32), jnp.asarray(step, jnp.int32)]
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, kv_heads * group_pad, head_dim), q.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=pallas_interpret_mode(),
+    )(
+        meta,
+        block_tables.astype(jnp.int32),
+        seq_lens.astype(jnp.int32),
+        qg,
+        kv_cache.reshape(num_layers, num_pages, page_size, two_f),
+        fresh,
+    )
+    out = out.reshape(batch, kv_heads, group_pad, head_dim)
+    return out[:, :, :group, :].reshape(batch, q_heads, head_dim)
+
+
 def paged_attention_fused(
     q: jax.Array,
     kv_cache: jax.Array,

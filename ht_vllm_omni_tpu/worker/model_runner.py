@@ -678,6 +678,20 @@ class ARModelRunner:
         self.h_top_p[slot] = sp.top_p
 
     # ----------------------------------------------------------- decode
+    # int_state row indices (host mirrors packed into ONE h2d transfer —
+    # each separate numpy argument costs a full round trip on a tunneled
+    # TPU link, ~1-2 ms apiece)
+    _ROW_POS = 0
+    _ROW_ACTIVE = 1
+    _ROW_FRESH = 2
+    _ROW_EMITTED = 3
+    _ROW_LIMIT = 4
+    _ROW_MIN_TOKENS = 5
+    _ROW_ROPE_DELTA = 6
+    _ROW_TOP_K = 7
+    _ROW_STOPS = 8  # .. _ROW_STOPS + MAX_STOP_TOKENS
+    _NUM_INT_ROWS = 8 + MAX_STOP_TOKENS
+
     @staticmethod
     def _decode_program(
         cfg,
@@ -690,19 +704,22 @@ class ARModelRunner:
         kv_cache,  # [L, NSLOTS, 2F] donated; read in-scan, flushed once
         keys,
         token_state,  # [S]
-        positions,  # [S] position of token_state token
-        active,  # [S] bool
-        fresh,  # [S] bool: token_state holds an unchecked prefill token
-        emitted,  # [S]
-        limit,  # [S]
-        min_tokens,  # [S]
-        stops,  # [S, MAX_STOP]
+        int_state,  # [_NUM_INT_ROWS, S] packed int32 host mirrors
+        f32_state,  # [2, S] temperature, top_p
         block_tables,  # [S, P]
-        rope_delta,  # [S] M-RoPE decode offset
-        temperature,
-        top_k,
-        top_p,
     ):
+        R = ARModelRunner
+        positions = int_state[R._ROW_POS]
+        active = int_state[R._ROW_ACTIVE].astype(bool)
+        fresh = int_state[R._ROW_FRESH].astype(bool)
+        emitted = int_state[R._ROW_EMITTED]
+        limit = int_state[R._ROW_LIMIT]
+        min_tokens = int_state[R._ROW_MIN_TOKENS]
+        rope_delta = int_state[R._ROW_ROPE_DELTA]
+        top_k = int_state[R._ROW_TOP_K]
+        stops = int_state[R._ROW_STOPS :].T  # [S, MAX_STOP]
+        temperature = f32_state[0]
+        top_p = f32_state[1]
         s = token_state.shape[0]
         st = SamplingTensors(temperature, top_k, top_p)
         # prefill-sampled tokens were never stop-checked on device; fold
@@ -830,18 +847,9 @@ class ARModelRunner:
                 P(None, DP_AXIS, TP_AXIS),  # kv_cache
                 P(DP_AXIS, None),  # keys
                 slotdim,  # token_state
-                slotdim,  # positions
-                slotdim,  # active
-                slotdim,  # fresh
-                slotdim,  # emitted
-                slotdim,  # limit
-                slotdim,  # min_tokens
-                P(DP_AXIS, None),  # stops
+                P(None, DP_AXIS),  # int_state
+                P(None, DP_AXIS),  # f32_state
                 P(DP_AXIS, None),  # block_tables
-                slotdim,  # rope_delta
-                slotdim,  # temperature
-                slotdim,  # top_k
-                slotdim,  # top_p
             )
             out = [
                 P(None, DP_AXIS, TP_AXIS),  # kv_cache
@@ -873,23 +881,39 @@ class ARModelRunner:
         samples.  hidden row j is the hidden state of step j's input
         token."""
         fn = self._decode_fn(num_steps, collect_hidden)
+        # trim the block-table width to the live-page envelope (bucketed
+        # to powers of two so at most log2(P) shapes compile): the paged
+        # grid then never iterates dead table columns.  Width must cover
+        # positions + num_steps — the end-of-chunk flush derives its
+        # write slots from these same (trimmed) tables.
+        if self.h_active.any():
+            live = int(self.h_positions[self.h_active].max()) + num_steps
+        else:
+            live = 1
+        width = min(
+            max(next_power_of_2(cdiv(max(live, 1), self.page_size)), 1),
+            self.max_pages_per_seq,
+        )
+        s = self.max_slots
+        int_state = np.empty((self._NUM_INT_ROWS, s), np.int32)
+        int_state[self._ROW_POS] = self.h_positions
+        int_state[self._ROW_ACTIVE] = self.h_active
+        int_state[self._ROW_FRESH] = self.h_fresh
+        int_state[self._ROW_EMITTED] = self.h_emitted
+        int_state[self._ROW_LIMIT] = self.h_limit
+        int_state[self._ROW_MIN_TOKENS] = self.h_min_tokens
+        int_state[self._ROW_ROPE_DELTA] = self.h_rope_delta
+        int_state[self._ROW_TOP_K] = self.h_top_k
+        int_state[self._ROW_STOPS :] = self.h_stops.T
+        f32_state = np.stack([self.h_temp, self.h_top_p])
         res = fn(
             self.params,
             self.kv_cache,
             self.keys,
             self.token_state,
-            self.h_positions,
-            self.h_active,
-            self.h_fresh,
-            self.h_emitted,
-            self.h_limit,
-            self.h_min_tokens,
-            self.h_stops,
-            self.h_tables,
-            self.h_rope_delta,
-            self.h_temp,
-            self.h_top_k,
-            self.h_top_p,
+            int_state,
+            f32_state,
+            np.ascontiguousarray(self.h_tables[:, :width]),
         )
         (self.kv_cache, self.keys, self.token_state, packed) = res[:4]
         host = np.asarray(packed)  # [K+4, S]; the single sync point
