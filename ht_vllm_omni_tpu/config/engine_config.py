@@ -33,6 +33,11 @@ class ModelArchConfig:
     num_experts: int = 0
     num_experts_per_tok: int = 0
     moe_intermediate_size: int = 0
+    # Qwen2MoE-style always-on expert beside the routed ones (the
+    # Qwen3-Omni talker uses this; 0 = absent)
+    shared_expert_intermediate_size: int = 0
+    # renormalise top-k router weights to sum 1 (HF norm_topk_prob)
+    norm_topk_prob: bool = True
     # sliding window / misc left for later model families
     eos_token_id: int | list[int] = 151645
     bos_token_id: int | None = None

@@ -45,6 +45,10 @@ def config_from_hf(path: str) -> ModelArchConfig:
         num_experts=hf.get("num_experts", 0) if mt.endswith("_moe") else 0,
         num_experts_per_tok=hf.get("num_experts_per_tok", 0),
         moe_intermediate_size=hf.get("moe_intermediate_size", 0),
+        shared_expert_intermediate_size=hf.get(
+            "shared_expert_intermediate_size", 0
+        ),
+        norm_topk_prob=hf.get("norm_topk_prob", True),
     )
 
 
@@ -109,6 +113,19 @@ def load_hf_params(cfg: ModelArchConfig, path: str, dtype=None) -> dict:
                 ]
                 mats.append(np.stack(layer_mats))
             params[our] = jnp.asarray(np.stack(mats), dtype=dt)
+        if cfg.shared_expert_intermediate_size > 0:
+            params["sgate"] = stack(
+                p + "mlp.shared_expert.gate_proj.weight", True
+            )
+            params["sup"] = stack(
+                p + "mlp.shared_expert.up_proj.weight", True
+            )
+            params["sdown"] = stack(
+                p + "mlp.shared_expert.down_proj.weight", True
+            )
+            params["shared_gate"] = stack(
+                p + "mlp.shared_expert_gate.weight", True
+            )
     else:
         params["gate"] = stack(p + "mlp.gate_proj.weight", True)
         params["up"] = stack(p + "mlp.up_proj.weight", True)

@@ -23,10 +23,7 @@ from ht_vllm_omni_tpu.models.layers import (
     rope_cos_sin,
 )
 from ht_vllm_omni_tpu.ops.flash_attention import flash_attention
-from ht_vllm_omni_tpu.ops.paged_attention import (
-    NEG_INF,
-    paged_attention_partial,
-)
+from ht_vllm_omni_tpu.ops.paged_attention import paged_attention_fresh
 
 
 def _dtype(cfg: ModelArchConfig):
@@ -74,6 +71,12 @@ def init_params(cfg: ModelArchConfig, key: jax.Array) -> dict:
         params["eup"] = w(next(keys), (nl, e, h, im))
         params["edown"] = w(next(keys), (nl, e, im, h))
         params.pop("gate"), params.pop("up"), params.pop("down")
+        if cfg.shared_expert_intermediate_size > 0:
+            ims = cfg.shared_expert_intermediate_size
+            params["sgate"] = w(next(keys), (nl, h, ims))
+            params["sup"] = w(next(keys), (nl, h, ims))
+            params["sdown"] = w(next(keys), (nl, ims, h))
+            params["shared_gate"] = w(next(keys), (nl, h, 1), 0.02)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(next(keys), (h, cfg.vocab_size), 0.02)
     return params
@@ -83,6 +86,7 @@ _LAYER_KEYS = (
     "ln1", "ln2", "wq", "wk", "wv", "wo", "gate", "up", "down",
     "bq", "bk", "bv", "q_norm", "k_norm",
     "router", "egate", "eup", "edown",
+    "sgate", "sup", "sdown", "shared_gate",
 )
 
 
@@ -207,7 +211,8 @@ def _mlp(
     probs = jax.nn.softmax(logits, axis=-1)
     k = cfg.num_experts_per_tok
     top_w, top_i = jax.lax.top_k(probs, k)  # [T, k]
-    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    if cfg.norm_topk_prob:
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
 
     num_local = lp["egate"].shape[0]
     if ep_axis is not None:
@@ -233,6 +238,21 @@ def _mlp(
         (lp["egate"], lp["eup"], lp["edown"],
          jnp.arange(num_local, dtype=jnp.int32)[:, None]),
     )
+    if "sgate" in lp:
+        # Qwen2MoE-style shared expert, sigmoid-gated (HF Qwen3-Omni
+        # talker Qwen3OmniMoeTalkerTextSparseMoeBlock).  Sharded like a
+        # dense Megatron MLP over tp, so the caller's psum is exact.
+        sg = _linear(lp, "sgate", x)
+        su = _linear(lp, "sup", x)
+        s_act = (jax.nn.silu(sg) * su).astype(x.dtype)
+        shared = _linear(lp, "sdown", s_act)
+        # gate is replicated; scaling the row-sharded partial by it is
+        # psum-exact (psum is linear)
+        gate_w = jax.nn.sigmoid(
+            jnp.dot(x, lp["shared_gate"],
+                    preferred_element_type=jnp.float32)
+        )
+        acc = acc + shared * gate_w
     return acc
 
 
@@ -322,8 +342,6 @@ def decode(
     s_slots = inputs_embeds.shape[0]
     kvh, d = cfg.num_key_value_heads, cfg.head_dim
     f = kvh * d
-    group = cfg.num_attention_heads // kvh
-    sm_scale = d**-0.5
     rope_pos = (
         positions + rope_delta if rope_delta is not None else positions
     )
@@ -339,38 +357,16 @@ def decode(
         )
         fresh_l = fresh_l.at[row_idx].set(row.astype(fresh_l.dtype))
 
-        # paged partials over the pre-chunk cache
+        # one fused kernel: paged context + in-chunk fresh rows, online
+        # softmax across both sources, normalized output
         ks_, vs_ = kv_scales if kv_scales is not None else (1.0, 1.0)
-        acc, m_p, l_p = paged_attention_partial(
-            q, kv_cache, li, block_tables, seq_lens0,
+        o = paged_attention_fresh(
+            q, kv_cache, li,
+            fresh_l.reshape(s_slots, chunk_steps, 2 * f),
+            step, block_tables, seq_lens0,
             page_size=page_size, kv_heads=kvh,
             k_scale=ks_, v_scale=vs_,
-        )
-        acc = acc[:, :, :group]  # [S, KVH, G, D] f32
-        m_p = m_p[:, :, :group]
-        l_p = l_p[:, :, :group]
-
-        # dense part over this chunk's fresh rows
-        fr = fresh_l.reshape(s_slots, chunk_steps, 2 * f).astype(jnp.float32)
-        fk = fr[..., :f].reshape(s_slots, chunk_steps, kvh, d)
-        fv = fr[..., f:].reshape(s_slots, chunk_steps, kvh, d)
-        qg = q.reshape(s_slots, kvh, group, d).astype(jnp.float32)
-        s_d = jnp.einsum("bhgd,bkhd->bhgk", qg, fk) * sm_scale
-        s_d = jnp.where(
-            written[:, None, None, :], s_d, NEG_INF
-        )  # [S, KVH, G, K]
-        m_d = jnp.max(s_d, axis=-1)  # [S, KVH, G]
-
-        m_tot = jnp.maximum(m_p, m_d)
-        shift = jnp.where(m_tot == NEG_INF, 0.0, m_tot)
-        p_d = jnp.exp(s_d - shift[..., None])
-        p_d = jnp.where(written[:, None, None, :], p_d, 0.0)
-        o_d = jnp.einsum("bhgk,bkhd->bhgd", p_d, fv)
-        a_p = jnp.where(m_p == NEG_INF, 0.0, jnp.exp(m_p - shift))
-        l_tot = l_p * a_p + jnp.sum(p_d, axis=-1)
-        o = acc * a_p[..., None] + o_d
-        denom = jnp.where(l_tot == 0.0, 1.0, l_tot)[..., None]
-        o = (o / denom).astype(h.dtype)
+        ).astype(h.dtype)
         o = o.reshape(s_slots, -1)
 
         delta = _linear(lp, "wo", o)

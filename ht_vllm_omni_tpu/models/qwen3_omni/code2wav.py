@@ -1,0 +1,400 @@
+"""Qwen3-Omni Code2Wav (multi-codebook codes -> waveform) in jax.
+
+Architecture (reference vllm_omni/model_executor/models/qwen3_omni/
+qwen3_omni_code2wav.py; numerics pinned to transformers'
+Qwen3OmniMoeCode2Wav):
+
+  codes [num_quantizers, T]
+    -> per-quantizer offset embedding, mean over quantizers
+    -> pre-transformer (GQA, sliding-window causal attention, rope,
+       RMSNorm, SwiGLU MLP, LayerScale residuals)
+    -> upsampling_ratios x (causal transpose-conv + ConvNeXt block)
+    -> decoder: causal conv -> per-rate DecoderBlocks (SnakeBeta +
+       transpose-conv + 3 dilated residual units) -> SnakeBeta -> conv
+    -> clamp to [-1, 1]
+
+Streaming uses the same chunk + left-context scheme as the reference
+(chunked_decode): decode [ctx | chunk] and drop ctx * total_upsample
+samples.  Causal convs keep the seams clean; the left context bounds the
+(small) approximation from truncating the transformer's sliding-window
+history, exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Code2WavConfig:
+    hidden_size: int = 1024
+    num_hidden_layers: int = 8
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 16
+    head_dim: int | None = None
+    intermediate_size: int = 3072
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    sliding_window: int = 72
+    layer_scale_initial_scale: float = 0.01
+    codebook_size: int = 2048
+    num_quantizers: int = 16
+    upsampling_ratios: tuple = (2, 2)
+    upsample_rates: tuple = (8, 5, 4, 3)
+    decoder_dim: int = 1536
+    dtype: str = "float32"
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or (
+            self.hidden_size // self.num_attention_heads
+        )
+
+    @property
+    def total_upsample(self) -> int:
+        return int(np.prod(self.upsample_rates + self.upsampling_ratios))
+
+
+# ------------------------------------------------------------- primitives
+def _causal_conv1d(x, w, b, *, stride=1, dilation=1, groups=1):
+    """x [C_in, T] -> [C_out, T'] with the reference's causal padding:
+    left pad (k_eff - stride), right pad to a whole number of frames."""
+    c_out, _, k = w.shape
+    k_eff = (k - 1) * dilation + 1
+    pad = k_eff - stride
+    t = x.shape[-1]
+    n_frames = (t - k_eff + pad) / stride + 1
+    ideal = (math.ceil(n_frames) - 1) * stride + (k_eff - pad)
+    extra = ideal - t
+    out = jax.lax.conv_general_dilated(
+        x[None].astype(jnp.float32),
+        w.astype(jnp.float32),
+        window_strides=(stride,),
+        padding=((pad, max(extra, 0)),),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+    )[0]
+    if b is not None:
+        out = out + b.astype(jnp.float32)[:, None]
+    return out
+
+
+def _causal_trans_conv1d(x, w, b, *, stride):
+    """ConvTranspose1d (torch weight layout [C_in, C_out, k]) followed by
+    the reference's symmetric (k - stride) trim."""
+    c_in, c_out, k = w.shape
+    # transpose conv == lhs-dilated conv with the flipped, transposed kernel
+    w_c = jnp.flip(w, axis=-1).transpose(1, 0, 2)  # [C_out, C_in, k]
+    out = jax.lax.conv_general_dilated(
+        x[None].astype(jnp.float32),
+        w_c.astype(jnp.float32),
+        window_strides=(1,),
+        padding=((k - 1, k - 1),),
+        lhs_dilation=(stride,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )[0]
+    if b is not None:
+        out = out + b.astype(jnp.float32)[:, None]
+    pad = k - stride
+    if pad > 0:
+        out = out[:, pad:-pad]
+    return out
+
+
+def _snake_beta(x, alpha, beta):
+    """x + 1/exp(beta) * sin(x * exp(alpha))^2, channelwise over [C, T]."""
+    a = jnp.exp(alpha.astype(jnp.float32))[:, None]
+    b = jnp.exp(beta.astype(jnp.float32))[:, None]
+    x = x.astype(jnp.float32)
+    return x + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(x * a))
+
+
+def _rms_norm(x, w, eps):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    return w * (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _layer_norm(x, w, b, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps)) * w + b
+
+
+def _convnext_block(x, bp):
+    """x [C, T]; depthwise causal conv7 -> LN -> pw 4x -> GELU -> pw -> gamma."""
+    res = x
+    c = x.shape[0]
+    h = _causal_conv1d(x, bp["dw_w"], bp["dw_b"], groups=c)
+    h = h.T  # [T, C]
+    h = _layer_norm(h, bp["ln"], bp["ln_b"])
+    h = jax.nn.gelu(jnp.dot(h, bp["pw1"]) + bp["pw1_b"], approximate=False)
+    h = jnp.dot(h, bp["pw2"]) + bp["pw2_b"]
+    h = (bp["gamma"] * h).T
+    return res + h
+
+
+# ---------------------------------------------------------------- params
+def init_params(cfg: Code2WavConfig, key: jax.Array) -> dict:
+    dt = jnp.dtype(cfg.dtype)
+    h, ff, nl = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    nq, nk, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
+    ks = jax.random.split(key, 64)
+    ki = iter(ks)
+
+    def w(shape, scale=0.02):
+        return (
+            jax.random.normal(next(ki), shape, jnp.float32) * scale
+        ).astype(dt)
+
+    p = {
+        "code_embed": w((cfg.codebook_size * cfg.num_quantizers, h)),
+        "ln1": jnp.ones((nl, h), dt),
+        "wq": w((nl, h, nq * hd)),
+        "wk": w((nl, h, nk * hd)),
+        "wv": w((nl, h, nk * hd)),
+        "wo": w((nl, nq * hd, h)),
+        "attn_scale": jnp.full(
+            (nl, h), cfg.layer_scale_initial_scale, dt
+        ),
+        "ln2": jnp.ones((nl, h), dt),
+        "gate": w((nl, h, ff)),
+        "up": w((nl, h, ff)),
+        "down": w((nl, ff, h)),
+        "mlp_scale": jnp.full((nl, h), cfg.layer_scale_initial_scale, dt),
+        "norm_f": jnp.ones((h,), dt),
+    }
+    for i, factor in enumerate(cfg.upsampling_ratios):
+        p[f"ups_{i}_tconv_w"] = w((h, h, factor))
+        p[f"ups_{i}_tconv_b"] = jnp.zeros((h,), dt)
+        p[f"ups_{i}_cnx"] = {
+            "dw_w": w((h, 1, 7)), "dw_b": jnp.zeros((h,), dt),
+            "ln": jnp.ones((h,), dt), "ln_b": jnp.zeros((h,), dt),
+            "pw1": w((h, 4 * h)), "pw1_b": jnp.zeros((4 * h,), dt),
+            "pw2": w((4 * h, h)), "pw2_b": jnp.zeros((h,), dt),
+            "gamma": jnp.full((h,), 1e-6, dt),
+        }
+    dd = cfg.decoder_dim
+    p["dec_in_w"] = w((dd, h, 7))
+    p["dec_in_b"] = jnp.zeros((dd,), dt)
+    for i, rate in enumerate(cfg.upsample_rates):
+        din = dd // 2**i
+        dout = dd // 2 ** (i + 1)
+        blk = {
+            "snake_a": jnp.zeros((din,), dt),
+            "snake_b": jnp.zeros((din,), dt),
+            "tconv_w": w((din, dout, 2 * rate)),
+            "tconv_b": jnp.zeros((dout,), dt),
+        }
+        for j, dil in enumerate((1, 3, 9)):
+            blk[f"ru{j}"] = {
+                "a1": jnp.zeros((dout,), dt), "b1": jnp.zeros((dout,), dt),
+                "c1_w": w((dout, dout, 7)), "c1_b": jnp.zeros((dout,), dt),
+                "a2": jnp.zeros((dout,), dt), "b2": jnp.zeros((dout,), dt),
+                "c2_w": w((dout, dout, 1)), "c2_b": jnp.zeros((dout,), dt),
+            }
+        p[f"dec_{i}"] = blk
+    out_dim = dd // 2 ** len(cfg.upsample_rates)
+    p["dec_out_snake_a"] = jnp.zeros((out_dim,), dt)
+    p["dec_out_snake_b"] = jnp.zeros((out_dim,), dt)
+    p["dec_out_w"] = w((1, out_dim, 7))
+    p["dec_out_b"] = jnp.zeros((1,), dt)
+    return p
+
+
+def load_hf_state(cfg: Code2WavConfig, state: dict) -> dict:
+    dt = jnp.dtype(cfg.dtype)
+
+    def g(name, transpose=False):
+        a = np.asarray(state[name].float())
+        return jnp.asarray(a.T if transpose else a, dt)
+
+    def stack(fmt, transpose=False):
+        return jnp.asarray(
+            np.stack([
+                np.asarray(state[fmt.format(i)].float()).T if transpose
+                else np.asarray(state[fmt.format(i)].float())
+                for i in range(cfg.num_hidden_layers)
+            ]), dt
+        )
+
+    t = "pre_transformer.layers.{}."
+    p = {
+        "code_embed": g("code_embedding.weight"),
+        "ln1": stack(t + "input_layernorm.weight"),
+        "wq": stack(t + "self_attn.q_proj.weight", True),
+        "wk": stack(t + "self_attn.k_proj.weight", True),
+        "wv": stack(t + "self_attn.v_proj.weight", True),
+        "wo": stack(t + "self_attn.o_proj.weight", True),
+        "attn_scale": stack(t + "self_attn_layer_scale.scale"),
+        "ln2": stack(t + "post_attention_layernorm.weight"),
+        "gate": stack(t + "mlp.gate_proj.weight", True),
+        "up": stack(t + "mlp.up_proj.weight", True),
+        "down": stack(t + "mlp.down_proj.weight", True),
+        "mlp_scale": stack(t + "mlp_layer_scale.scale"),
+        "norm_f": g("pre_transformer.norm.weight"),
+        "dec_in_w": g("decoder.0.conv.weight"),
+        "dec_in_b": g("decoder.0.conv.bias"),
+    }
+    for i in range(len(cfg.upsampling_ratios)):
+        p[f"ups_{i}_tconv_w"] = g(f"upsample.{i}.0.conv.weight")
+        p[f"ups_{i}_tconv_b"] = g(f"upsample.{i}.0.conv.bias")
+        c = f"upsample.{i}.1."
+        p[f"ups_{i}_cnx"] = {
+            "dw_w": g(c + "dwconv.conv.weight"),
+            "dw_b": g(c + "dwconv.conv.bias"),
+            "ln": g(c + "norm.weight"), "ln_b": g(c + "norm.bias"),
+            "pw1": g(c + "pwconv1.weight", True),
+            "pw1_b": g(c + "pwconv1.bias"),
+            "pw2": g(c + "pwconv2.weight", True),
+            "pw2_b": g(c + "pwconv2.bias"),
+            "gamma": g(c + "gamma"),
+        }
+    for i in range(len(cfg.upsample_rates)):
+        d = f"decoder.{i + 1}.block."
+        blk = {
+            "snake_a": g(d + "0.alpha"), "snake_b": g(d + "0.beta"),
+            "tconv_w": g(d + "1.conv.weight"),
+            "tconv_b": g(d + "1.conv.bias"),
+        }
+        for j in range(3):
+            r = d + f"{2 + j}."
+            blk[f"ru{j}"] = {
+                "a1": g(r + "act1.alpha"), "b1": g(r + "act1.beta"),
+                "c1_w": g(r + "conv1.conv.weight"),
+                "c1_b": g(r + "conv1.conv.bias"),
+                "a2": g(r + "act2.alpha"), "b2": g(r + "act2.beta"),
+                "c2_w": g(r + "conv2.conv.weight"),
+                "c2_b": g(r + "conv2.conv.bias"),
+            }
+        p[f"dec_{i}"] = blk
+    nd = len(cfg.upsample_rates)
+    p["dec_out_snake_a"] = g(f"decoder.{nd + 1}.alpha")
+    p["dec_out_snake_b"] = g(f"decoder.{nd + 1}.beta")
+    p["dec_out_w"] = g(f"decoder.{nd + 2}.conv.weight")
+    p["dec_out_b"] = g(f"decoder.{nd + 2}.conv.bias")
+    return p
+
+
+# --------------------------------------------------------------- forward
+def _rope(positions, dim, theta):
+    inv = 1.0 / (theta ** (np.arange(0, dim, 2, np.float32) / dim))
+    f = positions[:, None].astype(jnp.float32) * inv[None]
+    emb = jnp.concatenate([f, f], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def pre_transformer(cfg: Code2WavConfig, params: dict, h: jax.Array):
+    """h [T, H] -> [T, H]; sliding-window causal self-attention."""
+    t = h.shape[0]
+    nh, nk, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
+    group = nh // nk
+    scale = hd**-0.5
+    pos = jnp.arange(t)
+    cos, sin = _rope(pos, hd, cfg.rope_theta)
+    cos, sin = cos[:, None, :], sin[:, None, :]
+    # causal + sliding window: q attends keys in (q - window, q]
+    qi = pos[:, None]
+    kj = pos[None, :]
+    mask = (kj <= qi) & (kj > qi - cfg.sliding_window)
+
+    def layer(h, lp):
+        x = _rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
+        q = jnp.dot(x, lp["wq"]).reshape(t, nh, hd)
+        k = jnp.dot(x, lp["wk"]).reshape(t, nk, hd)
+        v = jnp.dot(x, lp["wv"]).reshape(t, nk, hd)
+        qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+        q = qf * cos + _rotate_half(qf) * sin
+        k = kf * cos + _rotate_half(kf) * sin
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v.astype(jnp.float32), group, axis=1)
+        s = jnp.einsum("qhd,khd->hqk", q, k) * scale
+        s = jnp.where(mask[None], s, -1e30)
+        pa = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("hqk,khd->qhd", pa, v).reshape(t, -1).astype(h.dtype)
+        h = h + lp["attn_scale"] * jnp.dot(o, lp["wo"])
+        x = _rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
+        act = jax.nn.silu(jnp.dot(x, lp["gate"])) * jnp.dot(x, lp["up"])
+        h = h + lp["mlp_scale"] * jnp.dot(act.astype(x.dtype), lp["down"])
+        return h, None
+
+    keys = ("ln1", "wq", "wk", "wv", "wo", "attn_scale",
+            "ln2", "gate", "up", "down", "mlp_scale")
+    h, _ = jax.lax.scan(layer, h, {k: params[k] for k in keys})
+    return _rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
+
+
+def decode(cfg: Code2WavConfig, params: dict, codes: jax.Array) -> jax.Array:
+    """codes [num_quantizers, T] int32 -> wav [T * total_upsample] f32."""
+    nq, t = codes.shape
+    assert nq == cfg.num_quantizers, (nq, cfg.num_quantizers)
+    offset = (
+        jnp.arange(cfg.num_quantizers, dtype=jnp.int32)[:, None]
+        * cfg.codebook_size
+    )
+    emb = jnp.take(params["code_embed"], codes + offset, axis=0)
+    h = jnp.mean(emb.astype(jnp.float32), axis=0).astype(
+        params["code_embed"].dtype
+    )  # [T, H]
+    h = pre_transformer(cfg, params, h)
+
+    x = h.T  # [H, T]
+    for i, factor in enumerate(cfg.upsampling_ratios):
+        x = _causal_trans_conv1d(
+            x, params[f"ups_{i}_tconv_w"], params[f"ups_{i}_tconv_b"],
+            stride=factor,
+        )
+        x = _convnext_block(x, params[f"ups_{i}_cnx"])
+
+    x = _causal_conv1d(x, params["dec_in_w"], params["dec_in_b"])
+    for i, rate in enumerate(cfg.upsample_rates):
+        blk = params[f"dec_{i}"]
+        x = _snake_beta(x, blk["snake_a"], blk["snake_b"])
+        x = _causal_trans_conv1d(
+            x, blk["tconv_w"], blk["tconv_b"], stride=rate
+        )
+        for j, dil in enumerate((1, 3, 9)):
+            ru = blk[f"ru{j}"]
+            r = x
+            x = _snake_beta(x, ru["a1"], ru["b1"])
+            x = _causal_conv1d(x, ru["c1_w"], ru["c1_b"], dilation=dil)
+            x = _snake_beta(x, ru["a2"], ru["b2"])
+            x = _causal_conv1d(x, ru["c2_w"], ru["c2_b"])
+            x = x + r
+    x = _snake_beta(x, params["dec_out_snake_a"], params["dec_out_snake_b"])
+    x = _causal_conv1d(x, params["dec_out_w"], params["dec_out_b"])
+    return jnp.clip(x[0], -1.0, 1.0)
+
+
+def chunked_decode(
+    cfg: Code2WavConfig,
+    params: dict,
+    codes: np.ndarray,  # [nq, T]
+    chunk_size: int = 300,
+    left_context_size: int = 25,
+) -> np.ndarray:
+    """Streaming decode with left context (reference chunked_decode):
+    causal convs make the stitched output match the full decode."""
+    wavs = []
+    start = 0
+    total = codes.shape[-1]
+    up = cfg.total_upsample
+    while start < total:
+        end = min(start + chunk_size, total)
+        ctx = left_context_size if start - left_context_size > 0 else start
+        piece = decode(cfg, params, jnp.asarray(codes[..., start - ctx : end]))
+        wavs.append(np.asarray(piece)[ctx * up :])
+        start = end
+    return np.concatenate(wavs)

@@ -75,6 +75,11 @@ def param_pspecs(cfg: ModelArchConfig) -> dict[str, P]:
         "egate": P(None, TP_AXIS, None, None),
         "eup": P(None, TP_AXIS, None, None),
         "edown": P(None, TP_AXIS, None, None),
+        # shared expert: dense Megatron layout; its sigmoid gate replicated
+        "sgate": P(None, None, TP_AXIS),
+        "sup": P(None, None, TP_AXIS),
+        "sdown": P(None, TP_AXIS, None),
+        "shared_gate": P(),
     }
     # quantized leaves follow their base weight's layout; group/channel
     # scales live on whichever dim survives: col-parallel weights shard
