@@ -46,6 +46,7 @@ class ModelArchConfig:
     # M-RoPE half-dim section sizes (t, h, w); None = standard RoPE
     mrope_sections: tuple | None = None
     image_token_id: int | None = None
+    audio_token_id: int | None = None
 
     def __post_init__(self) -> None:
         if self.head_dim is None:
@@ -137,3 +138,7 @@ class EngineConfig:
     model_path: str | None = None
     seed: int = 0
     enforce_eager: bool = False
+    # multimodal perception adapter spec, e.g.
+    # {"name": "qwen3_omni", "vision": {...}, "audio": {...}} — resolved
+    # by models/mm_registry.py; None = legacy mean-colour fallback
+    mm_encoder_spec: dict | None = None

@@ -68,6 +68,14 @@ class LLMEngine:
         self._req_counter = itertools.count()
         # request_id -> (prompt_hidden_device_array, producing-hiddens list)
         self._hidden: dict[str, dict] = {}
+        # multimodal perception adapter (encode_image/encode_audio)
+        self.mm_encoder = None
+        if config.mm_encoder_spec is not None:
+            from ht_vllm_omni_tpu.models import mm_registry
+
+            self.mm_encoder = mm_registry.build(
+                config.mm_encoder_spec, config.model
+            )
 
     # --------------------------------------------------------------- intake
     def add_request(
@@ -79,12 +87,21 @@ class LLMEngine:
         sampling_params = sampling_params or SamplingParams()
         request_id = request_id or f"req-{next(self._req_counter)}"
         p = as_prompt(prompt)
-        if p.multi_modal_data and self.config.model.image_token_id is not None:
+        mm_capable = (
+            self.config.model.image_token_id is not None
+            or self.config.model.audio_token_id is not None
+        )
+        if p.multi_modal_data and mm_capable:
             from ht_vllm_omni_tpu.models.input_processing import (
+                default_vision_encoder,
                 process_multimodal_prompt,
             )
 
-            p = process_multimodal_prompt(p, self.config.model)
+            p = process_multimodal_prompt(
+                p,
+                self.config.model,
+                encoder=self.mm_encoder or default_vision_encoder,
+            )
         if p.embeds is not None:
             # prompt embeds (thinker->talker handoff): token ids are
             # placeholders for length bookkeeping

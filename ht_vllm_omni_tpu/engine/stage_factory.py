@@ -88,10 +88,51 @@ def engine_config_from_stage(
         scheduler=sched,
         model_path=args.get("model", model_path),
         seed=args.get("seed", 0),
+        mm_encoder_spec=args.get("mm_encoder"),
     )
 
 
 _GENERATION_BUILDERS["code2wav"] = _build_code2wav
+
+
+def _build_qwen3_omni_code2wav(cfg: StageConfig, model_path: str | None):
+    """Real Qwen3-Omni vocoder stage (models/qwen3_omni/code2wav.py)."""
+    from ht_vllm_omni_tpu.engine.generation_engine import GenerationEngine
+    from ht_vllm_omni_tpu.models.qwen3_omni import code2wav as c2w
+
+    kwargs = dict(cfg.engine_args.get("code2wav", {}))
+    for tup in ("upsampling_ratios", "upsample_rates"):
+        if tup in kwargs:
+            kwargs[tup] = tuple(kwargs[tup])
+    c2w_cfg = c2w.Code2WavConfig(**kwargs)
+    model = c2w.Qwen3OmniCode2WavModel(
+        c2w_cfg, seed=cfg.engine_args.get("seed", 0)
+    )
+    cfg.runtime["code2wav_model"] = model
+    return GenerationEngine(
+        model, max_batch_size=cfg.engine_args.get("max_num_seqs", 1)
+    )
+
+
+_GENERATION_BUILDERS["qwen3_omni_code2wav"] = _build_qwen3_omni_code2wav
+
+
+def _attach_code_predictor(cfg: StageConfig, engine) -> None:
+    """Build the talker's MTP residual-code predictor and hang it on the
+    stage config so the talker2code2wav processor can expand codes
+    (models/stage_input_processors.py)."""
+    from ht_vllm_omni_tpu.models.qwen3_omni import code_predictor as cp
+
+    spec = dict(cfg.engine_args["code_predictor"])
+    pcfg = cp.CodePredictorConfig(**spec)
+    params = cp.init_params(
+        pcfg, __import__("jax").random.PRNGKey(
+            cfg.engine_args.get("seed", 0) + 7
+        )
+    )
+    cfg.runtime["code_predictor"] = cp.CodePredictorRuntime(
+        pcfg, params, engine.runner.params["embed"]
+    )
 
 
 def build_stages(
@@ -116,5 +157,7 @@ def build_stages(
             from ht_vllm_omni_tpu.engine.llm_engine import LLMEngine
 
             engine = LLMEngine(engine_config_from_stage(cfg, model_path))
+            if "code_predictor" in cfg.engine_args:
+                _attach_code_predictor(cfg, engine)
         handles.append(StageHandle(cfg, engine))
     return handles

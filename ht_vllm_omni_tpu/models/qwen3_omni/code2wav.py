@@ -398,3 +398,47 @@ def chunked_decode(
         wavs.append(np.asarray(piece)[ctx * up :])
         start = end
     return np.concatenate(wavs)
+
+
+class Qwen3OmniCode2WavModel:
+    """GenerationEngine model adapter (engine/generation_engine.py
+    contract): consumes chunk payloads whose additional_information
+    carries ``codes`` [G, n] (from the talker2code2wav processor, group-0
+    only payloads are broadcast), decodes with the chunk's left context,
+    and returns the NEW audio samples.  Compiles per distinct chunk
+    length — streaming feeds fixed window+context sizes, so only the
+    final partial chunk adds a shape (no padding: the transpose convs
+    look ahead one frame, so zero right-padding would perturb the tail
+    once biases make pad rows non-zero)."""
+
+    def __init__(self, cfg: Code2WavConfig, params: dict | None = None,
+                 seed: int = 0) -> None:
+        self.cfg = cfg
+        self.params = params or init_params(cfg, jax.random.PRNGKey(seed))
+        self._fns: dict[int, object] = {}
+
+    def __call__(self, token_ids, prompt_embeds, info, state):
+        codes = info.get("codes")
+        if codes is None:
+            if not token_ids:
+                return {}
+            codes = np.tile(
+                np.asarray(token_ids, np.int32)[None],
+                (self.cfg.num_quantizers, 1),
+            )
+        codes = np.asarray(codes, np.int32)
+        if codes.shape[0] != self.cfg.num_quantizers:
+            # single-group payload (no predictor attached): broadcast
+            codes = np.tile(codes[:1], (self.cfg.num_quantizers, 1))
+        codes = np.clip(codes, 0, self.cfg.codebook_size - 1)
+        t = codes.shape[1]
+        if t == 0:
+            return {}
+        left = int(info.get("left_context", 0) or 0)
+        fn = self._fns.get(t)
+        if fn is None:
+            fn = jax.jit(lambda p, c: decode(self.cfg, p, c))
+            self._fns[t] = fn
+        wav = np.asarray(fn(self.params, codes))
+        up = self.cfg.total_upsample
+        return {"audio": wav[left * up :]}

@@ -218,3 +218,44 @@ def predict_residuals(
         step, (seq0, codes0), jnp.arange(g - 1, dtype=jnp.int32)
     )
     return codes
+
+
+class CodePredictorRuntime:
+    """Engine-facing wrapper: jitted, batch-bucketed residual expansion.
+
+    Holds the predictor params plus the TALKER's codec embedding table
+    (group-0 codes are embedded by the talker, see predict_residuals).
+    Batch sizes are bucketed to powers of two so chunked TTS streams hit
+    a handful of compiled shapes.
+    """
+
+    def __init__(self, cfg: CodePredictorConfig, params: dict,
+                 talker_embed) -> None:
+        self.cfg = cfg
+        self.params = params
+        self.talker_embed = jnp.asarray(talker_embed)
+        self._fns: dict[int, object] = {}
+
+    def expand(self, hidden: np.ndarray, code0: np.ndarray) -> np.ndarray:
+        """hidden [n, H], code0 [n] -> codes [n, num_code_groups]."""
+        n = len(code0)
+        if n == 0:
+            return np.zeros((0, self.cfg.num_code_groups), np.int32)
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        fn = self._fns.get(bucket)
+        if fn is None:
+            def run(params, table, h, c0):
+                emb = jnp.take(table, jnp.clip(c0, 0, table.shape[0] - 1),
+                               axis=0)
+                return predict_residuals(self.cfg, params, h, emb, c0)
+
+            fn = jax.jit(run)
+            self._fns[bucket] = fn
+        h_pad = np.zeros((bucket, hidden.shape[1]), np.float32)
+        h_pad[:n] = hidden[:, : hidden.shape[1]]
+        c_pad = np.zeros((bucket,), np.int32)
+        c_pad[:n] = np.asarray(code0, np.int32)
+        codes = fn(self.params, self.talker_embed, h_pad, c_pad)
+        return np.asarray(codes)[:n]

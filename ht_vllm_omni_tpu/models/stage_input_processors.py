@@ -58,3 +58,33 @@ def default_next_stage_input(
         },
         text="" if not token_ids and embeds is None else None,
     )
+
+
+@register("qwen3_omni_talker2code2wav")
+def qwen3_omni_talker2code2wav(
+    output: OmniRequestOutput, from_cfg, to_cfg
+) -> OmniPrompt:
+    """Talker chunk -> code2wav chunk with residual-codebook expansion.
+
+    The talker emits group-0 codec tokens plus per-token hidden states;
+    the MTP code predictor attached to the talker stage
+    (from_cfg.runtime["code_predictor"], built by the stage factory)
+    expands each into all num_code_groups residual codes (reference
+    qwen3_omni_moe_code_predictor_mtp.py).  Codes travel to the vocoder
+    as additional_information["codes"] [G, n]."""
+    import numpy as np
+
+    comp = output.outputs[0] if output.outputs else None
+    tokens = np.asarray(list(comp.token_ids) if comp else [], np.int32)
+    hidden = comp.hidden_states if comp else None
+    predictor = from_cfg.runtime.get("code_predictor")
+    if predictor is not None and hidden is not None and len(tokens):
+        codes = predictor.expand(np.asarray(hidden), tokens)  # [n, G]
+        codes = np.asarray(codes).T  # [G, n]
+    else:
+        codes = tokens[None, :]
+    return OmniPrompt(
+        token_ids=list(tokens) or None,
+        additional_information={"codes": codes},
+        text="" if not len(tokens) else None,
+    )
