@@ -142,3 +142,7 @@ class EngineConfig:
     # {"name": "qwen3_omni", "vision": {...}, "audio": {...}} — resolved
     # by models/mm_registry.py; None = legacy mean-colour fallback
     mm_encoder_spec: dict | None = None
+    # speculative decoding: number of Medusa-style draft tokens per
+    # verification forward (0 = off).  Greedy-only; the engine falls back
+    # to normal decode when a batch wants sampling or hidden states.
+    spec_num_draft: int = 0

@@ -22,6 +22,7 @@ import numpy as np
 
 from ht_vllm_omni_tpu.config import EngineConfig
 from ht_vllm_omni_tpu.core.request import Request
+from ht_vllm_omni_tpu.utils import cdiv
 from ht_vllm_omni_tpu.core.sched.scheduler import Scheduler
 from ht_vllm_omni_tpu.inputs import OmniPrompt, as_prompt
 from ht_vllm_omni_tpu.outputs import CompletionOutput, OmniRequestOutput
@@ -205,9 +206,13 @@ class LLMEngine:
     def step(self) -> list[OmniRequestOutput]:
         """One engine iteration (prefills + one decode chunk); returns
         streaming deltas for every request that made progress."""
-        prefill_works, decode_reqs = self.scheduler.step_plan(
-            self.decode_horizon
+        spec_d = self.config.spec_num_draft
+        use_spec = spec_d > 0 and self.runner.mesh is None
+        spec_iters = max(1, cdiv(self.decode_horizon, spec_d + 1))
+        horizon = (
+            spec_iters * (spec_d + 1) if use_spec else self.decode_horizon
         )
+        prefill_works, decode_reqs = self.scheduler.step_plan(horizon)
         for req in self.scheduler.newly_preempted:
             self.runner.release_slot(req.request_id)
 
@@ -234,15 +239,31 @@ class LLMEngine:
                 )
                 want_hidden[req.request_id] = True
         for req in decode_reqs:
+            # pages may have grown this step; keep the device-side block
+            # tables in lockstep (stale columns corrupt the KV cache)
+            self.runner.sync_tables(req)
             if req.sampling_params.return_hidden_states:
                 want_hidden[req.request_id] = True
 
         active = prefills + decode_reqs
         if not active:
             return []
-        tokens, hidden = self.runner.decode_chunk(
-            self.decode_horizon, collect_hidden=bool(want_hidden)
-        )
+        # spec mode requires greedy everywhere + no hidden collection;
+        # otherwise fall back to the normal multi-step chunk
+        if (
+            use_spec
+            and not want_hidden
+            and all(
+                r.sampling_params.temperature == 0.0 for r in active
+            )
+        ):
+            tokens, hidden = self.runner.spec_decode_chunk(
+                spec_iters, spec_d
+            )
+        else:
+            tokens, hidden = self.runner.decode_chunk(
+                self.decode_horizon, collect_hidden=bool(want_hidden)
+            )
 
         outputs: list[OmniRequestOutput] = []
         fresh_ids = {r.request_id for r in prefills}

@@ -394,6 +394,90 @@ def decode(
     return h, fresh
 
 
+def spec_verify_forward(
+    cfg: ModelArchConfig,
+    params: dict,
+    kv_cache: jax.Array,  # [L, NSLOTS, 2F] — READ ONLY
+    fresh: jax.Array,  # [L, S*R, 2F] chunk rows (R rows per slot)
+    inputs_embeds: jax.Array,  # [S*Q, H]: per slot [cur, draft_1..Q-1]
+    positions: jax.Array,  # [S*Q] position of each query row
+    fresh_base: jax.Array,  # [S] rows already written per slot
+    block_tables: jax.Array,  # [S, P]
+    seq_lens0: jax.Array,  # [S]
+    *,
+    page_size: int,
+    q_per_seq: int,
+    rows_per_slot: int,
+    tp_axis: str | None = None,
+    kv_scales: tuple | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """One speculative-verification forward: Q query rows per slot (the
+    current token + Q-1 draft proposals) in a single pass.  Candidate KV
+    rows are written at fresh_base + j and each query row's fresh
+    visibility is exactly its own row (prefix property: a row's output
+    only matters when every earlier proposal was accepted — see
+    worker/model_runner spec decode).  Returns (hidden [S*Q, H],
+    fresh')."""
+    sq = inputs_embeds.shape[0]
+    s_slots = sq // q_per_seq
+    kvh, d = cfg.num_key_value_heads, cfg.head_dim
+    f = kvh * d
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    offs = jnp.tile(jnp.arange(q_per_seq, dtype=jnp.int32), s_slots)
+    slot_of = jnp.repeat(
+        jnp.arange(s_slots, dtype=jnp.int32), q_per_seq
+    )
+    # per-row fresh write index + visibility limit (its own row)
+    row_limit = fresh_base[slot_of] + offs  # [S*Q]
+    write_idx = jnp.clip(
+        slot_of * rows_per_slot + row_limit,
+        0,
+        s_slots * rows_per_slot - 1,
+    )
+    tables_rep = block_tables[slot_of]
+    lens_rep = seq_lens0[slot_of]
+
+    def layer(h, xs):
+        lp, li, fresh_l = xs
+        x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lp, x, cos, sin)
+        row = jnp.concatenate([k.reshape(sq, f), v.reshape(sq, f)], axis=-1)
+        fresh_l = fresh_l.at[write_idx].set(row.astype(fresh_l.dtype))
+
+        ks_, vs_ = kv_scales if kv_scales is not None else (1.0, 1.0)
+        o = paged_attention_fresh(
+            q, kv_cache, li,
+            fresh_l.reshape(s_slots, rows_per_slot, 2 * f),
+            row_limit, tables_rep, lens_rep,
+            page_size=page_size, kv_heads=kvh, q_per_seq=q_per_seq,
+            k_scale=ks_, v_scale=vs_,
+        ).astype(h.dtype)
+        o = o.reshape(sq, -1)
+        delta = _linear(lp, "wo", o)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)
+        h = h + delta.astype(h.dtype)
+        x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
+        delta = _mlp(cfg, lp, x, ep_axis=tp_axis)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)
+        h = h + delta.astype(h.dtype)
+        return h, fresh_l
+
+    num_layers = kv_cache.shape[0]
+    h, fresh = jax.lax.scan(
+        layer,
+        inputs_embeds,
+        (
+            _layer_params(params),
+            jnp.arange(num_layers, dtype=jnp.int32),
+            fresh,
+        ),
+    )
+    h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
+    return h, fresh
+
+
 def prefill_chunk(
     cfg: ModelArchConfig,
     params: dict,

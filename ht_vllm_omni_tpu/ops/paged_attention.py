@@ -393,9 +393,10 @@ def paged_attention_partial(
 
 def _paged_fresh_kernel(
     # scalar prefetch
-    meta_ref,  # [2] int32: (layer, step) — consumed by index maps too
+    layer_ref,  # [1] int32 (consumed by index maps too)
     block_tables_ref,  # [B, P] int32
     seq_lens_ref,  # [B] int32
+    fresh_limits_ref,  # [B] int32: per-row fresh-row visibility limit
     # inputs
     q_ref,  # [1, KVH * G_pad, D]
     kv_ref,  # [1, 1, page_size, 2F] (paged rows = [K_feat || V_feat])
@@ -426,9 +427,13 @@ def _paged_fresh_kernel(
     fresh-KV rows into the same online softmax.  Fresh rows are streamed
     in FSUB-row sub-blocks whose index map clamps to the current decode
     step, so rows not yet written are neither fetched nor computed; the
-    in-chunk validity mask is simply ``row <= step`` (a slot's written
-    rows are a prefix — ``active`` is monotone within a chunk, and
-    inactive slots' outputs are discarded by the caller).
+    in-chunk validity mask is ``row <= fresh_limits[b]`` (a slot's
+    written rows are a prefix — ``active`` is monotone within a chunk,
+    and inactive slots' outputs are discarded by the caller).  With
+    ``q_per_seq > 1`` several query rows share one sequence (row b reads
+    fresh block b // q_per_seq) with their own per-row limits — this is
+    how speculative-decode verification runs D+1 queries per slot in a
+    single kernel call.
 
     This one kernel subsumes paged_attention_partial + the per-layer
     logsumexp merge the model previously did in XLA ops.  int8 caches
@@ -436,11 +441,12 @@ def _paged_fresh_kernel(
     the score scale, v_scale into the paged pv accumulation; fresh rows
     are model-precision (scale 1).
     """
+    del layer_ref
     b = pl.program_id(0)
     p = pl.program_id(1)
     n_total = pl.num_programs(1)
     f = kv_heads * head_dim
-    step = meta_ref[1]
+    limit = fresh_limits_ref[b]
 
     @pl.when(p == 0)
     def _init():
@@ -503,13 +509,13 @@ def _paged_fresh_kernel(
 
     row0 = (p - n_paged) * fsub  # first fresh row of this sub-block
 
-    @pl.when(jnp.logical_and(p >= n_paged, row0 <= step))
+    @pl.when(jnp.logical_and(p >= n_paged, row0 <= limit))
     def _fresh():
         q = q_ref[0].astype(jnp.float32)
         fr = fresh_ref[0].astype(jnp.float32)  # [FSUB, 2f]
         s = _scores(q, fr, sm_scale)  # [KVH*G, FSUB]
         row = row0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(row <= step, s, NEG_INF)
+        s = jnp.where(row <= limit, s, NEG_INF)
         _online_update(s, fr[:, f:], 1.0)
 
     @pl.when(p == n_total - 1)
@@ -522,20 +528,22 @@ def _paged_fresh_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "page_size", "kv_heads", "sm_scale", "k_scale", "v_scale"
+        "page_size", "kv_heads", "q_per_seq", "sm_scale",
+        "k_scale", "v_scale",
     ),
 )
 def paged_attention_fresh(
-    q: jax.Array,  # [B, QH, D]
+    q: jax.Array,  # [B, QH, D]  (B = seqs * q_per_seq query rows)
     kv_cache: jax.Array,  # [L, NSLOTS, >=2F] combined (+pad for int8)
     layer: jax.Array,  # scalar int32
-    fresh: jax.Array,  # [B, K, 2f] this chunk's rows (model dtype)
-    step: jax.Array,  # scalar int32: current decode step within the chunk
+    fresh: jax.Array,  # [B // q_per_seq, K, 2f] chunk rows (model dtype)
+    fresh_limits: jax.Array,  # [B] int32 or scalar: per-row fresh limit
     block_tables: jax.Array,  # [B, P] int32 (pass only LIVE page columns)
     seq_lens: jax.Array,  # [B] int32 — tokens materialised in pages
     *,
     page_size: int,
     kv_heads: int,
+    q_per_seq: int = 1,
     sm_scale: float | None = None,
     k_scale: float = 1.0,
     v_scale: float = 1.0,
@@ -547,6 +555,9 @@ def paged_attention_fresh(
     batch, q_heads, head_dim = q.shape
     num_layers, nslots, two_f = kv_cache.shape
     chunk_steps = fresh.shape[1]
+    fresh_limits = jnp.broadcast_to(
+        jnp.asarray(fresh_limits, jnp.int32), (batch,)
+    )
     assert two_f >= 2 * kv_heads * head_dim, (two_f, kv_heads, head_dim)
     num_pages = nslots // page_size
     group = q_heads // kv_heads
@@ -578,43 +589,44 @@ def paged_attention_fresh(
     )
     grid = (batch, max_pages + n_fresh)
 
-    def _kv_index(b, p, meta, tables, lens):
+    def _kv_index(b, p, layer_r, tables, lens, limits):
         # clamp to the sequence's live pages: iterations past the live
         # range (and the fresh steps) revisit the last live block, which
         # Mosaic recognises and skips the DMA for
         live_hi = jnp.maximum(
             jax.lax.div(lens[b] + page_size - 1, page_size), 1
         ) - 1
-        return (meta[0], tables[b, jnp.minimum(p, live_hi)], 0, 0)
+        return (layer_r[0], tables[b, jnp.minimum(p, live_hi)], 0, 0)
 
-    def _fresh_index(b, p, meta, tables, lens):
-        # sub-blocks beyond the current step clamp to the last written
+    def _fresh_index(b, p, layer_r, tables, lens, limits):
+        # sub-blocks beyond this row's limit clamp to the last written
         # one (no DMA); paged iterations pin to sub-block 0
-        return (b, jnp.clip(p - max_pages, 0, meta[1] // fsub), 0)
+        return (
+            b // q_per_seq,
+            jnp.clip(p - max_pages, 0, limits[b] // fsub),
+            0,
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
                 (1, kv_heads * group_pad, head_dim),
-                lambda b, p, meta, tables, lens: (b, 0, 0),
+                lambda b, p, layer_r, tables, lens, limits: (b, 0, 0),
             ),
             pl.BlockSpec((1, 1, page_size, two_f), _kv_index),
             pl.BlockSpec((1, fsub, fresh.shape[-1]), _fresh_index),
         ],
         out_specs=pl.BlockSpec(
             (1, kv_heads * group_pad, head_dim),
-            lambda b, p, meta, tables, lens: (b, 0, 0),
+            lambda b, p, layer_r, tables, lens, limits: (b, 0, 0),
         ),
         scratch_shapes=[
             pltpu.VMEM((kv_heads * group_pad, _LANES), jnp.float32),
             pltpu.VMEM((kv_heads * group_pad, _LANES), jnp.float32),
             pltpu.VMEM((kv_heads * group_pad, head_dim), jnp.float32),
         ],
-    )
-    meta = jnp.stack(
-        [jnp.asarray(layer, jnp.int32), jnp.asarray(step, jnp.int32)]
     )
     out = pl.pallas_call(
         kernel,
@@ -627,9 +639,10 @@ def paged_attention_fresh(
         ),
         interpret=pallas_interpret_mode(),
     )(
-        meta,
+        jnp.asarray(layer, jnp.int32).reshape(1),
         block_tables.astype(jnp.int32),
         seq_lens.astype(jnp.int32),
+        fresh_limits,
         qg,
         kv_cache.reshape(num_layers, num_pages, page_size, two_f),
         fresh,

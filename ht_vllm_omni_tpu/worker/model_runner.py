@@ -62,7 +62,281 @@ MAX_STOP_TOKENS = 8
 _NO_TOKEN = -1
 
 
-class ARModelRunner:
+class SpecDecodeMixin:
+    """Greedy speculative decoding for ARModelRunner (Medusa-style).
+
+    TPU-native rework of the reference's MTP/spec-decode glue (reference
+    worker/gpu_ar_model_runner.py:25-27,
+    qwen3_omni/qwen3_omni_moe_code_predictor_mtp.py): D draft heads
+    propose the next D tokens from the last accepted hidden state; every
+    outer iteration runs ONE target forward over the current token plus
+    the D proposals (queries folded into the attention kernel's batch
+    dim, q_per_seq=D+1) and accepts the longest proposal prefix matching
+    the target argmax — emitting 1..D+1 tokens per forward.  Greedy
+    output is exactly equal to normal decode by construction (the
+    emitted tokens ARE target argmaxes).  Greedy-only: spec mode is used
+    when every active request has temperature 0.
+    """
+
+    def _spec_heads(self, num_draft: int):
+        heads = self.params.get("spec_heads")
+        if heads is None:
+            # random heads: correctness is acceptance-independent; real
+            # checkpoints load trained heads into params["spec_heads"]
+            heads = (
+                jax.random.normal(
+                    jax.random.PRNGKey(self.config.seed + 99),
+                    (num_draft, self.arch.hidden_size, self.arch.vocab_size),
+                    jnp.float32,
+                )
+                * 0.02
+            ).astype(jnp.dtype(self.arch.dtype))
+            self.params["spec_heads"] = heads
+        return heads
+
+    def _reset_spec(self, slot: int) -> None:
+        """Invalidate a slot's draft proposals (new/changed sequence)."""
+        if getattr(self, "spec_proposals", None) is not None:
+            self.spec_proposals = self.spec_proposals.at[slot].set(
+                _NO_TOKEN
+            )
+
+    def spec_decode_chunk(
+        self, num_iters: int, num_draft: int
+    ) -> tuple[np.ndarray, None]:
+        """Run num_iters speculative iterations (up to
+        num_iters*(num_draft+1) tokens per slot); one host sync.
+
+        Returns (tokens [1 + num_iters*(D+1), S], None) in the same
+        layout decode_chunk uses: row 0 = entry tokens, later rows are
+        this chunk's emissions COMPACTED per slot (-1 padded at the
+        end)."""
+        assert self.mesh is None, "spec decode is single-mesh (v1)"
+        q = num_draft + 1
+        s = self.max_slots
+        if (
+            getattr(self, "spec_proposals", None) is None
+            or self.spec_proposals.shape != (s, num_draft)
+        ):
+            self.spec_proposals = jnp.full(
+                (s, num_draft), _NO_TOKEN, jnp.int32
+            )
+        heads = self._spec_heads(num_draft)
+        key = ("spec", num_iters, num_draft)
+        fn = self._decode_fns.get(key)
+        if fn is None:
+            prog = functools.partial(
+                self._spec_program,
+                self.arch,
+                num_iters,
+                num_draft,
+                self.page_size,
+                self.kv_scales,
+            )
+            fn = jax.jit(prog, donate_argnums=(2, 3, 4))
+            self._decode_fns[key] = fn
+
+        if self.h_active.any():
+            live = int(self.h_positions[self.h_active].max()) + (
+                num_iters * q
+            )
+        else:
+            live = 1
+        width = min(
+            max(next_power_of_2(cdiv(max(live, 1), self.page_size)), 1),
+            self.max_pages_per_seq,
+        )
+        int_state = np.empty((self._NUM_INT_ROWS, s), np.int32)
+        int_state[self._ROW_POS] = self.h_positions
+        int_state[self._ROW_ACTIVE] = self.h_active
+        int_state[self._ROW_FRESH] = self.h_fresh
+        int_state[self._ROW_EMITTED] = self.h_emitted
+        int_state[self._ROW_LIMIT] = self.h_limit
+        int_state[self._ROW_MIN_TOKENS] = self.h_min_tokens
+        int_state[self._ROW_ROPE_DELTA] = self.h_rope_delta
+        int_state[self._ROW_TOP_K] = self.h_top_k
+        int_state[self._ROW_STOPS :] = self.h_stops.T
+        (
+            self.kv_cache,
+            self.token_state,
+            self.spec_proposals,
+            packed,
+        ) = fn(
+            self.params,
+            heads,
+            self.kv_cache,
+            self.token_state,
+            self.spec_proposals,
+            int_state,
+            np.ascontiguousarray(self.h_tables[:, :width]),
+        )
+        host = np.asarray(packed)  # single sync
+        rows = 1 + num_iters * q
+        raw = host[:rows]
+        # compact per-slot: spec iterations leave -1 gaps between blocks
+        tokens = np.full_like(raw, _NO_TOKEN)
+        tokens[0] = raw[0]
+        body = raw[1:]
+        for slot in range(s):
+            col = body[:, slot]
+            vals = col[col >= 0]
+            tokens[1 : 1 + len(vals), slot] = vals
+        self.h_positions = host[rows].copy()
+        self.h_active = host[rows + 1].astype(bool)
+        self.h_emitted = host[rows + 2].copy()
+        self.h_fresh[:] = False
+        return tokens, None
+
+    @staticmethod
+    def _spec_program(
+        cfg,
+        num_iters: int,
+        num_draft: int,
+        page_size: int,
+        kv_scales,
+        params,
+        spec_heads,  # [D, H, V]
+        kv_cache,  # donated
+        token_state,  # [S]
+        proposals,  # [S, D] draft tokens for the upcoming positions
+        int_state,  # packed host mirrors (see _decode_program)
+        block_tables,  # [S, P]
+    ):
+        R = ARModelRunner
+        positions = int_state[R._ROW_POS]
+        active = int_state[R._ROW_ACTIVE].astype(bool)
+        fresh = int_state[R._ROW_FRESH].astype(bool)
+        emitted = int_state[R._ROW_EMITTED]
+        limit = int_state[R._ROW_LIMIT]
+        min_tokens = int_state[R._ROW_MIN_TOKENS]
+        stops = int_state[R._ROW_STOPS :].T
+        s = token_state.shape[0]
+        q = num_draft + 1
+
+        entry_stop = ARModelRunner._stop_mask(
+            token_state, emitted, stops, min_tokens, limit
+        )
+        active = jnp.logical_and(
+            active, jnp.logical_not(jnp.logical_and(fresh, entry_stop))
+        )
+        seq_lens0 = jnp.where(active, positions, 0)
+        pos0 = positions
+        true_f = cfg.num_key_value_heads * cfg.head_dim
+        rows_per_slot = num_iters * q
+        fresh_buf = jnp.zeros(
+            (kv_cache.shape[0], s * rows_per_slot, 2 * true_f),
+            params["embed"].dtype,
+        )
+        sl = jnp.arange(s)
+
+        def iter_step(carry, _):
+            token_state, proposals, pos, act, emit, cnt, fresh_buf = carry
+            q_tokens = jnp.concatenate(
+                [token_state[:, None], proposals], axis=1
+            )  # [S, Q]
+            x = qwen2.embed_tokens(
+                params, jnp.maximum(q_tokens, 0)
+            ).reshape(s * q, -1)
+            pos_rows = (
+                pos[:, None] + jnp.arange(q, dtype=jnp.int32)[None]
+            ).reshape(-1)
+            hidden, fresh_buf = qwen2.spec_verify_forward(
+                cfg, params, kv_cache, fresh_buf, x, pos_rows, cnt,
+                block_tables, seq_lens0,
+                page_size=page_size, q_per_seq=q,
+                rows_per_slot=rows_per_slot, kv_scales=kv_scales,
+            )
+            logits = qwen2.compute_logits(cfg, params, hidden)
+            targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            targets = targets.reshape(s, q)
+            # prefix acceptance: proposal j matches target at row j-1
+            acc = jnp.cumprod(
+                (proposals == targets[:, :num_draft]).astype(jnp.int32),
+                axis=1,
+            )
+            n_acc = jnp.sum(acc, axis=1)  # [S] in 0..D
+
+            y_out = jnp.full((s, q), _NO_TOKEN, jnp.int32)
+            cont = act
+            fired = jnp.zeros((s,), bool)
+            n_new = jnp.zeros((s,), jnp.int32)
+            for k in range(q):
+                can = jnp.logical_and(cont, k <= n_acc)
+                tok = jnp.where(can, targets[:, k], _NO_TOKEN)
+                n_new = n_new + can.astype(jnp.int32)
+                e_after = emit + n_new
+                stop = jnp.logical_and(
+                    can,
+                    ARModelRunner._stop_mask(
+                        tok, e_after, stops, min_tokens, limit
+                    ),
+                )
+                fired = jnp.logical_or(fired, stop)
+                y_out = y_out.at[:, k].set(tok)
+                cont = jnp.logical_and(can, jnp.logical_not(stop))
+
+            new_act = jnp.logical_and(act, jnp.logical_not(fired))
+            last = jnp.clip(n_new - 1, 0, q - 1)
+            y_last = y_out[sl, last]
+            token_state = jnp.where(n_new > 0, y_last, token_state)
+            h_sel = hidden.reshape(s, q, -1)[sl, last]
+            new_props = jnp.argmax(
+                jnp.einsum(
+                    "sh,dhv->sdv",
+                    h_sel.astype(jnp.float32),
+                    spec_heads.astype(jnp.float32),
+                ),
+                axis=-1,
+            ).astype(jnp.int32)
+            proposals = jnp.where((n_new > 0)[:, None], new_props, proposals)
+            pos = pos + n_new
+            emit = emit + n_new
+            cnt = cnt + n_new
+            return (
+                token_state, proposals, pos, new_act, emit, cnt, fresh_buf
+            ), y_out
+
+        entry_tokens = token_state
+        cnt0 = jnp.zeros((s,), jnp.int32)
+        init = (token_state, proposals, positions, active, emitted, cnt0,
+                fresh_buf)
+        carry, ys = jax.lax.scan(
+            iter_step, init, jnp.arange(num_iters, dtype=jnp.int32)
+        )
+        (token_state, proposals, positions, active, emitted, cnt,
+         fresh_buf) = carry
+
+        # flush accepted rows (row r of slot s holds position pos0 + r)
+        rows_r = jnp.arange(rows_per_slot, dtype=jnp.int32)[None, :]
+        posm = pos0[:, None] + rows_r
+        page_col = jnp.clip(posm // page_size, 0, block_tables.shape[1] - 1)
+        page = jnp.take_along_axis(block_tables, page_col, axis=1)
+        written = rows_r < cnt[:, None]
+        slots = jnp.where(
+            written, page * page_size + posm % page_size, -1
+        ).reshape(s * rows_per_slot)
+        ksc, vsc = kv_scales if kv_scales is not None else (1.0, 1.0)
+        kv_cache = flush_kv_rows(
+            kv_cache, fresh_buf, slots,
+            true_f=true_f, k_scale=ksc, v_scale=vsc,
+        )
+
+        packed = jnp.concatenate(
+            [
+                entry_tokens[None],
+                ys.reshape(num_iters, s, q).transpose(0, 2, 1).reshape(
+                    num_iters * q, s
+                ),
+                positions[None],
+                active.astype(jnp.int32)[None],
+                emitted[None],
+            ],
+            axis=0,
+        )
+        return kv_cache, token_state, proposals, packed
+
+
+class ARModelRunner(SpecDecodeMixin):
     """Single-mesh runner for one AR stage."""
 
     def __init__(
@@ -463,6 +737,7 @@ class ARModelRunner:
         self.h_positions[slot] = s  # position of the next (sampled) token
         self.h_active[slot] = True
         self.h_fresh[slot] = True
+        self._reset_spec(slot)
         self.h_emitted[slot] = req.num_output_tokens + 1
         self.h_limit[slot] = sp.max_tokens
         self.h_min_tokens[slot] = sp.min_tokens
@@ -484,6 +759,19 @@ class ARModelRunner:
         return (
             np.asarray(page_ids, np.int32)
             - dp_owner * self.pages_per_group
+        )
+
+    def sync_tables(self, request) -> None:
+        """Refresh a slot's block table from the request's current page
+        list.  MUST run every step for decoding requests: the scheduler
+        grows page_ids on demand (_ensure_pages) and a stale table column
+        silently redirects KV writes/reads of the newly covered
+        positions to whatever page id the row held (usually 0)."""
+        slot = self._slot_of.get(request.request_id)
+        if slot is None:
+            return
+        self.h_tables[slot, : len(request.page_ids)] = self._local_pages(
+            slot, request.page_ids
         )
 
     @staticmethod
@@ -611,6 +899,7 @@ class ARModelRunner:
             self.h_positions[slot] = s
             self.h_active[slot] = True
             self.h_fresh[slot] = True
+            self._reset_spec(slot)
             self.h_emitted[slot] = req.num_output_tokens + 1
             self.h_limit[slot] = sp.max_tokens
             self.h_min_tokens[slot] = sp.min_tokens
@@ -660,6 +949,7 @@ class ARModelRunner:
         self.h_positions[slot] = n
         self.h_active[slot] = True
         self.h_fresh[slot] = False
+        self._reset_spec(slot)
         self.h_emitted[slot] = req.num_output_tokens
         self.h_limit[slot] = sp.max_tokens
         self.h_min_tokens[slot] = sp.min_tokens

@@ -141,3 +141,46 @@ def test_waiting_for_chunk_parks_queue_head():
     r0.status = RequestStatus.WAITING
     out = s.schedule()
     assert len(out.prefills) == 1
+
+
+def test_page_growth_mid_generation_is_exact():
+    """Pages allocated mid-generation (scheduler _ensure_pages growth)
+    must reach the runner's block tables: a stale table column silently
+    redirected KV writes of newly covered positions to page 0.
+    Regression: tiny pages forcing several growths vs one big page."""
+    import jax
+
+    from ht_vllm_omni_tpu.config import (
+        CacheConfig, EngineConfig, ModelArchConfig, SchedulerConfig,
+    )
+    from ht_vllm_omni_tpu.engine.llm_engine import LLMEngine
+    from ht_vllm_omni_tpu.models import qwen2
+    from ht_vllm_omni_tpu.sampling_params import SamplingParams
+
+    cfg = ModelArchConfig(
+        model_type="qwen2", vocab_size=64, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, dtype="float32", tie_word_embeddings=True,
+        eos_token_id=1,
+    )
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(5))
+
+    def run(page_size, num_pages):
+        eng = LLMEngine(
+            EngineConfig(
+                model=cfg,
+                cache=CacheConfig(page_size=page_size, num_pages=num_pages),
+                scheduler=SchedulerConfig(max_num_seqs=2, max_model_len=128),
+            ),
+            params=dict(params),
+            decode_horizon=4,  # small horizon => repeated page growth
+        )
+        sp = SamplingParams(temperature=0.0, max_tokens=44, ignore_eos=True)
+        return [
+            o.outputs[0].token_ids
+            for o in eng.generate([[2, 3, 4], [9, 8, 7]], sp)
+        ]
+
+    want = run(page_size=128, num_pages=8)   # one page, never grows
+    got = run(page_size=16, num_pages=16)    # grows ~3x per request
+    assert got == want
