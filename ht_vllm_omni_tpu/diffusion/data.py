@@ -82,3 +82,7 @@ class OmniDiffusionConfig:
     model_path: str | None = None
     vae_scale: int = 8  # latent -> pixel upscale factor
     seed: int = 0
+    # pipeline family (diffusion/registry.py); "generic" = plain DiT
+    family: str = "generic"
+    # extra kwargs for the family's pipeline constructor
+    family_options: dict[str, Any] = dataclasses.field(default_factory=dict)

@@ -19,7 +19,6 @@ from ht_vllm_omni_tpu.diffusion.data import (
     DiffusionSamplingParams,
     OmniDiffusionConfig,
 )
-from ht_vllm_omni_tpu.diffusion.models.pipeline_flow import FlowPipeline
 from ht_vllm_omni_tpu.inputs import OmniPrompt, as_prompt
 from ht_vllm_omni_tpu.outputs import CompletionOutput, OmniRequestOutput
 
@@ -69,9 +68,11 @@ class DiffusionEngine:
         default_params: DiffusionSamplingParams | None = None,
     ) -> None:
         self.config = config
-        self.pipeline = pipeline or FlowPipeline(
-            config.arch, seed=config.seed
-        )
+        if pipeline is None:
+            from ht_vllm_omni_tpu.diffusion.registry import create_pipeline
+
+            pipeline = create_pipeline(config)
+        self.pipeline = pipeline
         self.default_params = default_params or DiffusionSamplingParams()
         self.waiting: deque[_DiffRequest] = deque()
         self.requests: dict[str, _DiffRequest] = {}
@@ -104,20 +105,27 @@ class DiffusionEngine:
             return []
         req = self.waiting[0]
         p = req.prompt
-        neg = p.negative_token_ids
-        if neg is None and p.negative_text:
-            neg = [ord(c) % 256 for c in p.negative_text]
-        token_ids = p.token_ids
-        if token_ids is None and p.text is not None:
-            token_ids = [ord(c) % 256 for c in p.text]
         try:
-            image, req.state = self.pipeline.generate(
-                token_ids,
-                req.params,
-                negative_token_ids=neg,
-                prompt_embeds=p.embeds,
-                stepwise_state=req.state,
-            )
+            if hasattr(self.pipeline, "generate_prompt"):
+                # text-native pipelines (real families run their own
+                # tokenizer + text encoder over the raw prompt)
+                image, req.state = self.pipeline.generate_prompt(
+                    p, req.params, stepwise_state=req.state
+                )
+            else:
+                neg = p.negative_token_ids
+                if neg is None and p.negative_text:
+                    neg = [ord(c) % 256 for c in p.negative_text]
+                token_ids = p.token_ids
+                if token_ids is None and p.text is not None:
+                    token_ids = [ord(c) % 256 for c in p.text]
+                image, req.state = self.pipeline.generate(
+                    token_ids,
+                    req.params,
+                    negative_token_ids=neg,
+                    prompt_embeds=p.embeds,
+                    stepwise_state=req.state,
+                )
             error = None
         except Exception as e:
             logger.exception("diffusion request %s failed", req.request_id)

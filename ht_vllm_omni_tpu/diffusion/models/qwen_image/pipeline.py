@@ -1,0 +1,313 @@
+"""Qwen-Image text-to-image pipeline (real model family).
+
+Mirrors the reference QwenImagePipeline flow (reference
+vllm_omni/diffusion/models/qwen_image/pipeline_qwen_image.py:244):
+Qwen2.5-VL text trunk encodes the templated prompt (last hidden state,
+template prefix dropped), latents are 2x2-packed into a token sequence,
+denoising runs true CFG (comb = neg + s*(pos - neg), norm-preserving
+rescale) under a flow-matching UniPC or Euler scheduler with
+resolution-shifted sigmas, and the Wan-style causal-3D VAE decodes the
+result.
+
+Step-wise execution (the engine's streaming / preemption contract) is
+kept by carrying (latents, scheduler state) in a state dict between
+calls, like the generic FlowPipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ht_vllm_omni_tpu.config import ModelArchConfig
+from ht_vllm_omni_tpu.diffusion.data import DiffusionSamplingParams
+from ht_vllm_omni_tpu.diffusion.models.qwen_image import transformer, vae
+from ht_vllm_omni_tpu.diffusion.models.qwen_image.config import (
+    QwenImageArchConfig,
+    QwenImageVAEConfig,
+)
+from ht_vllm_omni_tpu.diffusion.schedulers.unipc import (
+    FlowEulerScheduler,
+    FlowUniPCScheduler,
+    calculate_shift,
+)
+from ht_vllm_omni_tpu.models import qwen2
+
+# diffusers QwenImagePipeline prompt template (public model card config)
+PROMPT_TEMPLATE = (
+    "<|im_start|>system\nDescribe the image by detailing the color, "
+    "shape, size, texture, quantity, text, spatial relationships of "
+    "the objects and background:<|im_end|>\n<|im_start|>user\n{}"
+    "<|im_end|>\n<|im_start|>assistant\n"
+)
+TEMPLATE_DROP_IDX = 34
+
+
+def pack_latents(lat: jax.Array) -> jax.Array:
+    """[B, C, H, W] latents -> [B, (H//2)*(W//2), C*4] tokens (reference
+    pipeline_qwen_image.py:452-458)."""
+    b, c, h, w = lat.shape
+    x = lat.reshape(b, c, h // 2, 2, w // 2, 2)
+    x = x.transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(b, (h // 2) * (w // 2), c * 4)
+
+
+def unpack_latents(tokens: jax.Array, h: int, w: int) -> jax.Array:
+    """Inverse of pack_latents -> [B, C, H, W]."""
+    b, _n, ch = tokens.shape
+    c = ch // 4
+    x = tokens.reshape(b, h // 2, w // 2, c, 2, 2)
+    x = x.transpose(0, 3, 1, 4, 2, 5)
+    return x.reshape(b, c, h, w)
+
+
+class QwenImagePipeline:
+    def __init__(
+        self,
+        arch: QwenImageArchConfig | None = None,
+        vae_cfg: QwenImageVAEConfig | None = None,
+        text_cfg: ModelArchConfig | None = None,
+        params: dict | None = None,
+        seed: int = 0,
+        scheduler: str = "unipc",  # "unipc" | "euler"
+        tokenizer=None,  # callable str -> list[int]; None = byte toy
+        use_template: bool | None = None,
+        max_text_len: int = 512,
+    ) -> None:
+        self.arch = arch or QwenImageArchConfig.tiny()
+        self.vae_cfg = vae_cfg or QwenImageVAEConfig.tiny()
+        self.text_cfg = text_cfg or ModelArchConfig(
+            hidden_size=self.arch.joint_attention_dim,
+            num_hidden_layers=2,
+            num_attention_heads=2,
+            num_key_value_heads=2,
+            intermediate_size=128,
+            vocab_size=512,
+        )
+        if self.text_cfg.hidden_size != self.arch.joint_attention_dim:
+            raise ValueError(
+                "text encoder hidden_size must equal joint_attention_dim"
+            )
+        self.scheduler_kind = scheduler
+        self.tokenizer = tokenizer
+        # the chat template only tokenizes meaningfully with the real
+        # tokenizer; the toy byte tokenizer skips it
+        self.use_template = (
+            use_template if use_template is not None else tokenizer is not None
+        )
+        self.max_text_len = max_text_len
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        params = params or {}
+        self.params = {
+            "transformer": params.get("transformer")
+            if params.get("transformer") is not None
+            else transformer.init_params(self.arch, k1),
+            "vae": params.get("vae")
+            if params.get("vae") is not None
+            else vae.init_params(self.vae_cfg, k2),
+            "text": params.get("text")
+            if params.get("text") is not None
+            else qwen2.init_params(self.text_cfg, k3),
+        }
+        self._fns: dict = {}
+
+    # --------------------------------------------------------------- text
+    def _tokenize(self, text: str) -> list[int]:
+        if self.tokenizer is not None:
+            return list(self.tokenizer(text))
+        v = self.text_cfg.vocab_size
+        return [b % v for b in text.encode("utf-8")] or [0]
+
+    def encode_text(self, text: str) -> np.ndarray:
+        """Prompt -> [S, joint_attention_dim] last-hidden-state rows
+        (template prefix dropped, reference
+        pipeline_qwen_image.py:374-413)."""
+        drop = 0
+        if self.use_template:
+            text = PROMPT_TEMPLATE.format(text)
+            drop = TEMPLATE_DROP_IDX
+        ids = self._tokenize(text)
+        fn = self._fns.get("text_encode")
+        if fn is None:
+            cfg = self.text_cfg
+
+            def run(params, token_ids, length):
+                emb = qwen2.embed_tokens(params, token_ids)
+                pos = jnp.arange(token_ids.shape[0], dtype=jnp.int32)
+                h, _ = qwen2.prefill(cfg, params, emb, pos, length)
+                return h
+
+            fn = jax.jit(run)
+            self._fns["text_encode"] = fn
+        # pad to the next multiple of 64 so compiles bucket
+        n = len(ids)
+        pad = -n % 64
+        ids_arr = jnp.asarray(ids + [0] * pad, jnp.int32)
+        h = fn(self.params["text"], ids_arr, jnp.int32(n))
+        h = np.asarray(h[:n], np.float32)[drop:]
+        return h[: self.max_text_len]
+
+    # ------------------------------------------------------------ denoise
+    def _transformer_fn(self):
+        fn = self._fns.get("transformer")
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(transformer.forward, self.arch),
+                static_argnames=("img_shape",),
+            )
+            self._fns["transformer"] = fn
+        return fn
+
+    def _decode_fn(self):
+        fn = self._fns.get("decode")
+        if fn is None:
+            cfg = self.vae_cfg
+
+            def run(params, tokens, lat_h, lat_w):
+                lat = unpack_latents(tokens, lat_h, lat_w)
+                lat = vae.denormalize_latents(
+                    cfg, lat.transpose(0, 2, 3, 1)
+                )  # NHWC
+                img = vae.decode(cfg, params, lat)
+                return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+            fn = jax.jit(run, static_argnums=(2, 3))
+            self._fns["decode"] = fn
+        return fn
+
+    def _make_scheduler(self, sp: DiffusionSamplingParams, seq_len: int):
+        n = sp.num_inference_steps
+        mu = calculate_shift(seq_len)
+        if self.scheduler_kind == "euler":
+            return FlowEulerScheduler(n, mu=mu)
+        return FlowUniPCScheduler(n, mu=mu)
+
+    # ----------------------------------------------------------- full run
+    def generate_prompt(
+        self,
+        prompt,
+        sp: DiffusionSamplingParams,
+        stepwise_state: dict | None = None,
+    ) -> tuple[np.ndarray | None, dict]:
+        state = stepwise_state or {}
+        if "latents" not in state:
+            state.update(self._prepare(prompt, sp))
+        count = (
+            sp.stream_every if sp.stream_every > 0 else sp.num_inference_steps
+        )
+        sched: FlowUniPCScheduler = state["sched"]
+        fn = self._transformer_fn()
+        lat_h, lat_w = state["lat_hw"]
+        img_shape = (1, lat_h // 2, lat_w // 2)
+        do_cfg = state["do_cfg"]
+        gscale = float(sp.guidance_scale)
+
+        end = min(state["step"] + count, sp.num_inference_steps)
+        latents = state["latents"]
+        for step in range(state["step"], end):
+            sigma = sched.timestep(step)
+            t = jnp.full((state["txt"].shape[0],), sigma, jnp.float32)
+            v = fn(
+                self.params["transformer"],
+                jnp.concatenate([latents] * state["txt"].shape[0], 0),
+                state["txt"], state["txt_lens"], t, img_shape,
+            )
+            if do_cfg:
+                pos, neg = v[:1], v[1:2]
+                comb = neg + gscale * (pos - neg)
+                # norm-preserving rescale (reference
+                # distributed/cfg_parallel.py:132-146)
+                cn = jnp.linalg.norm(pos, axis=-1, keepdims=True)
+                nn = jnp.linalg.norm(comb, axis=-1, keepdims=True)
+                pred = comb * (cn / jnp.maximum(nn, 1e-12))
+            else:
+                pred = v[:1]
+            latents, state["sched_state"] = sched.step(
+                state["sched_state"], pred, latents
+            )
+        state["latents"] = latents
+        state["step"] = end
+        if end >= sp.num_inference_steps:
+            img = self._decode_fn()(
+                self.params["vae"], latents, lat_h, lat_w
+            )[0]
+            return (
+                np.asarray(img * 255.0, np.float32).astype(np.uint8),
+                state,
+            )
+        return None, state
+
+    # engine compatibility: token-ids entry point delegates to text path
+    def generate(
+        self,
+        token_ids,
+        sp: DiffusionSamplingParams,
+        negative_token_ids=None,
+        prompt_embeds=None,
+        stepwise_state: dict | None = None,
+    ):
+        class _P:
+            pass
+
+        p = _P()
+        p.text = bytes(
+            [t % 256 for t in (token_ids or [32])]
+        ).decode("latin-1")
+        p.negative_text = (
+            bytes([t % 256 for t in negative_token_ids]).decode("latin-1")
+            if negative_token_ids
+            else None
+        )
+        p.embeds = prompt_embeds
+        return self.generate_prompt(p, sp, stepwise_state)
+
+    # ------------------------------------------------------------ prepare
+    def _prepare(self, prompt, sp: DiffusionSamplingParams) -> dict:
+        ratio = self.vae_cfg.spatial_ratio
+        lat_h = 2 * (sp.height // (ratio * 2))
+        lat_w = 2 * (sp.width // (ratio * 2))
+        lat_h, lat_w = max(lat_h, 2), max(lat_w, 2)
+        seq_len = (lat_h // 2) * (lat_w // 2)
+
+        text = getattr(prompt, "text", None) or ""
+        embeds = getattr(prompt, "embeds", None)
+        if embeds is not None:
+            pos = np.asarray(embeds, np.float32)
+        else:
+            pos = self.encode_text(text)
+        do_cfg = sp.guidance_scale is not None and sp.guidance_scale > 1.0
+        branches = [pos]
+        if do_cfg:
+            neg_text = getattr(prompt, "negative_text", None) or " "
+            branches.append(self.encode_text(neg_text))
+
+        s_txt = max(b.shape[0] for b in branches)
+        s_txt = s_txt + (-s_txt % 8)
+        txt = np.zeros(
+            (len(branches), s_txt, self.arch.joint_attention_dim),
+            np.float32,
+        )
+        lens = np.zeros((len(branches),), np.int32)
+        for i, b_ in enumerate(branches):
+            txt[i, : b_.shape[0]] = b_
+            lens[i] = b_.shape[0]
+
+        key = jax.random.PRNGKey(sp.seed if sp.seed is not None else 0)
+        noise = jax.random.normal(
+            key, (1, self.vae_cfg.z_dim, lat_h, lat_w), jnp.float32
+        )
+        sched = self._make_scheduler(sp, seq_len)
+        return {
+            "latents": pack_latents(noise),
+            "txt": jnp.asarray(txt),
+            "txt_lens": jnp.asarray(lens),
+            "lat_hw": (lat_h, lat_w),
+            "sched": sched,
+            "sched_state": sched.init_state(),
+            "do_cfg": do_cfg,
+            "step": 0,
+        }

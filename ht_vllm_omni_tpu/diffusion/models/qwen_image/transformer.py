@@ -1,0 +1,317 @@
+"""QwenImage MMDiT transformer in pure jax over stacked-layer pytrees.
+
+Semantics follow the reference QwenImageTransformer2DModel (reference
+vllm_omni/diffusion/models/qwen_image/qwen_image_transformer.py:854):
+dual-stream (image + text) blocks with one joint attention, per-stream
+AdaLN modulation from the timestep embedding, 3-axis (frame/height/width)
+rotary embeddings in the interleaved ("non-neox") convention, gelu-tanh
+FFNs, and an AdaLN-continuous output head.
+
+TPU-first design: all ``num_layers`` blocks are stacked on a leading axis
+and executed with ``lax.scan`` (flat compile time); the joint attention
+is the repo's Pallas flash kernel over the [img || txt] sequence with
+per-batch valid lengths (text padding sits at the end, so the kernel's
+``kv_lens`` masking covers it — full attention is permutation
+invariant, so the [txt || img] order of the reference is numerically
+identical).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ht_vllm_omni_tpu.diffusion.models.qwen_image.config import (
+    QwenImageArchConfig,
+)
+from ht_vllm_omni_tpu.models.layers import rms_norm
+from ht_vllm_omni_tpu.ops.flash_attention import flash_attention
+
+
+def _dtype(cfg: QwenImageArchConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+# --------------------------------------------------------------------- init
+def init_params(cfg: QwenImageArchConfig, key: jax.Array) -> dict:
+    dt = _dtype(cfg)
+    d = cfg.inner_dim
+    nl = cfg.num_layers
+    hd = cfg.attention_head_dim
+    jd = cfg.joint_attention_dim
+    mlp = 4 * d
+    keys = iter(jax.random.split(key, 32))
+
+    def w(shape, scale=None):
+        scale = scale or (1.0 / math.sqrt(shape[-2] if len(shape) > 1 else 1))
+        return (
+            jax.random.normal(next(keys), shape, jnp.float32) * scale
+        ).astype(dt)
+
+    def z(shape):
+        return jnp.zeros(shape, dt)
+
+    p = {
+        "img_in_w": w((cfg.in_channels, d)), "img_in_b": z((d,)),
+        "txt_norm": jnp.ones((jd,), dt),
+        "txt_in_w": w((jd, d)), "txt_in_b": z((d,)),
+        "t_emb_w1": w((256, d)), "t_emb_b1": z((d,)),
+        "t_emb_w2": w((d, d)), "t_emb_b2": z((d,)),
+        "norm_out_w": w((d, 2 * d)), "norm_out_b": z((2 * d,)),
+        "proj_out_w": w((d, cfg.patch_size**2 * cfg.out_channels)),
+        "proj_out_b": z((cfg.patch_size**2 * cfg.out_channels,)),
+    }
+    for s in ("img", "txt"):
+        p[f"{s}_mod_w"] = w((nl, d, 6 * d))
+        p[f"{s}_mod_b"] = z((nl, 6 * d))
+        p[f"{s}_qkv_w"] = w((nl, d, 3 * d))
+        p[f"{s}_qkv_b"] = z((nl, 3 * d))
+        p[f"{s}_q_norm"] = jnp.ones((nl, hd), dt)
+        p[f"{s}_k_norm"] = jnp.ones((nl, hd), dt)
+        p[f"{s}_attn_out_w"] = w((nl, d, d))
+        p[f"{s}_attn_out_b"] = z((nl, d))
+        p[f"{s}_mlp_w1"] = w((nl, d, mlp))
+        p[f"{s}_mlp_b1"] = z((nl, mlp))
+        p[f"{s}_mlp_w2"] = w((nl, mlp, d))
+        p[f"{s}_mlp_b2"] = z((nl, d))
+    return p
+
+
+_LAYER_PREFIXES = (
+    "img_mod", "txt_mod", "img_qkv", "txt_qkv", "img_q_norm", "img_k_norm",
+    "txt_q_norm", "txt_k_norm", "img_attn_out", "txt_attn_out",
+    "img_mlp", "txt_mlp",
+)
+
+
+def _layer_params(params: dict) -> dict:
+    return {
+        k: v
+        for k, v in params.items()
+        if any(
+            k == pfx or k.startswith(pfx + "_") for pfx in _LAYER_PREFIXES
+        )
+    }
+
+
+# --------------------------------------------------------------------- rope
+def rope_cos_sin_3d(
+    cfg: QwenImageArchConfig,
+    img_shape: tuple[int, int, int],  # (frames, lat_h//2, lat_w//2)
+    txt_len: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """3-axis rotary tables: (img_cos, img_sin, txt_cos, txt_sin), each
+    [S, head_dim//2] fp32.
+
+    Matches reference QwenEmbedRope with scale_rope=True
+    (qwen_image_transformer.py:320,396-418): height/width positions are
+    centred (negative freqs fill the first half), the frame axis starts
+    at 0, and text tokens sit at position max(h//2, w//2) + j on all
+    three axes.
+    """
+    f, h, wd = img_shape
+    theta = cfg.rope_theta
+
+    def axis_freqs(positions: jnp.ndarray, dim: int) -> jnp.ndarray:
+        half = dim // 2
+        inv = 1.0 / (
+            theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
+        )
+        return positions[:, None].astype(jnp.float32) * inv  # [n, half]
+
+    d_f, d_h, d_w = cfg.axes_dims_rope
+    pos_f = jnp.arange(f, dtype=jnp.float32)
+    pos_h = jnp.arange(h, dtype=jnp.float32) - (h - h // 2)
+    pos_w = jnp.arange(wd, dtype=jnp.float32) - (wd - wd // 2)
+
+    ff = axis_freqs(pos_f, d_f)  # [f, d_f//2]
+    fh = axis_freqs(pos_h, d_h)  # [h, d_h//2]
+    fw = axis_freqs(pos_w, d_w)  # [w, d_w//2]
+
+    grid = jnp.concatenate(
+        [
+            jnp.broadcast_to(ff[:, None, None, :], (f, h, wd, d_f // 2)),
+            jnp.broadcast_to(fh[None, :, None, :], (f, h, wd, d_h // 2)),
+            jnp.broadcast_to(fw[None, None, :, :], (f, h, wd, d_w // 2)),
+        ],
+        axis=-1,
+    ).reshape(f * h * wd, -1)
+
+    max_vid = max(h // 2, wd // 2)
+    pos_t = max_vid + jnp.arange(txt_len, dtype=jnp.float32)
+    txt = jnp.concatenate(
+        [axis_freqs(pos_t, d) for d in cfg.axes_dims_rope], axis=-1
+    )
+    return jnp.cos(grid), jnp.sin(grid), jnp.cos(txt), jnp.sin(txt)
+
+
+def apply_rope_interleaved(
+    x: jax.Array,  # [B, S, H, D]
+    cos: jax.Array,  # [S, D//2]
+    sin: jax.Array,
+) -> jax.Array:
+    """Rotary in the interleaved-pair convention (reference
+    RotaryEmbedding(is_neox_style=False), complex multiply per pair)."""
+    orig = x.dtype
+    xf = x.astype(jnp.float32)
+    a = xf[..., 0::2]
+    b = xf[..., 1::2]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out = jnp.stack([a * c - b * s, a * s + b * c], axis=-1)
+    return out.reshape(x.shape).astype(orig)
+
+
+# ----------------------------------------------------------------- forward
+def timestep_embedding(
+    cfg: QwenImageArchConfig, params: dict, t: jax.Array  # [B] in [0, 1]
+) -> jax.Array:
+    """Sinusoidal(256, flip_sin_to_cos, scale=1000) -> MLP -> [B, D]
+    (reference QwenTimestepProjEmbeddings, qwen_image_transformer.py:160;
+    the pipeline passes sigma and the x1000 scale restores the trained
+    range)."""
+    half = 128
+    freqs = jnp.exp(
+        -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = 1000.0 * t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    emb = emb.astype(_dtype(cfg))
+    h = jnp.dot(emb, params["t_emb_w1"]) + params["t_emb_b1"]
+    h = jax.nn.silu(h.astype(jnp.float32)).astype(emb.dtype)
+    return jnp.dot(h, params["t_emb_w2"]) + params["t_emb_b2"]
+
+
+def _modulate(x: jax.Array, mod: jax.Array):
+    """LayerNorm(no affine) already applied to x; mod [B, 3D] ->
+    (x * (1+scale) + shift, gate)."""
+    shift, scale, gate = jnp.split(mod, 3, axis=-1)
+    return (
+        x * (1.0 + scale[:, None, :]) + shift[:, None, :],
+        gate[:, None, :],
+    )
+
+
+def _layer_norm(x: jax.Array) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
+
+
+def _mlp_gelu(x, w1, b1, w2, b2):
+    h = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1.astype(
+        jnp.float32
+    )
+    h = jax.nn.gelu(h, approximate=True).astype(x.dtype)
+    return jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2.astype(
+        jnp.float32
+    )
+
+
+def forward(
+    cfg: QwenImageArchConfig,
+    params: dict,
+    img_tokens: jax.Array,  # [B, S_img, in_channels] packed latents
+    txt_embeds: jax.Array,  # [B, S_txt, joint_attention_dim] (padded)
+    txt_lens: jax.Array,  # [B] int32 valid text lengths
+    timestep: jax.Array,  # [B] fp, sigma in [0, 1]
+    img_shape: tuple[int, int, int],  # static (frames, lat_h//2, lat_w//2)
+) -> jax.Array:
+    """Velocity prediction [B, S_img, patch**2 * out_channels]."""
+    b, s_img, _ = img_tokens.shape
+    s_txt = txt_embeds.shape[1]
+    nh, hd = cfg.num_attention_heads, cfg.attention_head_dim
+
+    img = (
+        jnp.dot(img_tokens.astype(_dtype(cfg)), params["img_in_w"])
+        + params["img_in_b"]
+    )
+    txt = rms_norm(
+        txt_embeds.astype(_dtype(cfg)), params["txt_norm"], 1e-6
+    )
+    txt = jnp.dot(txt, params["txt_in_w"]) + params["txt_in_b"]
+
+    temb = timestep_embedding(cfg, params, timestep)  # [B, D]
+    temb_act = jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype)
+
+    icos, isin, tcos, tsin = rope_cos_sin_3d(cfg, img_shape, s_txt)
+    joint_lens = (s_img + txt_lens).astype(jnp.int32)
+
+    def block(carry, lp):
+        img, txt = carry
+        img_mod = (
+            jnp.dot(temb_act, lp["img_mod_w"]) + lp["img_mod_b"]
+        )  # [B, 6D]
+        txt_mod = jnp.dot(temb_act, lp["txt_mod_w"]) + lp["txt_mod_b"]
+        img_mod1, img_mod2 = jnp.split(img_mod, 2, axis=-1)
+        txt_mod1, txt_mod2 = jnp.split(txt_mod, 2, axis=-1)
+
+        # ---- joint attention
+        img_n, img_gate1 = _modulate(_layer_norm(img), img_mod1)
+        txt_n, txt_gate1 = _modulate(_layer_norm(txt), txt_mod1)
+
+        def qkv(x, w, bias, qn, kn, cos, sin):
+            y = jnp.dot(x, w) + bias
+            q, k, v = jnp.split(y, 3, axis=-1)
+            q = q.reshape(b, -1, nh, hd)
+            k = k.reshape(b, -1, nh, hd)
+            v = v.reshape(b, -1, nh, hd)
+            q = rms_norm(q, qn, 1e-6)
+            k = rms_norm(k, kn, 1e-6)
+            q = apply_rope_interleaved(q, cos, sin)
+            k = apply_rope_interleaved(k, cos, sin)
+            return q, k, v
+
+        iq, ik, iv = qkv(
+            img_n, lp["img_qkv_w"], lp["img_qkv_b"],
+            lp["img_q_norm"], lp["img_k_norm"], icos, isin,
+        )
+        tq, tk, tv = qkv(
+            txt_n, lp["txt_qkv_w"], lp["txt_qkv_b"],
+            lp["txt_q_norm"], lp["txt_k_norm"], tcos, tsin,
+        )
+        # [img || txt] so text padding is a tail the kernel masks via lens
+        q = jnp.concatenate([iq, tq], axis=1).transpose(0, 2, 1, 3)
+        k = jnp.concatenate([ik, tk], axis=1).transpose(0, 2, 1, 3)
+        v = jnp.concatenate([iv, tv], axis=1).transpose(0, 2, 1, 3)
+        o = flash_attention(q, k, v, joint_lens, causal=False)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s_img + s_txt, nh * hd)
+        o_img, o_txt = o[:, :s_img], o[:, s_img:]
+
+        img = img + img_gate1 * (
+            jnp.dot(o_img, lp["img_attn_out_w"]) + lp["img_attn_out_b"]
+        ).astype(img.dtype)
+        txt = txt + txt_gate1 * (
+            jnp.dot(o_txt, lp["txt_attn_out_w"]) + lp["txt_attn_out_b"]
+        ).astype(txt.dtype)
+
+        # ---- MLPs
+        img_n2, img_gate2 = _modulate(_layer_norm(img), img_mod2)
+        img = img + img_gate2 * _mlp_gelu(
+            img_n2, lp["img_mlp_w1"], lp["img_mlp_b1"],
+            lp["img_mlp_w2"], lp["img_mlp_b2"],
+        ).astype(img.dtype)
+        txt_n2, txt_gate2 = _modulate(_layer_norm(txt), txt_mod2)
+        txt = txt + txt_gate2 * _mlp_gelu(
+            txt_n2, lp["txt_mlp_w1"], lp["txt_mlp_b1"],
+            lp["txt_mlp_w2"], lp["txt_mlp_b2"],
+        ).astype(txt.dtype)
+        return (img, txt), None
+
+    (img, txt), _ = jax.lax.scan(
+        block, (img, txt), _layer_params(params)
+    )
+
+    # AdaLN-continuous head: linear(silu(temb)) -> (scale, shift)
+    # (diffusers AdaLayerNormContinuous order: scale first)
+    head = jnp.dot(temb_act, params["norm_out_w"]) + params["norm_out_b"]
+    scale, shift = jnp.split(head, 2, axis=-1)
+    img = _layer_norm(img) * (1.0 + scale[:, None, :]) + shift[:, None, :]
+    out = (
+        jnp.dot(img, params["proj_out_w"], preferred_element_type=jnp.float32)
+        + params["proj_out_b"].astype(jnp.float32)
+    )
+    return out

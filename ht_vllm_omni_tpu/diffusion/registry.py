@@ -1,0 +1,68 @@
+"""Diffusion pipeline registry (family name -> pipeline factory).
+
+Counterpart of the reference's registry of 27 pipeline families
+(reference vllm_omni/diffusion/registry.py:18).  Families implemented so
+far: the generic flow DiT and Qwen-Image; further families register the
+same way.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from ht_vllm_omni_tpu.diffusion.data import OmniDiffusionConfig
+
+
+def _generic(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.pipeline_flow import FlowPipeline
+
+    return FlowPipeline(config.arch, seed=config.seed)
+
+
+def _qwen_image(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.qwen_image import (
+        QwenImagePipeline,
+    )
+    from ht_vllm_omni_tpu.diffusion.models.qwen_image import loader
+
+    kwargs: dict[str, Any] = dict(config.family_options)
+    if config.model_path:
+        from ht_vllm_omni_tpu.diffusion.models.qwen_image.config import (
+            QwenImageArchConfig,
+            QwenImageVAEConfig,
+        )
+        import os
+
+        arch = kwargs.pop("arch", QwenImageArchConfig())
+        vae_cfg = kwargs.pop("vae_cfg", QwenImageVAEConfig())
+        params = {
+            "transformer": loader.load_transformer(
+                arch, os.path.join(config.model_path, "transformer")
+            ),
+            "vae": loader.load_vae(
+                vae_cfg, os.path.join(config.model_path, "vae")
+            ),
+        }
+        return QwenImagePipeline(
+            arch=arch, vae_cfg=vae_cfg, params=params,
+            seed=config.seed, **kwargs,
+        )
+    return QwenImagePipeline(seed=config.seed, **kwargs)
+
+
+PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
+    "generic": _generic,
+    "qwen-image": _qwen_image,
+}
+
+
+def create_pipeline(config: OmniDiffusionConfig) -> Any:
+    family = getattr(config, "family", "generic") or "generic"
+    try:
+        factory = PIPELINE_FAMILIES[family]
+    except KeyError:
+        raise ValueError(
+            f"unknown diffusion family {family!r}; known: "
+            f"{sorted(PIPELINE_FAMILIES)}"
+        ) from None
+    return factory(config)
