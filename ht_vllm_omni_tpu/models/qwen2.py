@@ -220,24 +220,35 @@ def _mlp(
     else:
         offset = 0
 
-    def expert(acc, xs):
-        eg, eu, ed, e_idx = xs
-        gg = jnp.dot(x, eg, preferred_element_type=jnp.float32)
-        uu = jnp.dot(x, eu, preferred_element_type=jnp.float32)
-        act = (jax.nn.silu(gg) * uu).astype(x.dtype)
-        out = jnp.dot(act, ed, preferred_element_type=jnp.float32)
-        gate = jnp.sum(
-            jnp.where(top_i == e_idx + offset, top_w, 0.0), axis=-1
-        )  # [T]
-        return acc + out * gate[:, None], None
-
-    acc0 = jnp.zeros((t, x.shape[-1]), jnp.float32)
-    acc, _ = jax.lax.scan(
-        expert,
-        acc0,
-        (lp["egate"], lp["eup"], lp["edown"],
-         jnp.arange(num_local, dtype=jnp.int32)[:, None]),
+    # Grouped GEMM over top-k assignments only (O(T*k) expert FLOPs, not
+    # O(T*E) like a dense all-experts sweep): sort the T*k (token,
+    # expert) assignments by local expert id and run ragged matmuls
+    # (lax.ragged_dot -> TPU grouped-GEMM lowering), then scatter-add the
+    # weighted rows back per token.  With EP, assignments routed to other
+    # shards keep weight 0 — their rows compute into local expert 0 and
+    # vanish in the combine (the caller's psum sums shard partials).
+    tk = t * k
+    flat_e = top_i.reshape(tk) - offset
+    valid = (flat_e >= 0) & (flat_e < num_local)
+    w_flat = jnp.where(valid, top_w.reshape(tk), 0.0)
+    e_local = jnp.where(valid, flat_e, 0).astype(jnp.int32)
+    order = jnp.argsort(e_local)  # stable
+    tok_sorted = order // k  # token of each sorted assignment
+    xs = x[tok_sorted]  # [T*k, H]
+    gs = jnp.bincount(e_local, length=num_local)
+    gg = jax.lax.ragged_dot(
+        xs, lp["egate"], gs, preferred_element_type=jnp.float32
     )
+    uu = jax.lax.ragged_dot(
+        xs, lp["eup"], gs, preferred_element_type=jnp.float32
+    )
+    act = (jax.nn.silu(gg) * uu).astype(x.dtype)
+    rows = jax.lax.ragged_dot(
+        act, lp["edown"], gs, preferred_element_type=jnp.float32
+    )
+    w_sorted = w_flat[order]
+    acc = jnp.zeros((t, x.shape[-1]), jnp.float32)
+    acc = acc.at[tok_sorted].add(rows * w_sorted[:, None])
     if "sgate" in lp:
         # Qwen2MoE-style shared expert, sigmoid-gated (HF Qwen3-Omni
         # talker Qwen3OmniMoeTalkerTextSparseMoeBlock).  Sharded like a
