@@ -57,6 +57,12 @@ class StageConfig:
     # next stage (reference custom_process_next_stage_input_func)
     custom_process_next_stage_input_func: str | None = None
     custom_process_input_func: str | None = None
+    # CFG companion hooks (reference stage_config fields consumed by
+    # CfgCompanionTracker / receive_multi_kv_cache): stage 0 may expand
+    # each prompt into shadow companion requests; a downstream stage may
+    # declare how to collect their KV payloads.
+    custom_prompt_expand_func: str | None = None
+    custom_cfg_kv_collect_func: str | None = None
     engine_args: dict[str, Any] = dataclasses.field(default_factory=dict)
     runtime: dict[str, Any] = dataclasses.field(default_factory=dict)
     default_sampling_params: dict[str, Any] = dataclasses.field(

@@ -11,16 +11,21 @@ AsyncOmniEngine wraps this in a background thread for serving.
 
 from __future__ import annotations
 
+import copy
 import dataclasses
 import itertools
 import logging
+import os
 import time
 from typing import Any, Sequence
 
 from ht_vllm_omni_tpu.config.stage_config import PipelineConfig, StageConfig
 from ht_vllm_omni_tpu.inputs import OmniPrompt, as_prompt
 from ht_vllm_omni_tpu.metrics import OrchestratorAggregator
-from ht_vllm_omni_tpu.models.stage_input_processors import resolve
+from ht_vllm_omni_tpu.models.stage_input_processors import (
+    resolve,
+    resolve_optional,
+)
 from ht_vllm_omni_tpu.outputs import OmniRequestOutput
 from ht_vllm_omni_tpu.sampling_params import SamplingParams
 
@@ -65,6 +70,14 @@ class _RequestState:
     # accumulated multimodal stream for client events (the reference's
     # MultimodalOutputProcessor accumulation, output_processor.py:24)
     mm_accum: dict = dataclasses.field(default_factory=dict)
+    # CFG companion tracking (reference CfgCompanionTracker,
+    # entrypoints/cfg_companion_tracker.py:24): role -> companion id,
+    # completed companion ids, and the parent output deferred while its
+    # companions are still decoding.
+    companion_roles: dict = dataclasses.field(default_factory=dict)
+    companions_done: set = dataclasses.field(default_factory=set)
+    deferred: tuple | None = None  # (from_cfg, out)
+    deferred_since: float = 0.0
 
 
 class PipelineOrchestrator:
@@ -77,18 +90,28 @@ class PipelineOrchestrator:
             OmniConnectorFactory,
         )
 
+        from ht_vllm_omni_tpu.distributed.kv_transfer import (
+            OmniKVTransferManager,
+        )
+
         self.pipeline = pipeline
         self.stages = {h.config.stage_id: h for h in stages}
         self.requests: dict[str, _RequestState] = {}
         self.stats = OrchestratorAggregator()
         self._counter = itertools.count()
         self._final_ids = set(pipeline.final_stage_ids())
+        # CFG companions: companion id -> parent external id
+        self._companion_to_parent: dict[str, str] = {}
+        self._cfg_timeout = float(
+            os.environ.get("OMNI_CFG_PENDING_TIMEOUT_S", "120")
+        )
         # async-chunk plumbing: chunked edges + their connectors
         self._chunk_edges: dict[int, list] = {}
         self._connectors: dict[str, Any] = {}
         self._default_connector = OmniConnectorFactory.create(
             "InMemoryConnector"
         )
+        self._kv_manager = OmniKVTransferManager(self._default_connector)
         for edge in pipeline.edges:
             if edge.window_size and edge.window_size > 0:
                 self._chunk_edges.setdefault(edge.from_stage, []).append(edge)
@@ -135,6 +158,7 @@ class PipelineOrchestrator:
             self._stage_sampling_params(stage0.config, sp_list[0]),
             request_id=self._internal_id(external_id, 0),
         )
+        self._expand_cfg_companions(state, stage0, prompt, sp_list[0])
         # async-chunk: pre-arm downstream stages so their requests exist,
         # parked, before the first chunk lands (reference
         # _prewarm_async_chunk_stages, orchestrator.py:627-689 — this is
@@ -155,12 +179,155 @@ class PipelineOrchestrator:
                     target.engine.park_for_chunk(rid)
         return external_id
 
+    # -------------------------------------------------- CFG companions
+    def _expand_cfg_companions(
+        self, state: _RequestState, stage0: StageHandle, prompt,
+        sp0: SamplingParams | None,
+    ) -> None:
+        """Expand the stage-0 prompt into CFG companion requests
+        (reference _enqueue_cfg_companions, async_omni_engine.py:718):
+        each companion decodes as a shadow request on stage 0; its KV is
+        exported per downstream edge on finish, and the parent's forward
+        to the next stage defers until every companion is done."""
+        expand = resolve_optional(
+            stage0.config.custom_prompt_expand_func
+        )
+        if expand is None:
+            return
+        params = self._stage_sampling_params(stage0.config, sp0)
+        try:
+            expanded = expand(as_prompt(prompt), params)
+        except Exception:
+            logger.exception(
+                "prompt_expand_func failed for req %s", state.external_id
+            )
+            return
+        for ep in expanded or []:
+            cid = f"{state.external_id}{ep.request_id_suffix}"
+            state.companion_roles[ep.role] = cid
+            self._companion_to_parent[cid] = state.external_id
+            rid = self._internal_id(cid, 0)
+            stage0.engine.add_request(
+                as_prompt(ep.prompt), copy.deepcopy(params), request_id=rid
+            )
+            # hold the companion's pages past finish so its KV can be
+            # extracted (reference defers block frees until the transfer
+            # acks, omni_ar_scheduler.py:454-479)
+            if hasattr(stage0.engine, "scheduler"):
+                stage0.engine.scheduler.requests[rid].needs_kv_transfer = (
+                    True
+                )
+        if state.companion_roles:
+            logger.info(
+                "CFG expansion for req %s: %d companions",
+                state.external_id, len(state.companion_roles),
+            )
+
+    def _all_companions_done(self, state: _RequestState) -> bool:
+        return all(
+            cid in state.companions_done
+            for cid in state.companion_roles.values()
+        )
+
+    def _fail_parent(
+        self, state: _RequestState, message: str,
+        client_outputs: list[OmniRequestOutput],
+    ) -> None:
+        """A companion failed (or timed out): the parent cannot run CFG —
+        abort it and surface the error (reference on_companion_error,
+        cfg_companion_tracker.py:113)."""
+        logger.error("req %s: %s", state.external_id, message)
+        state.deferred = None
+        for sid, handle in self.stages.items():
+            handle.engine.abort_request(
+                self._internal_id(state.external_id, sid)
+            )
+        for cid in state.companion_roles.values():
+            if cid not in state.companions_done:
+                self.stages[0].engine.abort_request(
+                    self._internal_id(cid, 0)
+                )
+            self._companion_to_parent.pop(cid, None)
+        state.finished = True
+        self.stats.on_finish(state.external_id)
+        client_outputs.append(
+            OmniRequestOutput(
+                request_id=state.external_id, finished=True, error=message
+            )
+        )
+
+    def _route_companion(
+        self, handle: StageHandle, cid: str, parent_id: str,
+        out: OmniRequestOutput, client_outputs: list[OmniRequestOutput],
+    ) -> None:
+        """Companion outputs never reach the client and never forward;
+        on finish the branch KV is exported for downstream collection
+        (reference _route_output companion arm, orchestrator.py:313-337)."""
+        state = self.requests.get(parent_id)
+        if state is None or state.finished:
+            self._companion_to_parent.pop(cid, None)
+            return
+        if out.error is not None:
+            self._fail_parent(
+                state, f"CFG companion {cid} failed: {out.error}",
+                client_outputs,
+            )
+            return
+        if not out.finished:
+            return
+        sid = handle.config.stage_id
+        try:
+            if hasattr(handle.engine, "scheduler"):
+                payload = self._kv_manager.extract(
+                    handle.engine, self._internal_id(cid, sid)
+                )
+                comp = out.outputs[0] if out.outputs else None
+                payload.extra = {
+                    "token_ids": list(comp.token_ids) if comp else [],
+                    "hidden_states": (
+                        comp.hidden_states if comp else None
+                    ),
+                }
+                for next_sid in self.pipeline.downstream_of(sid):
+                    self._kv_manager.put(sid, next_sid, cid, payload)
+        except Exception as e:
+            self._fail_parent(
+                state, f"CFG KV extract failed for {cid}: {e}",
+                client_outputs,
+            )
+            return
+        state.companions_done.add(cid)
+        self._companion_to_parent.pop(cid, None)
+        if state.deferred is not None and self._all_companions_done(state):
+            from_cfg, parent_out = state.deferred
+            state.deferred = None
+            state.forwarded.add((from_cfg.stage_id,))
+            self._forward_to_next_stages(state, from_cfg, parent_out)
+
+    def _check_cfg_timeouts(
+        self, client_outputs: list[OmniRequestOutput]
+    ) -> None:
+        now = time.time()
+        for state in list(self.requests.values()):
+            if state.deferred is not None and (
+                now - state.deferred_since > self._cfg_timeout
+            ):
+                self._fail_parent(
+                    state,
+                    "timed out waiting for CFG companions "
+                    f"(>{self._cfg_timeout:.0f}s)",
+                    client_outputs,
+                )
+
     def abort_request(self, external_id: str) -> None:
         state = self.requests.pop(external_id, None)
         if state is None:
             return
         for sid, handle in self.stages.items():
             handle.engine.abort_request(self._internal_id(external_id, sid))
+        for cid in state.companion_roles.values():
+            self._companion_to_parent.pop(cid, None)
+            self.stages[0].engine.abort_request(self._internal_id(cid, 0))
 
     def _internal_id(self, external_id: str, stage_id: int) -> str:
         return f"{external_id}/s{stage_id}"
@@ -196,6 +363,7 @@ class PipelineOrchestrator:
     def step(self) -> list[OmniRequestOutput]:
         """One pipeline tick; returns client-facing outputs."""
         client_outputs: list[OmniRequestOutput] = []
+        self._check_cfg_timeouts(client_outputs)
         self._poll_pending_chunks()
         for sid in sorted(self.stages):
             handle = self.stages[sid]
@@ -315,6 +483,13 @@ class PipelineOrchestrator:
     ) -> None:
         cfg = handle.config
         external_id, sid = self._external_id(out.request_id)
+        parent_id = self._companion_to_parent.get(external_id)
+        if parent_id is not None:
+            out.request_id = external_id
+            self._route_companion(
+                handle, external_id, parent_id, out, client_outputs
+            )
+            return
         state = self.requests.get(external_id)
         if state is None:
             return  # aborted
@@ -366,8 +541,18 @@ class PipelineOrchestrator:
         if out.finished and not is_final_stage and out.error is None:
             key = (sid,)
             if key not in state.forwarded:
-                state.forwarded.add(key)
-                self._forward_to_next_stages(state, cfg, out)
+                if (
+                    sid == 0
+                    and state.companion_roles
+                    and not self._all_companions_done(state)
+                ):
+                    # defer until every CFG companion's KV has landed
+                    # (reference _deferred_parents, orchestrator.py:360)
+                    state.deferred = (cfg, out)
+                    state.deferred_since = time.time()
+                else:
+                    state.forwarded.add(key)
+                    self._forward_to_next_stages(state, cfg, out)
         if out.finished and (is_final_stage or out.error is not None):
             state.finished = True
             self.stats.on_finish(external_id)
@@ -393,6 +578,27 @@ class PipelineOrchestrator:
             fn = resolve(from_cfg.custom_process_next_stage_input_func)
             restored = dataclasses.replace(out)
             prompt = fn(restored, from_cfg, next_handle.config)
+            if state.companion_roles and from_cfg.stage_id == 0:
+                # attach branch ids + (via the model's collect hook) the
+                # per-branch KV payloads (reference forward_parent_with_cfg
+                # cfg_kv_request_ids, cfg_companion_tracker.py:203, and
+                # receive_multi_kv_cache, kv_transfer_manager.py:488)
+                prompt.additional_information["cfg_kv_request_ids"] = dict(
+                    state.companion_roles
+                )
+                collect = resolve_optional(
+                    next_handle.config.custom_cfg_kv_collect_func
+                )
+                if collect is not None:
+                    prompt.additional_information.update(
+                        collect(
+                            state.external_id,
+                            dict(state.companion_roles),
+                            self._kv_manager,
+                            from_cfg.stage_id,
+                            next_sid,
+                        )
+                    )
             next_handle.engine.add_request(
                 prompt,
                 self._stage_sampling_params(

@@ -44,6 +44,22 @@ class OmniPrompt:
             )
 
 
+@dataclasses.dataclass
+class ExpandedPrompt:
+    """One CFG companion produced by a model's prompt-expansion hook.
+
+    Counterpart of the reference's expanded-prompt records consumed by
+    CfgCompanionTracker.expand_prompts (reference
+    vllm_omni/entrypoints/cfg_companion_tracker.py:59): the companion runs
+    stage 0 as a shadow request whose KV is delivered to the downstream
+    stage under ``role`` (e.g. "cfg_text" / "cfg_img" for Bagel).
+    """
+
+    prompt: "str | list[int] | OmniPrompt"
+    request_id_suffix: str
+    role: str
+
+
 def as_prompt(p: "str | list[int] | OmniPrompt") -> OmniPrompt:
     if isinstance(p, OmniPrompt):
         return p

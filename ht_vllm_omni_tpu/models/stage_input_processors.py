@@ -40,6 +40,32 @@ def resolve(name: str | None) -> ProcessFn:
     return fn
 
 
+def resolve_optional(name: str | None) -> Callable | None:
+    """Like resolve(), but None stays None (used for the optional CFG
+    hooks: prompt_expand_func / cfg_kv_collect_func)."""
+    return None if name is None else resolve(name)
+
+
+@register("default_cfg_kv_collect")
+def default_cfg_kv_collect(
+    parent_id: str, cfg_request_ids: dict, kv_manager, from_stage: int,
+    to_stage: int,
+) -> dict:
+    """Fetch every CFG companion's KV payload from the transfer manager
+    and attach them under additional_information["cfg_kv"] keyed by role
+    (reference collect_cfg_kv_caches, stage_input_processors/bagel.py:111
+    via receive_multi_kv_cache, kv_transfer_manager.py:488)."""
+    out = {}
+    for role, cid in cfg_request_ids.items():
+        payload = kv_manager.get(from_stage, to_stage, cid)
+        if payload is None:
+            raise RuntimeError(
+                f"CFG KV payload missing for companion {cid} (role {role})"
+            )
+        out[role] = payload
+    return {"cfg_kv": out}
+
+
 @register("default")
 def default_next_stage_input(
     output: OmniRequestOutput, from_cfg, to_cfg
