@@ -109,16 +109,24 @@ class ParallelConfig:
 
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
     # sequence parallel (Ulysses-style all_to_all over heads) for DiT
     sequence_parallel_size: int = 1
     cfg_parallel_size: int = 1
     expert_parallel_size: int = 1
+    # "replicated" | "fsdp": fsdp additionally shards every stacked layer
+    # weight over the dp axis and all-gathers it just-in-time inside the
+    # layer scan (the reference's HSDP, distributed/hsdp.py:30 — shard
+    # within the replica group, replicate across groups; here the mesh's
+    # dp axis IS the shard group and XLA overlaps the gathers)
+    weight_sharding: str = "replicated"
 
     @property
     def world_size(self) -> int:
         return (
             self.tensor_parallel_size
             * self.data_parallel_size
+            * self.pipeline_parallel_size
             * self.sequence_parallel_size
             * self.cfg_parallel_size
         )

@@ -108,6 +108,33 @@ def _layer_params(params: dict) -> dict:
 
 
 
+# FSDP (HSDP-equivalent) weight sharding: per-layer gather dims for the
+# dp-sharded hidden-size axis of each stacked weight (parallel/mesh.py
+# param_pspecs(fsdp=True)).  Gathered just-in-time at layer entry so at
+# most one layer's full weights are live; XLA's latency-hiding scheduler
+# overlaps the gather of layer l+1 with layer l's compute.
+_FSDP_GATHER_DIM = {
+    "wq": 0, "wk": 0, "wv": 0, "gate": 0, "up": 0, "sgate": 0, "sup": 0,
+    "wo": 1, "down": 1, "sdown": 1,
+    "egate": 1, "eup": 1, "edown": 2,
+}
+
+
+def _gather_fsdp(lp: dict, axis: str | None) -> dict:
+    if axis is None:
+        return lp
+    return {
+        k: (
+            jax.lax.all_gather(
+                v, axis, axis=_FSDP_GATHER_DIM[k], tiled=True
+            )
+            if k in _FSDP_GATHER_DIM
+            else v
+        )
+        for k, v in lp.items()
+    }
+
+
 def _linear(lp: dict, name: str, x: jax.Array) -> jax.Array:
     """x [T, K] @ weight ``name`` -> [T, N] f32, honouring weight-only
     quantization (quantization/weight_quant.py) and LoRA adapters
@@ -275,6 +302,8 @@ def prefill(
     prompt_len: jax.Array,  # scalar int32: valid tokens
     *,
     tp_axis: str | None = None,
+    fsdp_axis: str | None = None,
+    final_norm: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Run one request's prompt; returns (hidden [S, H] normed,
     kv_rows [L, S, 2F]).
@@ -298,6 +327,7 @@ def prefill(
     lens = prompt_len[None].astype(jnp.int32)
 
     def layer(h, lp):
+        lp = _gather_fsdp(lp, fsdp_axis)
         x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lp, x, cos, sin)
         row = jnp.concatenate([k.reshape(s, f), v.reshape(s, f)], axis=-1)
@@ -321,7 +351,8 @@ def prefill(
         return h, row
 
     h, kv_rows = jax.lax.scan(layer, inputs_embeds, _layer_params(params))
-    h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
+    if final_norm:  # pp stages < last hand off the raw residual stream
+        h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
     return h, kv_rows
 
 
@@ -340,6 +371,8 @@ def decode(
     page_size: int,
     chunk_steps: int,
     tp_axis: str | None = None,
+    fsdp_axis: str | None = None,
+    final_norm: bool = True,
     rope_delta: jax.Array | None = None,  # [S] M-RoPE decode offset
     kv_scales: tuple | None = None,  # (k_scale, v_scale) for int8 caches
 ) -> tuple[jax.Array, jax.Array]:
@@ -361,6 +394,7 @@ def decode(
 
     def layer(h, xs):
         lp, li, fresh_l = xs
+        lp = _gather_fsdp(lp, fsdp_axis)
         x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lp, x, cos, sin)
         row = jnp.concatenate(
@@ -401,7 +435,8 @@ def decode(
             fresh,
         ),
     )
-    h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
+    if final_norm:
+        h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
     return h, fresh
 
 
@@ -420,6 +455,7 @@ def spec_verify_forward(
     q_per_seq: int,
     rows_per_slot: int,
     tp_axis: str | None = None,
+    fsdp_axis: str | None = None,
     kv_scales: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """One speculative-verification forward: Q query rows per slot (the
@@ -450,6 +486,7 @@ def spec_verify_forward(
 
     def layer(h, xs):
         lp, li, fresh_l = xs
+        lp = _gather_fsdp(lp, fsdp_axis)
         x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lp, x, cos, sin)
         row = jnp.concatenate([k.reshape(sq, f), v.reshape(sq, f)], axis=-1)
@@ -501,6 +538,7 @@ def prefill_chunk(
     *,
     page_size: int,
     tp_axis: str | None = None,
+    fsdp_axis: str | None = None,
     kv_scales: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """One prompt chunk with paged context attention (chunked prefill).
@@ -524,6 +562,7 @@ def prefill_chunk(
 
     def layer(h, xs):
         lp, li = xs
+        lp = _gather_fsdp(lp, fsdp_axis)
         x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lp, x, cos, sin)
         row = jnp.concatenate([k.reshape(t, f), v.reshape(t, f)], axis=-1)

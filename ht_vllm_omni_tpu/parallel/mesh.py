@@ -20,6 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ht_vllm_omni_tpu.config import ModelArchConfig
 
 DP_AXIS = "dp"
+PP_AXIS = "pp"
 TP_AXIS = "tp"
 
 
@@ -27,10 +28,15 @@ TP_AXIS = "tp"
 class MeshConfig:
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
 
     @property
     def world_size(self) -> int:
-        return self.tensor_parallel_size * self.data_parallel_size
+        return (
+            self.tensor_parallel_size
+            * self.data_parallel_size
+            * self.pipeline_parallel_size
+        )
 
 
 def make_mesh(
@@ -43,64 +49,78 @@ def make_mesh(
             f"mesh needs {n} devices, have {len(devices)}"
         )
     arr = np.asarray(devices[:n]).reshape(
-        cfg.data_parallel_size, cfg.tensor_parallel_size
+        cfg.data_parallel_size,
+        cfg.pipeline_parallel_size,
+        cfg.tensor_parallel_size,
     )
-    return Mesh(arr, (DP_AXIS, TP_AXIS))
+    return Mesh(arr, (DP_AXIS, PP_AXIS, TP_AXIS))
 
 
-def param_pspecs(cfg: ModelArchConfig) -> dict[str, P]:
+def param_pspecs(
+    cfg: ModelArchConfig, fsdp: bool = False, pp: bool = False
+) -> dict[str, P]:
     """Megatron-style layout: qkv column-parallel, o row-parallel,
     gate/up column-parallel, down row-parallel; norms + embeddings
-    replicated (vocab sharding comes with multi-host)."""
+    replicated (vocab sharding comes with multi-host).
+
+    ``fsdp``: additionally shard each stacked weight's hidden-size dim
+    over dp (HSDP-equivalent; gathered just-in-time inside the layer
+    scan — qwen2._gather_fsdp).  ``pp``: shard the stacked layer axis
+    over the pp mesh axis (each pipeline stage owns L/pp layers)."""
+    dpx = DP_AXIS if fsdp else None
+    ppx = PP_AXIS if pp else None
     specs = {
         "embed": P(),
-        "ln1": P(),
-        "ln2": P(),
-        "wq": P(None, None, TP_AXIS),
-        "wk": P(None, None, TP_AXIS),
-        "wv": P(None, None, TP_AXIS),
-        "wo": P(None, TP_AXIS, None),
-        "gate": P(None, None, TP_AXIS),
-        "up": P(None, None, TP_AXIS),
-        "down": P(None, TP_AXIS, None),
+        "ln1": P(ppx),
+        "ln2": P(ppx),
+        "wq": P(ppx, dpx, TP_AXIS),
+        "wk": P(ppx, dpx, TP_AXIS),
+        "wv": P(ppx, dpx, TP_AXIS),
+        "wo": P(ppx, TP_AXIS, dpx),
+        "gate": P(ppx, dpx, TP_AXIS),
+        "up": P(ppx, dpx, TP_AXIS),
+        "down": P(ppx, TP_AXIS, dpx),
         "norm_f": P(),
         "lm_head": P(None, TP_AXIS),
-        "bq": P(None, TP_AXIS),
-        "bk": P(None, TP_AXIS),
-        "bv": P(None, TP_AXIS),
-        "q_norm": P(),
-        "k_norm": P(),
-        # MoE: router replicated, experts sharded over tp (expert parallel)
-        "router": P(),
-        "egate": P(None, TP_AXIS, None, None),
-        "eup": P(None, TP_AXIS, None, None),
-        "edown": P(None, TP_AXIS, None, None),
+        "bq": P(ppx, TP_AXIS),
+        "bk": P(ppx, TP_AXIS),
+        "bv": P(ppx, TP_AXIS),
+        "q_norm": P(ppx),
+        "k_norm": P(ppx),
+        # MoE: router replicated over tp, experts sharded over tp
+        # (expert parallel); fsdp shards the expert hidden dim
+        "router": P(ppx),
+        "egate": P(ppx, TP_AXIS, dpx, None),
+        "eup": P(ppx, TP_AXIS, dpx, None),
+        "edown": P(ppx, TP_AXIS, None, dpx),
         # shared expert: dense Megatron layout; its sigmoid gate replicated
-        "sgate": P(None, None, TP_AXIS),
-        "sup": P(None, None, TP_AXIS),
-        "sdown": P(None, TP_AXIS, None),
-        "shared_gate": P(),
+        "sgate": P(ppx, dpx, TP_AXIS),
+        "sup": P(ppx, dpx, TP_AXIS),
+        "sdown": P(ppx, TP_AXIS, dpx),
+        "shared_gate": P(ppx),
     }
     # quantized leaves follow their base weight's layout; group/channel
     # scales live on whichever dim survives: col-parallel weights shard
     # scales on the out dim, row-parallel weights keep scales replicated
-    # on out but shard int4 K-groups.
+    # on out but shard int4 K-groups.  fsdp never touches quantized
+    # leaves (weight_quant asserts fsdp off for quantized models).
     for name in ("wq", "wk", "wv", "gate", "up"):  # column-parallel
-        specs[name + ":q8"] = P(None, None, TP_AXIS)
-        specs[name + ":q4"] = P(None, None, TP_AXIS)
-        specs[name + ":s8"] = P(None, TP_AXIS)  # [L, N]
-        specs[name + ":s4"] = P(None, None, TP_AXIS)  # [L, K/G, N]
+        specs[name + ":q8"] = P(ppx, None, TP_AXIS)
+        specs[name + ":q4"] = P(ppx, None, TP_AXIS)
+        specs[name + ":s8"] = P(ppx, TP_AXIS)  # [L, N]
+        specs[name + ":s4"] = P(ppx, None, TP_AXIS)  # [L, K/G, N]
     for name in ("wo", "down"):  # row-parallel
-        specs[name + ":q8"] = P(None, TP_AXIS, None)
-        specs[name + ":q4"] = P(None, TP_AXIS, None)
-        specs[name + ":s8"] = P()  # [L, N] replicated
-        specs[name + ":s4"] = P(None, TP_AXIS, None)  # K-groups sharded
+        specs[name + ":q8"] = P(ppx, TP_AXIS, None)
+        specs[name + ":q4"] = P(ppx, TP_AXIS, None)
+        specs[name + ":s8"] = P(ppx)  # [L, N]
+        specs[name + ":s4"] = P(ppx, TP_AXIS, None)  # K-groups sharded
     return specs
 
 
-def cache_pspec() -> P:
-    """KV cache [L, NSLOTS, 2F]: pages over dp, kv-head features over tp."""
-    return P(None, DP_AXIS, TP_AXIS)
+def cache_pspec(pp: bool = False) -> P:
+    """KV cache [L, NSLOTS, 2F]: layers over pp (each pipeline stage
+    caches only its own layers), pages over dp, kv features over tp."""
+    return P(PP_AXIS if pp else None, DP_AXIS, TP_AXIS)
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:

@@ -38,6 +38,7 @@ from ht_vllm_omni_tpu.config import EngineConfig
 from ht_vllm_omni_tpu.models import qwen2
 from ht_vllm_omni_tpu.parallel.mesh import (
     DP_AXIS,
+    PP_AXIS,
     TP_AXIS,
     MeshConfig,
     make_mesh,
@@ -355,15 +356,36 @@ class ARModelRunner(SpecDecodeMixin):
         par = config.parallel
         tp = par.tensor_parallel_size
         dp = par.data_parallel_size
-        if mesh is None and tp * dp > 1:
-            mesh = make_mesh(MeshConfig(tp, dp))
+        pp = par.pipeline_parallel_size
+        if mesh is None and tp * dp * pp > 1:
+            mesh = make_mesh(MeshConfig(tp, dp, pp))
         self.mesh = mesh
         if mesh is not None:
             tp = mesh.shape[TP_AXIS]
             dp = mesh.shape[DP_AXIS]
+            pp = mesh.shape.get(PP_AXIS, 1)
             validate_tp(cfg, tp)
         self.tp = tp
         self.dp = dp
+        self.pp = pp
+        if pp > 1:
+            if cfg.num_hidden_layers % pp:
+                raise ValueError(
+                    f"layers {cfg.num_hidden_layers} not divisible by "
+                    f"pp={pp}"
+                )
+            if config.scheduler.max_num_seqs % (dp * pp):
+                raise ValueError(
+                    f"max_num_seqs {config.scheduler.max_num_seqs} must "
+                    f"divide into dp*pp={dp * pp} microbatches"
+                )
+        self.fsdp = par.weight_sharding == "fsdp" and dp > 1
+        if self.fsdp and cfg.quantization is not None:
+            raise NotImplementedError(
+                "fsdp weight sharding is bf16-only (quantized leaves have "
+                "interleaved scale layouts the per-layer gather cannot "
+                "reconstruct)"
+            )
         # head counts as seen by each tp shard inside shard_map
         self.local_arch = (
             dataclasses.replace(
@@ -428,7 +450,7 @@ class ARModelRunner(SpecDecodeMixin):
             two_f,
         )
         if self.mesh is not None:
-            specs = param_pspecs(cfg)
+            specs = param_pspecs(cfg, fsdp=self.fsdp, pp=self.pp > 1)
             self.params = {
                 k: jax.device_put(
                     v, NamedSharding(self.mesh, specs[k])
@@ -437,7 +459,14 @@ class ARModelRunner(SpecDecodeMixin):
             }
             self.kv_cache = jax.device_put(
                 jnp.zeros(kv_shape, kv_dt),
-                NamedSharding(self.mesh, P(None, DP_AXIS, TP_AXIS)),
+                NamedSharding(
+                    self.mesh,
+                    P(
+                        PP_AXIS if self.pp > 1 else None,
+                        DP_AXIS,
+                        TP_AXIS,
+                    ),
+                ),
             )
         else:
             self.kv_cache = jnp.zeros(kv_shape, kv_dt)
@@ -520,6 +549,7 @@ class ARModelRunner(SpecDecodeMixin):
         collect_hidden: bool,
         tp_axis,
         dp_axis,
+        fsdp_axis,
         use_embeds: bool,
         kv_scales,
         params,
@@ -549,7 +579,8 @@ class ARModelRunner(SpecDecodeMixin):
         else:
             x = qwen2.embed_tokens(params, token_ids)
         hidden, kv_rows = qwen2.prefill(
-            cfg, params, x, positions, prompt_len, tp_axis=tp_axis
+            cfg, params, x, positions, prompt_len, tp_axis=tp_axis,
+            fsdp_axis=fsdp_axis,
         )
         if dp_axis is not None:
             # every dp shard computes the (replicated) forward; only the
@@ -598,27 +629,52 @@ class ARModelRunner(SpecDecodeMixin):
         if self.mesh is None:
             prog = functools.partial(
                 self._prefill_program, self.arch, collect_hidden, None, None,
-                use_embeds, self.kv_scales,
+                None, use_embeds, self.kv_scales,
             )
         else:
-            body = functools.partial(
-                self._prefill_program,
-                self.local_arch,
-                collect_hidden,
-                TP_AXIS,
-                DP_AXIS,
-                use_embeds,
-                self.kv_scales,
-            )
+            is_pp = self.pp > 1
+            if is_pp:
+                from ht_vllm_omni_tpu.worker.pp_programs import (
+                    prefill_program_pp,
+                )
+
+                body = functools.partial(
+                    prefill_program_pp,
+                    self.local_arch,
+                    self.pp,
+                    collect_hidden,
+                    TP_AXIS,
+                    DP_AXIS,
+                    PP_AXIS,
+                    DP_AXIS if self.fsdp else None,
+                    use_embeds,
+                    self.kv_scales,
+                )
+            else:
+                body = functools.partial(
+                    self._prefill_program,
+                    self.local_arch,
+                    collect_hidden,
+                    TP_AXIS,
+                    DP_AXIS,
+                    DP_AXIS if self.fsdp else None,
+                    use_embeds,
+                    self.kv_scales,
+                )
             pspec = {
                 k: v
-                for k, v in param_pspecs(self.arch).items()
+                for k, v in param_pspecs(
+                    self.arch, fsdp=self.fsdp, pp=is_pp
+                ).items()
                 if k in self.params
             }
+            cache_spec = P(
+                PP_AXIS if is_pp else None, DP_AXIS, TP_AXIS
+            )
             scalar = P()
             in_specs = (
                 pspec,  # params
-                P(None, DP_AXIS, TP_AXIS),  # kv_cache
+                cache_spec,  # kv_cache
                 P(DP_AXIS, None),  # keys
                 P(DP_AXIS),  # token_state
                 scalar,  # token_ids
@@ -633,7 +689,7 @@ class ARModelRunner(SpecDecodeMixin):
                 scalar,  # top_p
             )
             out_specs = (
-                P(None, DP_AXIS, TP_AXIS),
+                cache_spec,
                 P(DP_AXIS, None),
                 P(DP_AXIS),
                 P(),  # hidden (replicated)
@@ -989,6 +1045,7 @@ class ARModelRunner(SpecDecodeMixin):
         page_size: int,
         collect_hidden: bool,
         tp_axis,
+        fsdp_axis,
         kv_scales,
         params,
         kv_cache,  # [L, NSLOTS, 2F] donated; read in-scan, flushed once
@@ -1042,7 +1099,8 @@ class ARModelRunner(SpecDecodeMixin):
                 cfg, params, kv_cache, fresh_buf, x, pos, j, written,
                 block_tables, seq_lens0,
                 page_size=page_size, chunk_steps=num_steps,
-                tp_axis=tp_axis, rope_delta=rope_delta,
+                tp_axis=tp_axis, fsdp_axis=fsdp_axis,
+                rope_delta=rope_delta,
                 kv_scales=kv_scales,
             )
             logits = qwen2.compute_logits(cfg, params, hidden)
@@ -1114,27 +1172,58 @@ class ARModelRunner(SpecDecodeMixin):
                 self.page_size,
                 collect_hidden,
                 None,
+                None,
                 self.kv_scales,
             )
         else:
-            body = functools.partial(
-                self._decode_program,
-                self.local_arch,
-                num_steps,
-                self.page_size,
-                collect_hidden,
-                TP_AXIS,
-                self.kv_scales,
-            )
+            is_pp = self.pp > 1
+            if is_pp:
+                if collect_hidden:
+                    raise NotImplementedError(
+                        "collect_hidden under pipeline parallelism: the "
+                        "hidden stream lives on the last pp stage only"
+                    )
+                from ht_vllm_omni_tpu.worker.pp_programs import (
+                    decode_program_pp,
+                )
+
+                body = functools.partial(
+                    decode_program_pp,
+                    self.local_arch,
+                    num_steps,
+                    self.page_size,
+                    self.pp,
+                    TP_AXIS,
+                    PP_AXIS,
+                    DP_AXIS if self.fsdp else None,
+                    self.kv_scales,
+                    ARModelRunner,
+                )
+            else:
+                body = functools.partial(
+                    self._decode_program,
+                    self.local_arch,
+                    num_steps,
+                    self.page_size,
+                    collect_hidden,
+                    TP_AXIS,
+                    DP_AXIS if self.fsdp else None,
+                    self.kv_scales,
+                )
             pspec = {
                 k: v
-                for k, v in param_pspecs(self.arch).items()
+                for k, v in param_pspecs(
+                    self.arch, fsdp=self.fsdp, pp=is_pp
+                ).items()
                 if k in self.params
             }
+            cache_spec = P(
+                PP_AXIS if is_pp else None, DP_AXIS, TP_AXIS
+            )
             slotdim = P(DP_AXIS)
             in_specs = (
                 pspec,
-                P(None, DP_AXIS, TP_AXIS),  # kv_cache
+                cache_spec,  # kv_cache
                 P(DP_AXIS, None),  # keys
                 slotdim,  # token_state
                 P(None, DP_AXIS),  # int_state
@@ -1142,7 +1231,7 @@ class ARModelRunner(SpecDecodeMixin):
                 P(DP_AXIS, None),  # block_tables
             )
             out = [
-                P(None, DP_AXIS, TP_AXIS),  # kv_cache
+                cache_spec,  # kv_cache
                 P(DP_AXIS, None),  # keys
                 slotdim,  # token_state
                 P(None, DP_AXIS),  # packed

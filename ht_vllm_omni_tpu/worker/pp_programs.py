@@ -1,0 +1,357 @@
+"""Pipeline-parallel (pp) shard_map program bodies for the AR runner.
+
+TPU-native replacement of the reference's pipeline-parallel process
+groups (reference vllm_omni/diffusion/distributed/group_coordinator.py:548
+and vLLM's PP worker ranks): layers shard over the mesh's pp axis
+(parallel/mesh.py param_pspecs(pp=True); the KV cache's layer axis
+shards the same way) and activations move stage-to-stage with a single
+ring ``ppermute`` per round — ICI traffic, no host involvement.
+
+Decode uses a rotating-microbatch schedule: the dp-local slot range
+splits into pp microbatches; microbatch m enters stage 0 at round
+t*pp + m for its decode step t, so at any round every stage is busy with
+a different microbatch — steady-state utilization approaches 100% over a
+K-step chunk (total rounds K*pp + pp - 1).  Sampling happens on the last
+stage; the sampled token rides the ring's wrap-around edge back to stage
+0 as the microbatch's next-step input.
+
+Prefill uses a simple ring wave (the true activation propagates one
+stage per round; each stage keeps its own layers' KV rows when the wave
+passes).  Stages recompute redundantly off the wave — acceptable for the
+one-shot prompt pass; chunked prefill pipelines chunks naturally.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ht_vllm_omni_tpu.models import qwen2
+from ht_vllm_omni_tpu.models.layers import rms_norm
+from ht_vllm_omni_tpu.sample.sampler import SamplingTensors, sample_tokens
+
+_NO_TOKEN = -1
+
+
+def _ring(pp_axis: str, pp: int, *arrays):
+    perm = [(i, (i + 1) % pp) for i in range(pp)]
+    return tuple(
+        jax.lax.ppermute(a, pp_axis, perm) for a in arrays
+    )
+
+
+def _bcast_from(val, pp_axis: str, src_pred):
+    """Broadcast ``val`` from the stage where src_pred is True (exactly
+    one stage) to every pp stage via masked psum."""
+    zero = jnp.zeros_like(val)
+    return jax.lax.psum(jnp.where(src_pred, val, zero), pp_axis)
+
+
+def decode_program_pp(
+    cfg,
+    num_steps: int,
+    page_size: int,
+    pp: int,
+    tp_axis,
+    pp_axis,
+    fsdp_axis,
+    kv_scales,
+    runner_cls,
+    params,
+    kv_cache,  # [L/pp, NSLOTS_local, 2F_local] donated
+    keys,  # [S_l, 2]
+    token_state,  # [S_l]
+    int_state,  # [_NUM_INT_ROWS, S_l]
+    f32_state,  # [2, S_l]
+    block_tables,  # [S_l, P]
+):
+    """Per-shard body (shard_map over (dp, pp, tp)); same in/out
+    signature as ARModelRunner._decode_program minus collect_hidden."""
+    R = runner_cls
+    p = jax.lax.axis_index(pp_axis)
+    positions = int_state[R._ROW_POS]
+    active = int_state[R._ROW_ACTIVE].astype(bool)
+    fresh = int_state[R._ROW_FRESH].astype(bool)
+    emitted = int_state[R._ROW_EMITTED]
+    limit = int_state[R._ROW_LIMIT]
+    min_tokens = int_state[R._ROW_MIN_TOKENS]
+    rope_delta = int_state[R._ROW_ROPE_DELTA]
+    top_k = int_state[R._ROW_TOP_K]
+    stops = int_state[R._ROW_STOPS :].T  # [S_l, MAX_STOP]
+    temperature = f32_state[0]
+    top_p = f32_state[1]
+
+    s_l = token_state.shape[0]
+    s_mb = s_l // pp
+    k_steps = num_steps
+    h_dim = params["embed"].shape[1]
+    l_local = kv_cache.shape[0]
+    true_f = cfg.num_key_value_heads * cfg.head_dim
+    dt = params["embed"].dtype
+
+    entry_stop = R._stop_mask(token_state, emitted, stops, min_tokens, limit)
+    active0 = jnp.logical_and(
+        active, jnp.logical_not(jnp.logical_and(fresh, entry_stop))
+    )
+    seq_lens0 = jnp.where(active0, positions, 0)
+    pos0 = positions
+    entry_tokens = token_state
+
+    def sl1(a, off):
+        return jax.lax.dynamic_slice_in_dim(a, off, s_mb, axis=0)
+
+    def up1(a, v, off):
+        return jax.lax.dynamic_update_slice_in_dim(a, v, off, axis=0)
+
+    rounds = k_steps * pp + pp - 1
+
+    def round_body(r, carry):
+        (keys, written, fresh_buf, tokens_out, fin_tok, fin_pos, fin_act,
+         fin_emit, bh, btok, bpos, bact, bemit) = carry
+        m = jnp.mod(r - p, pp)
+        t_raw = (r - p) // pp
+        valid = jnp.logical_and(r >= p, t_raw < k_steps)
+        t = jnp.clip(t_raw, 0, k_steps - 1)
+        off = m * s_mb
+
+        is_entry = jnp.logical_and(p == 0, t == 0)
+        tok_in = jnp.where(is_entry, sl1(entry_tokens, off), btok)
+        pos_in = jnp.where(is_entry, sl1(pos0, off), bpos)
+        act_in = jnp.where(is_entry, sl1(active0, off), bact)
+        emit_in = jnp.where(is_entry, sl1(emitted, off), bemit)
+        act_eff = jnp.logical_and(act_in, valid)
+
+        x = qwen2.embed_tokens(params, jnp.maximum(tok_in, 0))
+        h_in = jnp.where(p == 0, x, bh).astype(dt)
+
+        tables_m = jax.lax.dynamic_slice(
+            block_tables, (off, 0), (s_mb, block_tables.shape[1])
+        )
+        lens_m = sl1(seq_lens0, off)
+        rdelta_m = sl1(rope_delta, off)
+
+        w_m = jax.lax.dynamic_slice(written, (off, 0), (s_mb, k_steps))
+        w_m = w_m.at[:, t].set(
+            jnp.where(valid, act_eff, w_m[:, t])
+        )
+        written = jax.lax.dynamic_update_slice(written, w_m, (off, 0))
+
+        fb_m = jax.lax.dynamic_slice(
+            fresh_buf,
+            (0, off * k_steps, 0),
+            (l_local, s_mb * k_steps, 2 * true_f),
+        )
+        hidden, fb_upd = qwen2.decode(
+            cfg, params, kv_cache, fb_m, h_in, pos_in, t, w_m,
+            tables_m, lens_m,
+            page_size=page_size, chunk_steps=k_steps,
+            tp_axis=tp_axis, fsdp_axis=fsdp_axis, final_norm=False,
+            rope_delta=rdelta_m, kv_scales=kv_scales,
+        )
+        # warm-up/drain rounds run off-schedule (t clipped): never let
+        # their garbage rows overwrite a microbatch's valid KV
+        fresh_buf = jax.lax.dynamic_update_slice(
+            fresh_buf,
+            jnp.where(valid, fb_upd, fb_m),
+            (0, off * k_steps, 0),
+        )
+
+        # ---- last stage: norm + logits + sample + bookkeeping
+        hn = rms_norm(hidden, params["norm_f"], cfg.rms_norm_eps)
+        logits = qwen2.compute_logits(cfg, params, hn)
+        keys_m = sl1(keys, off)
+        splits = jax.vmap(lambda kk: jax.random.split(kk, 2))(keys_m)
+        keys_m_new, step_keys = splits[:, 0], splits[:, 1]
+        st = SamplingTensors(
+            sl1(temperature, off), sl1(top_k, off), sl1(top_p, off)
+        )
+        sampled = sample_tokens(logits, st, step_keys)
+        sampled = jnp.where(act_eff, sampled, _NO_TOKEN)
+        emit_new = emit_in + act_eff.astype(jnp.int32)
+        stop = R._stop_mask(
+            sampled, emit_new, sl1(stops, off), sl1(min_tokens, off),
+            sl1(limit, off),
+        )
+        act_new = jnp.logical_and(act_eff, jnp.logical_not(stop))
+        pos_new = pos_in + act_eff.astype(jnp.int32)
+
+        is_last = p == pp - 1
+        do = jnp.logical_and(is_last, valid)
+        keys = jnp.where(do, up1(keys, keys_m_new, off), keys)
+        row = jax.lax.dynamic_slice(tokens_out, (t, off), (1, s_mb))
+        row = jnp.where(do, sampled[None, :], row)
+        tokens_out = jax.lax.dynamic_update_slice(tokens_out, row, (t, off))
+        fin = jnp.logical_and(do, t == k_steps - 1)
+        fin_tok = jnp.where(fin, up1(fin_tok, sampled, off), fin_tok)
+        fin_pos = jnp.where(fin, up1(fin_pos, pos_new, off), fin_pos)
+        fin_act = jnp.where(fin, up1(fin_act, act_new, off), fin_act)
+        fin_emit = jnp.where(fin, up1(fin_emit, emit_new, off), fin_emit)
+
+        # ---- ring handoff (stage pp-1 wraps to stage 0 with the token)
+        bh_o = hidden
+        btok_o = jnp.where(is_last, sampled, tok_in)
+        bpos_o = jnp.where(is_last, pos_new, pos_in)
+        bact_o = jnp.where(is_last, act_new, act_in)
+        bemit_o = jnp.where(is_last, emit_new, emit_in)
+        bh, btok, bpos, bact, bemit = _ring(
+            pp_axis, pp, bh_o, btok_o, bpos_o, bact_o, bemit_o
+        )
+        return (keys, written, fresh_buf, tokens_out, fin_tok, fin_pos,
+                fin_act, fin_emit, bh, btok, bpos, bact, bemit)
+
+    init = (
+        keys,
+        jnp.zeros((s_l, k_steps), bool),
+        jnp.zeros((l_local, s_l * k_steps, 2 * true_f), dt),
+        jnp.full((k_steps, s_l), _NO_TOKEN, jnp.int32),
+        token_state,
+        pos0,
+        active0,
+        emitted,
+        jnp.zeros((s_mb, h_dim), dt),
+        jnp.full((s_mb,), _NO_TOKEN, jnp.int32),
+        jnp.zeros((s_mb,), jnp.int32),
+        jnp.zeros((s_mb,), bool),
+        jnp.zeros((s_mb,), jnp.int32),
+    )
+    (keys, written, fresh_buf, tokens_out, fin_tok, fin_pos, fin_act,
+     fin_emit, *_) = jax.lax.fori_loop(0, rounds, round_body, init)
+
+    # broadcast the last stage's bookkeeping to every pp shard so the
+    # returned (pp-replicated) state agrees everywhere
+    is_last = p == pp - 1
+    keys = _bcast_from(keys, pp_axis, is_last)
+    tokens_out = _bcast_from(tokens_out, pp_axis, is_last)
+    fin_tok = _bcast_from(fin_tok, pp_axis, is_last)
+    fin_pos = _bcast_from(fin_pos, pp_axis, is_last)
+    fin_act = _bcast_from(fin_act.astype(jnp.int32), pp_axis, is_last)
+    fin_emit = _bcast_from(fin_emit, pp_axis, is_last)
+
+    # flush this chunk's fresh rows into the local layer slice (same
+    # derivation as the single-stage program)
+    from ht_vllm_omni_tpu.ops.kv_cache_update import flush_kv_rows
+
+    steps_r = jnp.arange(k_steps, dtype=jnp.int32)[None, :]
+    posm = pos0[:, None] + steps_r
+    page_col = jnp.clip(posm // page_size, 0, block_tables.shape[1] - 1)
+    page = jnp.take_along_axis(block_tables, page_col, axis=1)
+    slots = jnp.where(
+        written, page * page_size + posm % page_size, -1
+    ).reshape(s_l * k_steps)
+    ksc, vsc = kv_scales if kv_scales is not None else (1.0, 1.0)
+    kv_cache = flush_kv_rows(
+        kv_cache, fresh_buf, slots, true_f=true_f, k_scale=ksc, v_scale=vsc
+    )
+
+    packed = jnp.concatenate(
+        [
+            entry_tokens[None],
+            tokens_out,
+            fin_pos[None],
+            fin_act[None],
+            fin_emit[None],
+        ],
+        axis=0,
+    )
+    return kv_cache, keys, fin_tok, packed
+
+
+def prefill_program_pp(
+    cfg,
+    pp: int,
+    collect_hidden: bool,
+    tp_axis,
+    dp_axis,
+    pp_axis,
+    fsdp_axis,
+    use_embeds,
+    kv_scales,
+    params,
+    kv_cache,
+    keys,
+    token_state,
+    token_ids,
+    positions,
+    slot_mapping,
+    prompt_len,
+    slot,
+    dp_owner,
+    emitted_before,
+    temperature,
+    top_k,
+    top_p,
+):
+    """Per-shard prefill body: ring wave over pp stages; each stage keeps
+    its local layers' KV rows when the true activation passes through."""
+    from ht_vllm_omni_tpu.ops.kv_cache_update import flush_kv_rows
+
+    p = jax.lax.axis_index(pp_axis)
+    if use_embeds == "embeds":
+        x = token_ids.astype(params["embed"].dtype)
+    elif use_embeds == "overlay":
+        ids, overlay, mask = token_ids
+        x = jnp.where(
+            mask[:, None],
+            overlay.astype(params["embed"].dtype),
+            qwen2.embed_tokens(params, ids),
+        )
+    else:
+        x = qwen2.embed_tokens(params, token_ids)
+
+    s_pad = x.shape[0]
+    l_local = (
+        params["ln1"].shape[0]
+        if "ln1" in params
+        else kv_cache.shape[0]
+    )
+    true_f = cfg.num_key_value_heads * cfg.head_dim
+    f_local = true_f  # cfg is the tp-local arch here
+
+    def rnd(rr, carry):
+        h, rows_keep = carry
+        h_out, kv_rows = qwen2.prefill(
+            cfg, params, h, positions, prompt_len,
+            tp_axis=tp_axis, fsdp_axis=fsdp_axis, final_norm=False,
+        )
+        my_turn = (p == rr)[None, None, None]
+        rows_keep = jnp.where(my_turn, kv_rows, rows_keep)
+        (h,) = _ring(pp_axis, pp, h_out)
+        return h, rows_keep
+
+    rows0 = jnp.zeros((l_local, s_pad, 2 * f_local), x.dtype)
+    h, rows_keep = jax.lax.fori_loop(0, pp, rnd, (x, rows0))
+    # after pp rounds the true final hidden sits on stage 0
+    h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
+    h = _bcast_from(h, pp_axis, p == 0)
+
+    sm = slot_mapping
+    if dp_axis is not None:
+        is_owner = jax.lax.axis_index(dp_axis) == dp_owner
+        sm = jnp.where(is_owner, sm, -1)
+    else:
+        is_owner = jnp.bool_(True)
+    ksc, vsc = kv_scales if kv_scales is not None else (1.0, 1.0)
+    kv_cache = flush_kv_rows(
+        kv_cache, rows_keep, sm, true_f=true_f, k_scale=ksc, v_scale=vsc
+    )
+
+    last = jax.lax.dynamic_index_in_dim(
+        h, prompt_len - 1, axis=0, keepdims=True
+    )
+    logits = qwen2.compute_logits(cfg, params, last)
+    slot_key = keys[slot]
+    new_key, step_key = jax.random.split(slot_key)
+    token = sample_tokens(
+        logits, SamplingTensors(temperature, top_k, top_p), step_key[None]
+    )[0]
+    # every pp stage computed the same (broadcast) logits with the same
+    # key, so the updates below agree across pp without further traffic
+    new_keys = keys.at[slot].set(new_key)
+    new_token_state = token_state.at[slot].set(token)
+    keep = is_owner
+    keys = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(keep, new, old), new_keys, keys
+    )
+    token_state = jnp.where(keep, new_token_state, token_state)
+    out_hidden = h if collect_hidden else last
+    return kv_cache, keys, token_state, out_hidden
