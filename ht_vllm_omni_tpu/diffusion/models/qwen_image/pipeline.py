@@ -301,13 +301,87 @@ class QwenImagePipeline:
             key, (1, self.vae_cfg.z_dim, lat_h, lat_w), jnp.float32
         )
         sched = self._make_scheduler(sp, seq_len)
+        sched_state = sched.init_state()
+        start_step = 0
+        latents = noise
+
+        # image-to-image (the /v1/images/edits path, reference
+        # api_server.py:1347): encode the init image, start denoising at
+        # sigma(t0) with the flow-matched blend x = (1-s)*z0 + s*noise
+        init_image = self._init_image(prompt)
+        if init_image is not None:
+            strength = float(
+                (getattr(prompt, "additional_information", None) or {}).get(
+                    "strength", 0.8
+                )
+            )
+            strength = min(max(strength, 1.0 / sp.num_inference_steps), 1.0)
+            start_step = min(
+                int(round(sp.num_inference_steps * (1.0 - strength))),
+                sp.num_inference_steps - 1,
+            )
+            z0 = self._encode_image_latents(
+                init_image, sp.height, sp.width, lat_h, lat_w
+            )
+            sigma0 = sched.timestep(start_step)
+            latents = (1.0 - sigma0) * z0 + sigma0 * noise
+            sched_state["step"] = start_step
+
         return {
-            "latents": pack_latents(noise),
+            "latents": pack_latents(latents),
             "txt": jnp.asarray(txt),
             "txt_lens": jnp.asarray(lens),
             "lat_hw": (lat_h, lat_w),
             "sched": sched,
-            "sched_state": sched.init_state(),
+            "sched_state": sched_state,
             "do_cfg": do_cfg,
-            "step": 0,
+            "step": start_step,
         }
+
+    @staticmethod
+    def _init_image(prompt) -> np.ndarray | None:
+        mm = getattr(prompt, "multi_modal_data", None) or {}
+        img = mm.get("image")
+        if img is None:
+            info = getattr(prompt, "additional_information", None) or {}
+            img = info.get("init_image")
+        if img is None:
+            return None
+        if isinstance(img, (list, tuple)):
+            img = img[0]
+        return np.asarray(img)
+
+    def _encode_image_latents(
+        self, image: np.ndarray, h: int, w: int, lat_h: int, lat_w: int
+    ) -> jax.Array:
+        """[H, W, 3] image (uint8 or [0,1] float) -> normalized latents
+        [1, z_dim, lat_h, lat_w]."""
+        img = np.asarray(image, np.float32)
+        if img.max() > 1.5:  # uint8-range input
+            img = img / 255.0
+        if img.shape[:2] != (h, w):  # nearest resize to the target size
+            ri = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+            ci = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+            img = img[ri][:, ci]
+        img = img * 2.0 - 1.0  # [-1, 1], inverse of decode's rescale
+        fn = self._fns.get("encode_image")
+        if fn is None:
+            cfg = self.vae_cfg
+
+            def run(params, x):
+                z = vae.encode(cfg, params, x)
+                return vae.normalize_latents(cfg, z)
+
+            fn = jax.jit(run)
+            self._fns["encode_image"] = fn
+        z = fn(self.params["vae"], jnp.asarray(img)[None])  # [1, Hl, Wl, C]
+        z = jnp.transpose(z, (0, 3, 1, 2))  # NCHW
+        # clamp/crop to the target latent grid (ratio rounding)
+        z = z[:, :, :lat_h, :lat_w]
+        if z.shape[2] < lat_h or z.shape[3] < lat_w:
+            z = jnp.pad(
+                z,
+                ((0, 0), (0, 0), (0, lat_h - z.shape[2]),
+                 (0, lat_w - z.shape[3])),
+            )
+        return z

@@ -76,6 +76,7 @@ class OmniAPIServer:
                 web.get("/v1/audio/voices", self.list_voices),
                 web.post("/v1/audio/voices", self.upload_voice),
                 web.post("/v1/images/generations", self.images),
+                web.post("/v1/images/edits", self.image_edits),
                 web.post("/v1/videos", self.create_video),
                 web.get("/v1/videos/{video_id}", self.video_status),
                 web.get(
@@ -110,21 +111,132 @@ class OmniAPIServer:
         )
 
     # --------------------------------------------------------- prompts
-    def _encode_chat(self, messages: list) -> list[int]:
-        if self.tokenizer is None:
-            raise web.HTTPBadRequest(reason="no tokenizer loaded")
+    def _stage0_arch(self):
+        try:
+            return self.engine.orchestrator.stages[0].engine.config.model
+        except Exception:
+            return None
+
+    @staticmethod
+    def _decode_image_part(url_or_b64: str) -> np.ndarray:
+        """data: URL or bare base64 -> [H, W, 3] uint8 array."""
+        import io
+
+        from PIL import Image
+
+        if url_or_b64.startswith("data:"):
+            _, url_or_b64 = url_or_b64.split(",", 1)
+        raw = base64.b64decode(url_or_b64)
+        img = Image.open(io.BytesIO(raw)).convert("RGB")
+        return np.asarray(img, np.uint8)
+
+    @staticmethod
+    def _decode_audio_part(part: dict) -> tuple[np.ndarray, int]:
+        """OpenAI input_audio content part -> (waveform fp32, rate).
+        pcm16 is decoded natively; wav via its 44-byte canonical header."""
+        raw = base64.b64decode(part.get("data", ""))
+        fmt = part.get("format", "pcm16")
+        rate = int(part.get("sample_rate", 16000))
+        if fmt == "wav" and raw[:4] == b"RIFF":
+            rate = int.from_bytes(raw[24:28], "little")
+            raw = raw[44:]
+        wav = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
+        return wav, rate
+
+    def _parse_messages(
+        self, messages: list
+    ) -> tuple[list[dict], list[np.ndarray], list]:
+        """Flatten structured content parts (reference
+        serving_chat.py:2300-2337): text parts join into the message
+        string with one placeholder marker per media item; image/audio
+        payloads are decoded and returned in order of appearance."""
         dicts = [
             m if isinstance(m, dict) else m.model_dump() for m in messages
         ]
-        if hasattr(self.tokenizer, "apply_chat_template"):
+        images: list[np.ndarray] = []
+        audios: list = []
+        flat = []
+        for m in dicts:
+            content = m.get("content", "")
+            if isinstance(content, list):
+                parts = []
+                for item in content:
+                    if isinstance(item, str):
+                        parts.append(item)
+                    elif item.get("type") == "text" or (
+                        "text" in item and "type" not in item
+                    ):
+                        parts.append(item.get("text", ""))
+                    elif item.get("type") == "image_url":
+                        images.append(
+                            self._decode_image_part(
+                                item.get("image_url", {}).get("url", "")
+                            )
+                        )
+                        parts.append("<|mm_image|>")
+                    elif "image" in item:
+                        images.append(
+                            self._decode_image_part(item["image"])
+                        )
+                        parts.append("<|mm_image|>")
+                    elif item.get("type") == "input_audio":
+                        audios.append(
+                            self._decode_audio_part(
+                                item.get("input_audio", {})
+                            )
+                        )
+                        parts.append("<|mm_audio|>")
+                content = " ".join(parts)
+            flat.append({"role": m.get("role", "user"), "content": content})
+        return flat, images, audios
+
+    def _encode_chat(self, messages: list) -> OmniPrompt:
+        if self.tokenizer is None:
+            raise web.HTTPBadRequest(reason="no tokenizer loaded")
+        dicts, images, audios = self._parse_messages(messages)
+        has_mm = bool(images or audios)
+        if not has_mm and hasattr(self.tokenizer, "apply_chat_template"):
             try:
-                return self.tokenizer.apply_chat_template(
+                ids = self.tokenizer.apply_chat_template(
                     dicts, add_generation_prompt=True, tokenize=True
                 )
+                return OmniPrompt(token_ids=ids)
             except Exception:
                 pass
-        text = "\n".join(f"{m['role']}: {m['content']}" for m in dicts)
-        return self.tokenizer.encode(text)
+        # manual build: tokenize text segments, splice one placeholder
+        # token per media item (input_processing expands each placeholder
+        # to its patch/frame grid and overlays the encoder embeddings)
+        arch = self._stage0_arch()
+        img_tok = getattr(arch, "image_token_id", None) if arch else None
+        aud_tok = getattr(arch, "audio_token_id", None) if arch else None
+        if images and img_tok is None:
+            raise web.HTTPBadRequest(
+                reason="model has no image_token_id; image inputs "
+                "unsupported"
+            )
+        if audios and aud_tok is None:
+            raise web.HTTPBadRequest(
+                reason="model has no audio_token_id; audio inputs "
+                "unsupported"
+            )
+        import re
+
+        token_ids: list[int] = []
+        for m in dicts:
+            text = f"{m['role']}: {m['content']}\n"
+            for piece in re.split(r"(<\|mm_image\|>|<\|mm_audio\|>)", text):
+                if piece == "<|mm_image|>":
+                    token_ids.append(img_tok)
+                elif piece == "<|mm_audio|>":
+                    token_ids.append(aud_tok)
+                elif piece:
+                    token_ids.extend(self.tokenizer.encode(piece))
+        mm: dict[str, Any] = {}
+        if images:
+            mm["image"] = images
+        if audios:
+            mm["audio"] = audios
+        return OmniPrompt(token_ids=token_ids, multi_modal_data=mm)
 
     def _sampling(self, req, default_max: int = 512) -> SamplingParams:
         return SamplingParams(
@@ -146,10 +258,24 @@ class OmniAPIServer:
             req = ChatCompletionRequest(**await request.json())
         except Exception as e:
             raise web.HTTPBadRequest(reason=str(e))
-        token_ids = self._encode_chat(req.messages)
-        sp = self._sampling(req)
+        prompt = self._encode_chat(req.messages)
+        # per-stage overrides (reference sampling_params_list,
+        # serving_chat.py:369-373): stage i gets SamplingParams(**list[i]);
+        # omitted stages fall back to their pipeline-yaml defaults
+        if req.sampling_params_list:
+            sp: Any = [
+                SamplingParams(
+                    **{
+                        k: v
+                        for k, v in d.items()
+                        if k in SamplingParams.__dataclass_fields__
+                    }
+                )
+                for d in req.sampling_params_list
+            ]
+        else:
+            sp = self._sampling(req)
         request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
-        prompt = OmniPrompt(token_ids=token_ids)
 
         if not req.stream:
             final = None
@@ -204,17 +330,56 @@ class OmniAPIServer:
             }
         )
         await resp.prepare(request)
-        sent_tokens = 0
+        sent_tokens: dict[int, int] = {}
+        sent_samples = 0
         async for out in self.engine.generate(prompt, sp, request_id):
             if out.error:
                 break
+            # audio deltas stream alongside text (reference chat audio
+            # chunks, serving_chat.py OpenAIChatCompletionAudio)
+            audio = out.consolidated_multimodal("audio")
+            if audio is not None and len(audio) > sent_samples:
+                delta_audio = audio[sent_samples:]
+                sent_samples = len(audio)
+                sr = out.multimodal_output.get("sample_rate")
+                chunk = {
+                    "id": request_id,
+                    "object": "chat.completion.chunk",
+                    "choices": [
+                        {
+                            "index": 0,
+                            "delta": {
+                                "audio": {
+                                    "data": base64.b64encode(
+                                        float_to_pcm16(delta_audio)
+                                    ).decode(),
+                                    "format": "pcm16",
+                                    "sample_rate": (
+                                        int(np.asarray(sr))
+                                        if sr is not None
+                                        else DEFAULT_SAMPLE_RATE
+                                    ),
+                                }
+                            },
+                            "finish_reason": None,
+                        }
+                    ],
+                }
+                await resp.write(
+                    f"data: {json.dumps(chunk)}\n\n".encode()
+                )
             comp = out.outputs[0] if out.outputs else None
             if comp is None:
                 continue
-            new = comp.token_ids[sent_tokens:]
-            if new and self.tokenizer is not None:
+            seen = sent_tokens.get(out.stage_id, 0)
+            new = comp.token_ids[seen:]
+            # text deltas come from text-bearing events only (multimodal
+            # stages' token ids are codec/latent ids, not text)
+            if new and self.tokenizer is not None and (
+                not out.multimodal_output
+            ):
                 delta_text = self.tokenizer.decode(new)
-                sent_tokens = len(comp.token_ids)
+                sent_tokens[out.stage_id] = len(comp.token_ids)
                 chunk = {
                     "id": request_id,
                     "object": "chat.completion.chunk",
@@ -447,6 +612,66 @@ class OmniAPIServer:
             images.append(
                 {"b64_json": base64.b64encode(
                     np.asarray(image, dtype=np.uint8).tobytes()
+                ).decode()}
+            )
+        return web.json_response(
+            {"created": int(time.time()), "data": images}
+        )
+
+    async def image_edits(self, request: web.Request) -> web.Response:
+        """Image-to-image edit (reference create_image_edit,
+        api_server.py:1347): JSON body with prompt + base64 image (or
+        multipart with an ``image`` file part); the diffusion stage
+        starts denoising from the encoded init image at
+        sigma(1 - strength)."""
+        if request.content_type.startswith("multipart/"):
+            form = await request.post()
+            prompt_text = str(form.get("prompt", ""))
+            img_field = form.get("image")
+            raw = (
+                img_field.file.read()
+                if hasattr(img_field, "file")
+                else bytes(img_field or b"")
+            )
+            image = self._decode_image_part(base64.b64encode(raw).decode())
+            body: dict[str, Any] = {
+                k: form.get(k)
+                for k in ("size", "strength", "num_inference_steps",
+                          "guidance_scale", "seed")
+                if form.get(k) is not None
+            }
+        else:
+            body = await request.json()
+            prompt_text = body.get("prompt", "")
+            b64 = body.get("image") or body.get("image_b64")
+            if not b64:
+                raise web.HTTPBadRequest(reason="image required")
+            image = self._decode_image_part(b64)
+        request_id = f"imgedit-{uuid.uuid4().hex[:24]}"
+        info: dict[str, Any] = {
+            "size": body.get("size", f"{image.shape[1]}x{image.shape[0]}"),
+            "strength": float(body.get("strength", 0.8)),
+        }
+        for k in ("num_inference_steps", "guidance_scale", "seed"):
+            if body.get(k) is not None:
+                info[k] = body[k]
+        prompt = OmniPrompt(
+            text=prompt_text,
+            multi_modal_data={"image": image},
+            additional_information=info,
+        )
+        final = None
+        async for out in self.engine.generate(prompt, None, request_id):
+            if out.error:
+                raise web.HTTPInternalServerError(reason=out.error)
+            if out.finished and out.final_output:
+                final = out
+        images = []
+        edited = final.consolidated_multimodal("image") if final else None
+        if edited is not None:
+            images.append(
+                {"b64_json": base64.b64encode(
+                    np.asarray(edited, dtype=np.uint8).tobytes()
                 ).decode()}
             )
         return web.json_response(

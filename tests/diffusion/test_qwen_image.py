@@ -407,3 +407,36 @@ def test_engine_runs_qwen_image_family():
             break
     assert outs and outs[-1].finished and outs[-1].error is None
     assert "image" in outs[-1].multimodal_output
+
+
+# --------------------------------------------------------------- img2img
+def test_img2img_starts_at_strength_step_and_uses_init_image():
+    from ht_vllm_omni_tpu.inputs import OmniPrompt
+
+    pipe = QwenImagePipeline(seed=0)
+    rng = np.random.default_rng(0)
+    init = rng.integers(0, 255, size=(32, 32, 3)).astype(np.uint8)
+    sp = DiffusionSamplingParams(
+        height=32, width=32, num_inference_steps=8, guidance_scale=1.0,
+        seed=3,
+    )
+    prompt = OmniPrompt(
+        text="make it blue",
+        multi_modal_data={"image": init},
+        additional_information={"strength": 0.5},
+    )
+    state = pipe._prepare(prompt, sp)
+    # strength 0.5 over 8 steps -> skip the first 4
+    assert state["step"] == 4
+    assert state["sched_state"]["step"] == 4
+
+    img, st = pipe.generate_prompt(prompt, sp)
+    assert img is not None and img.shape == (32, 32, 3)
+    # deterministic given (seed, init image)
+    img2, _ = pipe.generate_prompt(prompt, sp)
+    np.testing.assert_array_equal(img, img2)
+    # the init image actually conditions the result
+    t2i, _ = pipe.generate_prompt(
+        OmniPrompt(text="make it blue"), sp
+    )
+    assert not np.array_equal(img, t2i)

@@ -218,3 +218,206 @@ async def _test_speech_pcm_format_and_bad_voice():
     finally:
         await client.close()
         engine.shutdown()
+
+
+def _png_b64(size=28):
+    import base64
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (size, size), (200, 30, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _mk_mm_engine():
+    """Single AR stage whose model accepts image placeholder tokens."""
+    cfg = ModelArchConfig(
+        model_type="qwen2", vocab_size=64, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, dtype="float32", tie_word_embeddings=True,
+        eos_token_id=1, image_token_id=50,
+    )
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(3))
+    ar = LLMEngine(
+        EngineConfig(
+            model=cfg,
+            cache=CacheConfig(page_size=16, num_pages=64),
+            scheduler=SchedulerConfig(max_num_seqs=4, max_model_len=128),
+        ),
+        params=params,
+        decode_horizon=4,
+    )
+    s0 = StageConfig(
+        stage_id=0, model_stage="llm", worker_type="ar",
+        final_output=True, final_output_type="text",
+        default_sampling_params={"temperature": 0.0, "max_tokens": 8},
+    )
+    pipeline = PipelineConfig("toy_mm", [s0])
+    pipeline.validate()
+    return AsyncOmniEngine(pipeline, [StageHandle(s0, ar)])
+
+
+def test_chat_multimodal_image_input():
+    _run(_test_chat_multimodal_image_input())
+
+
+async def _test_chat_multimodal_image_input():
+    engine = _mk_mm_engine()
+    server = OmniAPIServer(engine, FakeTokenizer())
+    client = TestClient(TestServer(server.build_app()))
+    await client.start_server()
+    try:
+        r = await client.post(
+            "/v1/chat/completions",
+            json={
+                "messages": [
+                    {
+                        "role": "user",
+                        "content": [
+                            {"type": "text", "text": "describe"},
+                            {
+                                "type": "image_url",
+                                "image_url": {
+                                    "url": "data:image/png;base64,"
+                                    + _png_b64()
+                                },
+                            },
+                        ],
+                    }
+                ],
+                "max_tokens": 5,
+                "temperature": 0.0,
+            },
+        )
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert data["choices"][0]["message"]["content"]
+    finally:
+        await client.close()
+        engine.shutdown()
+
+
+def test_chat_sampling_params_list():
+    _run(_test_chat_sampling_params_list())
+
+
+async def _test_chat_sampling_params_list():
+    client, engine = await _client(False)
+    try:
+        r = await client.post(
+            "/v1/chat/completions",
+            json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "sampling_params_list": [
+                    {"temperature": 0.0, "max_tokens": 3,
+                     "ignore_eos": True}
+                ],
+            },
+        )
+        assert r.status == 200
+        data = await r.json()
+        # stage-0 params came from the list: exactly 3 tokens decoded
+        assert len(data["choices"][0]["message"]["content"]) == 3
+    finally:
+        await client.close()
+        engine.shutdown()
+
+
+def test_chat_sse_streams_audio_deltas():
+    _run(_test_chat_sse_streams_audio_deltas())
+
+
+async def _test_chat_sse_streams_audio_deltas():
+    client, engine = await _client(True)
+    try:
+        r = await client.post(
+            "/v1/chat/completions",
+            json={
+                "messages": [{"role": "user", "content": "sing"}],
+                "max_tokens": 6,
+                "temperature": 0.0,
+                "stream": True,
+            },
+        )
+        assert r.status == 200
+        raw = await r.read()
+        events = [
+            json.loads(line[len(b"data: "):])
+            for line in raw.split(b"\n\n")
+            if line.startswith(b"data: ") and b"[DONE]" not in line
+        ]
+        audio_events = [
+            e for e in events if "audio" in e["choices"][0]["delta"]
+        ]
+        text = "".join(
+            e["choices"][0]["delta"].get("content", "") for e in events
+        )
+        assert audio_events, "no audio deltas in chat SSE"
+        a0 = audio_events[0]["choices"][0]["delta"]["audio"]
+        assert a0["format"] == "pcm16" and a0["sample_rate"] == 8000
+        import base64 as _b64
+
+        total = sum(
+            len(_b64.b64decode(
+                e["choices"][0]["delta"]["audio"]["data"]
+            )) for e in audio_events
+        )
+        assert total == 6 * 2  # 6 talker tokens -> 6 pcm16 samples
+        assert text  # comprehension text still streams
+    finally:
+        await client.close()
+        engine.shutdown()
+
+
+def _mk_image_engine():
+    from ht_vllm_omni_tpu.diffusion.data import OmniDiffusionConfig
+    from ht_vllm_omni_tpu.diffusion.diffusion_engine import DiffusionEngine
+
+    eng = DiffusionEngine(OmniDiffusionConfig(family="qwen-image"))
+    s0 = StageConfig(
+        stage_id=0, model_stage="dit", stage_type="diffusion",
+        worker_type="generation", final_output=True,
+        final_output_type="image",
+    )
+    from ht_vllm_omni_tpu.config.stage_config import StageType
+
+    s0.stage_type = StageType.DIFFUSION
+    pipeline = PipelineConfig("toy_img", [s0])
+    pipeline.validate()
+    return AsyncOmniEngine(pipeline, [StageHandle(s0, eng)])
+
+
+def test_image_edits_endpoint():
+    _run(_test_image_edits_endpoint())
+
+
+async def _test_image_edits_endpoint():
+    engine = _mk_image_engine()
+    server = OmniAPIServer(engine, FakeTokenizer())
+    client = TestClient(TestServer(server.build_app()))
+    await client.start_server()
+    try:
+        r = await client.post(
+            "/v1/images/edits",
+            json={
+                "prompt": "tint it blue",
+                "image": _png_b64(32),
+                "size": "32x32",
+                "strength": 0.5,
+                "num_inference_steps": 4,
+                "seed": 5,
+            },
+        )
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert data["data"], "no image returned"
+        import base64 as _b64
+
+        raw = _b64.b64decode(data["data"][0]["b64_json"])
+        assert len(raw) == 32 * 32 * 3
+    finally:
+        await client.close()
+        engine.shutdown()
