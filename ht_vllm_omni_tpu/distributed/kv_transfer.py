@@ -55,7 +55,7 @@ def rows_to_canonical(rows: np.ndarray, runner) -> np.ndarray:
     r = rows.reshape(num_l, t, tp, shard_w)
     k = r[..., :local_f]  # [L, T, tp, f/tp]
     v = r[..., local_f : 2 * local_f]
-    if runner.kv_int8:
+    if runner.kv_quant:
         ksc, vsc = runner.kv_scales
         k = k.astype(np.float32) * ksc
         v = v.astype(np.float32) * vsc
@@ -72,11 +72,11 @@ def rows_from_canonical(rows: np.ndarray, runner) -> np.ndarray:
     tp = runner.tp
     if tp == 1:
         return rows
-    if runner.kv_int8:
-        # per-shard int8 padding would interleave with features; the
+    if runner.kv_quant:
+        # per-shard 1-byte padding would interleave with features; the
         # global-semantics flush cannot express that layout
         raise NotImplementedError(
-            "KV inject into a tp-sharded int8 cache is unsupported; "
+            "KV inject into a tp-sharded quantized cache is unsupported; "
             "use a bf16 cache on the consumer or tp=1"
         )
     num_l, t, two_f = rows.shape

@@ -166,6 +166,19 @@ def _linear_base(lp: dict, name: str, x: jax.Array) -> jax.Array:
         return matmul_int4(
             x, lp[name + ":q4"], lp[name + ":s4"], out_dtype=jnp.float32
         )
+    if name + ":f8" in lp:
+        from ht_vllm_omni_tpu.ops.quant_matmul import matmul_fp8
+
+        return matmul_fp8(
+            x, lp[name + ":f8"], lp[name + ":sf8"], out_dtype=jnp.float32
+        )
+    if name + ":q4z" in lp:
+        from ht_vllm_omni_tpu.ops.quant_matmul import matmul_int4_zp
+
+        return matmul_int4_zp(
+            x, lp[name + ":q4z"], lp[name + ":s4z"], lp[name + ":z4"],
+            out_dtype=jnp.float32,
+        )
     return jnp.dot(x, lp[name], preferred_element_type=jnp.float32)
 
 

@@ -34,14 +34,20 @@ _INFLIGHT = 8  # row DMAs kept in flight per layer
 
 
 def quantize_rows(
-    rows: jax.Array, f: int, k_scale: float, v_scale: float
+    rows: jax.Array, f: int, k_scale: float, v_scale: float,
+    dtype=jnp.int8,
 ) -> jax.Array:
-    """Symmetric per-tensor int8 quantization of [..., 2F] K||V rows."""
-    kq = jnp.clip(jnp.round(rows[..., :f].astype(jnp.float32) / k_scale),
-                  -127, 127)
-    vq = jnp.clip(jnp.round(rows[..., f:].astype(jnp.float32) / v_scale),
-                  -127, 127)
-    return jnp.concatenate([kq, vq], axis=-1).astype(jnp.int8)
+    """Per-tensor quantization of [..., 2F] K||V rows to int8 (symmetric
+    round) or float8_e4m3fn (scale + saturate)."""
+    kf = rows[..., :f].astype(jnp.float32) / k_scale
+    vf = rows[..., f:].astype(jnp.float32) / v_scale
+    if dtype == jnp.int8:
+        kf = jnp.clip(jnp.round(kf), -127, 127)
+        vf = jnp.clip(jnp.round(vf), -127, 127)
+    else:  # fp8: clamp to the e4m3fn dynamic range
+        kf = jnp.clip(kf, -448.0, 448.0)
+        vf = jnp.clip(vf, -448.0, 448.0)
+    return jnp.concatenate([kf, vf], axis=-1).astype(dtype)
 
 
 def _flush_kernel(
@@ -111,9 +117,11 @@ def flush_kv_rows(
     """
     num_layers, nslots, two_f = cache.shape
     t = fresh.shape[1]
-    if cache.dtype == jnp.int8:
+    if cache.dtype in (jnp.int8, jnp.dtype(jnp.float8_e4m3fn)):
         f = true_f if true_f is not None else fresh.shape[-1] // 2
-        fresh = quantize_rows(fresh, f, k_scale, v_scale)
+        fresh = quantize_rows(
+            fresh, f, k_scale, v_scale, dtype=cache.dtype
+        )
     if fresh.shape[-1] < two_f:  # alignment padding
         fresh = jnp.pad(
             fresh,

@@ -58,6 +58,103 @@ def quantize_int4(
     return packed, scales
 
 
+FP8_MAX = 448.0  # float8_e4m3fn
+
+
+def quantize_fp8(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """w [K, N] -> (w8 float8_e4m3fn [K, N], scales f32 [N]) per-channel.
+
+    TPU-native fp8 role (reference fp8 configs via
+    quantization/factory.py:44-119): storage/bandwidth format — v5e's MXU
+    is bf16/int8, so fp8 weights are upcast at use; the win is halved
+    HBM traffic on the weight stream, which is what decode is bound by.
+    """
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scales = jnp.where(amax == 0, 1.0, amax / FP8_MAX)
+    w8 = jnp.clip(
+        w.astype(jnp.float32) / scales, -FP8_MAX, FP8_MAX
+    ).astype(jnp.float8_e4m3fn)
+    return w8, scales
+
+
+def matmul_fp8(
+    x: jax.Array,  # [M, K]
+    w8: jax.Array,  # [K, N] float8_e4m3fn
+    scales: jax.Array,  # [N] f32
+    *,
+    out_dtype=None,
+) -> jax.Array:
+    """XLA-level fp8-weight matmul: the convert fuses into the dot's
+    operand stream (no Pallas needed — there is no fp8 MXU path to hand
+    schedule on v5e)."""
+    out_dtype = out_dtype or x.dtype
+    y = jnp.dot(
+        x.astype(jnp.bfloat16),
+        w8.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return (y * scales.astype(jnp.float32)).astype(out_dtype)
+
+
+def quantize_awq_int4(
+    w: jax.Array, group_size: int = 128
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Asymmetric (zero-point) group-wise int4 — the AWQ storage layout
+    (reference AWQ configs): values in [0, 15], per-group scale and
+    integer zero point so the representable range hugs [min, max] instead
+    of being symmetric around 0.
+
+    w [K, N] -> (packed uint8 [K/2, N], scales f32 [K/G, N],
+    zeros f32 [K/G, N]); dequant = (q - z) * s.
+    """
+    k, n = w.shape
+    assert k % group_size == 0 and k % 2 == 0
+    wf = w.astype(jnp.float32).reshape(k // group_size, group_size, n)
+    wmin = jnp.min(wf, axis=1)  # [G, N]
+    wmax = jnp.max(wf, axis=1)
+    scales = jnp.where(wmax > wmin, (wmax - wmin) / 15.0, 1.0)
+    zeros = jnp.clip(jnp.round(-wmin / scales), 0, 15)
+    q = jnp.clip(
+        jnp.round(wf / scales[:, None, :]) + zeros[:, None, :], 0, 15
+    ).astype(jnp.int32).reshape(k, n)
+    u = q.astype(jnp.uint8)
+    packed = (u[0::2] | (u[1::2] << 4)).astype(jnp.uint8)
+    return packed, scales, zeros
+
+
+# AWQ checkpoints interleave the 8 nibbles of each int32 in this order
+AWQ_PACK_ORDER = (0, 2, 4, 6, 1, 3, 5, 7)
+
+
+def unpack_awq_checkpoint(
+    qweight, qzeros, scales
+):
+    """AWQ checkpoint tensors -> this module's packed layout.
+
+    qweight int32 [K, N/8] and qzeros int32 [K/G, N/8] hold 8 4-bit
+    values per int32 in AWQ's interleaved order {0,2,4,6,1,3,5,7};
+    scales f16/f32 [K/G, N].  Returns (packed uint8 [K/2, N],
+    scales f32 [K/G, N], zeros f32 [K/G, N]) for matmul_int4_zp.
+    """
+    import numpy as np
+
+    def unpack(arr):  # int32 [..., N/8] -> uint8 [..., N]
+        arr = np.asarray(arr).astype(np.uint32)
+        cols = []
+        for shift_pos in range(8):
+            cols.append((arr >> (4 * shift_pos)) & 0xF)
+        # column j*8 + order[i] holds nibble i
+        out = np.empty(arr.shape[:-1] + (arr.shape[-1] * 8,), np.uint8)
+        for i, o in enumerate(AWQ_PACK_ORDER):
+            out[..., o::8] = cols[i]
+        return out
+
+    wq = unpack(qweight)  # [K, N] values 0..15
+    z = unpack(qzeros).astype(np.float32)  # [K/G, N]
+    packed = (wq[0::2] | (wq[1::2] << 4)).astype(np.uint8)
+    return packed, np.asarray(scales, np.float32), z
+
+
 # ------------------------------------------------------------ int8 kernel
 def _int8_kernel(
     x_ref,  # [BM, BK] bf16/f32
@@ -164,6 +261,114 @@ def _int4_kernel(
     @pl.when(ki == pl.num_programs(2) - 1)
     def _():
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _int4_zp_kernel(
+    x_ref,  # [BM, BK]
+    w_ref,  # [BK//2, BN] uint8 (packed K pairs, values 0..15)
+    s_ref,  # [BAND, BN] f32 group scales (banded)
+    z_ref,  # [BAND, BN] f32 group zero points (banded)
+    o_ref,  # [BM, BN]
+    acc_ref,  # [BM, BN] f32
+    *,
+    group_size: int,
+    block_k: int,
+):
+    """AWQ-style asymmetric int4: dequant = (q - zero) * scale, all in
+    VMEM right before the MXU dot (same tiling as _int4_kernel)."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    packed = w_ref[...].astype(jnp.int32)
+    lo = packed & 0xF
+    hi = (packed >> 4) & 0xF
+    bk2, bn = packed.shape
+    w = jnp.stack([lo, hi], axis=1).reshape(block_k, bn).astype(jnp.float32)
+    groups = block_k // group_size
+    s_blk = s_ref[:groups, :].reshape(groups, 1, bn)
+    z_blk = z_ref[:groups, :].reshape(groups, 1, bn)
+    w = (w.reshape(groups, group_size, bn) - z_blk) * s_blk
+    w = w.reshape(block_k, bn).astype(jnp.bfloat16)
+    x = x_ref[...].astype(jnp.bfloat16)
+    acc_ref[...] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _band_groups(scales, k, block_k, group_size, n):
+    """Pad/reshape [K/G, N] group rows into sublane-aligned per-K-block
+    bands (shared by the int4 and int4-zp kernels)."""
+    groups_per_block = block_k // group_size
+    band = max(8, groups_per_block)
+    nkb = cdiv(k, block_k)
+    sc = scales.astype(jnp.float32)
+    sc = jnp.pad(sc, ((0, nkb * groups_per_block - sc.shape[0]), (0, 0)))
+    sc = sc.reshape(nkb, groups_per_block, n)
+    if band != groups_per_block:
+        sc = jnp.pad(sc, ((0, 0), (0, band - groups_per_block), (0, 0)))
+    return sc.reshape(nkb * band, n), band
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "group_size", "block_m", "block_n", "block_k", "out_dtype",
+    ),
+)
+def matmul_int4_zp(
+    x: jax.Array,  # [M, K]
+    w_packed: jax.Array,  # [K//2, N] uint8, values 0..15
+    scales: jax.Array,  # [K/group, N] f32
+    zeros: jax.Array,  # [K/group, N] f32
+    *,
+    group_size: int = 128,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    out_dtype=None,
+) -> jax.Array:
+    m = x.shape[0]
+    k = 2 * w_packed.shape[0]
+    n = w_packed.shape[1]
+    assert x.shape[1] == k
+    out_dtype = out_dtype or x.dtype
+    block_m = min(block_m, m)
+    block_n = min(block_n, n)
+    block_k = min(block_k, k)
+    if block_k % group_size != 0:
+        block_k = group_size * max(1, block_k // group_size)
+    grid = (cdiv(m, block_m), cdiv(n, block_n), cdiv(k, block_k))
+    kernel = functools.partial(
+        _int4_zp_kernel, group_size=group_size, block_k=block_k
+    )
+    banded_s, band = _band_groups(scales, k, block_k, group_size, n)
+    banded_z, _ = _band_groups(zeros, k, block_k, group_size, n)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, ki: (i, ki)),
+            pl.BlockSpec(
+                (block_k // 2, block_n), lambda i, j, ki: (ki, j)
+            ),
+            pl.BlockSpec((band, block_n), lambda i, j, ki: (ki, j)),
+            pl.BlockSpec((band, block_n), lambda i, j, ki: (ki, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, ki: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=pallas_interpret_mode(),
+    )(x, w_packed, banded_s, banded_z)
 
 
 @functools.partial(

@@ -107,13 +107,23 @@ def param_pspecs(
     for name in ("wq", "wk", "wv", "gate", "up"):  # column-parallel
         specs[name + ":q8"] = P(ppx, None, TP_AXIS)
         specs[name + ":q4"] = P(ppx, None, TP_AXIS)
+        specs[name + ":f8"] = P(ppx, None, TP_AXIS)
+        specs[name + ":q4z"] = P(ppx, None, TP_AXIS)
         specs[name + ":s8"] = P(ppx, TP_AXIS)  # [L, N]
+        specs[name + ":sf8"] = P(ppx, TP_AXIS)  # [L, N]
         specs[name + ":s4"] = P(ppx, None, TP_AXIS)  # [L, K/G, N]
+        specs[name + ":s4z"] = P(ppx, None, TP_AXIS)
+        specs[name + ":z4"] = P(ppx, None, TP_AXIS)
     for name in ("wo", "down"):  # row-parallel
         specs[name + ":q8"] = P(ppx, TP_AXIS, None)
         specs[name + ":q4"] = P(ppx, TP_AXIS, None)
+        specs[name + ":f8"] = P(ppx, TP_AXIS, None)
+        specs[name + ":q4z"] = P(ppx, TP_AXIS, None)
         specs[name + ":s8"] = P(ppx)  # [L, N]
+        specs[name + ":sf8"] = P(ppx)  # [L, N]
         specs[name + ":s4"] = P(ppx, TP_AXIS, None)  # K-groups sharded
+        specs[name + ":s4z"] = P(ppx, TP_AXIS, None)
+        specs[name + ":z4"] = P(ppx, TP_AXIS, None)
     return specs
 
 

@@ -15,13 +15,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ht_vllm_omni_tpu.ops.quant_matmul import quantize_int4, quantize_int8
+from ht_vllm_omni_tpu.ops.quant_matmul import (
+    quantize_awq_int4,
+    quantize_fp8,
+    quantize_int4,
+    quantize_int8,
+)
 
-QUANT_SUFFIX_PACKED = {"int8": ":q8", "int4": ":q4"}
-QUANT_SUFFIX_SCALE = {"int8": ":s8", "int4": ":s4"}
+QUANT_SUFFIX_PACKED = {
+    "int8": ":q8", "int4": ":q4", "fp8": ":f8", "awq": ":q4z",
+}
+QUANT_SUFFIX_SCALE = {
+    "int8": ":s8", "int4": ":s4", "fp8": ":sf8", "awq": ":s4z",
+}
 
 # the big per-layer matmul weights [L, K, N]
 _DEFAULT_TARGETS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
+
+_ALIASES = {"int4-awq": "awq", "fp8_e4m3": "fp8"}
 
 
 def quantize_params(
@@ -30,7 +41,8 @@ def quantize_params(
     targets: tuple[str, ...] = _DEFAULT_TARGETS,
     group_size: int = 128,
 ) -> dict:
-    if method not in ("int8", "int4"):
+    method = _ALIASES.get(method, method)
+    if method not in ("int8", "int4", "fp8", "awq"):
         raise ValueError(f"unknown quant method {method!r}")
     out = dict(params)
     for name in targets:
@@ -39,6 +51,15 @@ def quantize_params(
             continue
         if method == "int8":
             q, s = jax.vmap(quantize_int8)(w)
+        elif method == "fp8":
+            q, s = jax.vmap(quantize_fp8)(w)
+        elif method == "awq":
+            if w.shape[1] % group_size or w.shape[1] % 2:
+                continue
+            q, s, z = jax.vmap(
+                lambda m: quantize_awq_int4(m, group_size)
+            )(w)
+            out[name + ":z4"] = jnp.asarray(z)
         else:
             if w.shape[1] % group_size or w.shape[1] % 2:
                 continue  # K not groupable: leave this weight in fp
@@ -47,3 +68,12 @@ def quantize_params(
         out[name + QUANT_SUFFIX_PACKED[method]] = q
         out[name + QUANT_SUFFIX_SCALE[method]] = jnp.asarray(s)
     return out
+
+
+def load_awq_layer(qweight, qzeros, scales) -> dict:
+    """One AWQ checkpoint layer (qweight/qzeros/scales tensors) ->
+    {':q4z', ':s4z', ':z4'} leaves in this module's layout."""
+    from ht_vllm_omni_tpu.ops.quant_matmul import unpack_awq_checkpoint
+
+    packed, s, z = unpack_awq_checkpoint(qweight, qzeros, scales)
+    return {":q4z": packed, ":s4z": s, ":z4": z}

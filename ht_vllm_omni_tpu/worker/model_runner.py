@@ -424,22 +424,25 @@ class ARModelRunner(SpecDecodeMixin):
             config.scheduler.max_model_len, self.page_size
         )
 
+        kv_name = config.cache.kv_cache_dtype
+        if kv_name in ("fp8", "fp8_e4m3"):
+            kv_name = "float8_e4m3fn"
         kv_dt = (
-            jnp.dtype(cfg.dtype)
-            if config.cache.kv_cache_dtype == "auto"
-            else jnp.dtype(config.cache.kv_cache_dtype)
+            jnp.dtype(cfg.dtype) if kv_name == "auto" else jnp.dtype(kv_name)
         )
         self.kv_int8 = kv_dt == jnp.int8
+        self.kv_fp8 = kv_dt == jnp.dtype(jnp.float8_e4m3fn)
+        self.kv_quant = self.kv_int8 or self.kv_fp8
         self.true_f = cfg.num_key_value_heads * cfg.head_dim
         two_f = 2 * self.true_f
-        if self.kv_int8:
-            # int8 rows must cover whole (4,128) tiles: pad to 512 elems
+        if self.kv_quant:
+            # 1-byte rows must cover whole (4,128) tiles: pad to 512 elems
             from ht_vllm_omni_tpu.utils import round_up as _ru
 
             two_f = _ru(two_f, 512)
         self.kv_scales = (
             (config.cache.kv_scale_k, config.cache.kv_scale_v)
-            if self.kv_int8
+            if self.kv_quant
             else None
         )
         # combined flat-slot layout [L, NP*PS, 2*KVH*D (+pad)]: a token's

@@ -78,3 +78,18 @@ def test_int8_kv_with_chunked_prefill():
     )
     out = e.generate([prompt], sp)[0]
     assert len(out.outputs[0].token_ids) == 8
+
+
+def test_fp8_kv_cache_runs_and_tracks_fp():
+    params = qwen2.init_params(_cfg(), jax.random.PRNGKey(23))
+    prompt = [7, 3, 11, 30]
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    fp = _engine(params).generate([prompt], sp)[0].outputs[0].token_ids
+
+    ef = _engine(params, "fp8")
+    assert ef.runner.kv_cache.dtype == jnp.float8_e4m3fn
+    got = ef.generate([prompt], sp)[0].outputs[0].token_ids
+    assert len(got) == 12
+    n = sum(1 for a, b in zip(fp, got) if a == b)
+    # e4m3 has more mantissa than the int8 grid at these scales
+    assert n >= 8, (fp, got)

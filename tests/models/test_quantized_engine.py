@@ -89,3 +89,56 @@ def test_quantize_params_structure():
     q4 = quantize_params(params, "int4")
     assert q4["gate:q4"].dtype == jnp.uint8
     assert q4["gate:q4"].shape[1] == params["gate"].shape[1] // 2
+
+
+@pytest.mark.parametrize("method", ["fp8", "awq"])
+def test_fp8_awq_generation_runs_and_tracks_fp(method):
+    params = qwen2.init_params(_cfg(), jax.random.PRNGKey(5))
+    sp = SamplingParams(temperature=0.0, max_tokens=10, ignore_eos=True)
+    prompts = [[3, 17, 42, 9]]
+    fp = _engine(None, params).generate(prompts, sp)[0]
+    q = _engine(method, params).generate(prompts, sp)[0]
+    assert len(q.outputs[0].token_ids) == 10
+    # greedy streams agree at the start (quant noise may diverge later)
+    # greedy prefix agrees before quant noise diverges the argmax of a
+    # random tiny model's closely-spaced logits
+    agree = 0
+    for a, b in zip(fp.outputs[0].token_ids, q.outputs[0].token_ids):
+        if a != b:
+            break
+        agree += 1
+    # 4-bit diverges earlier than fp8; exactness is covered by
+    # test_awq_exact_on_representable_weights
+    want = {"fp8": 3, "awq": 2}[method]
+    assert agree >= want, (
+        fp.outputs[0].token_ids, q.outputs[0].token_ids,
+    )
+
+
+def test_awq_exact_on_representable_weights():
+    """Weights already on the AWQ (q - z) * s grid quantize losslessly:
+    the quantized engine must reproduce the fp engine token-for-token."""
+    from ht_vllm_omni_tpu.ops.quant_matmul import quantize_awq_int4
+
+    params = qwen2.init_params(_cfg(), jax.random.PRNGKey(9))
+    snapped = dict(params)
+    for name in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
+        w = params[name]
+        packed, s, z = jax.vmap(
+            lambda m: quantize_awq_int4(m, 128)
+        )(w)
+        lo = (packed & 0xF).astype(jnp.int32)
+        hi = (packed >> 4).astype(jnp.int32)
+        l_, k2, n_ = packed.shape
+        q = jnp.stack([lo, hi], axis=2).reshape(l_, 2 * k2, n_)
+        g = 2 * k2 // 128
+        deq = (
+            (q.reshape(l_, g, 128, n_).astype(jnp.float32)
+             - z[:, :, None, :]) * s[:, :, None, :]
+        ).reshape(l_, 2 * k2, n_)
+        snapped[name] = deq.astype(w.dtype)
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    prompts = [[3, 17, 42, 9]]
+    fp = _engine(None, snapped).generate(prompts, sp)[0]
+    q = _engine("awq", snapped).generate(prompts, sp)[0]
+    assert fp.outputs[0].token_ids == q.outputs[0].token_ids

@@ -76,3 +76,108 @@ def test_int4_pack_unpack_exact():
     np.testing.assert_allclose(
         np.asarray(deq[0]), np.asarray(w), atol=float(s.max()) / 2 + 1e-6
     )
+
+
+# ------------------------------------------------------------- fp8 + awq
+def test_fp8_matmul_close_to_fp():
+    from ht_vllm_omni_tpu.ops.quant_matmul import matmul_fp8, quantize_fp8
+
+    x, w = _mats(16, 256, 512)
+    w8, s = quantize_fp8(w)
+    assert w8.dtype == jnp.float8_e4m3fn
+    got = matmul_fp8(x, w8, s, out_dtype=jnp.float32)
+    want = x @ w
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    # e4m3 has a 3-bit mantissa: noisier than int8's per-channel 1/127
+    # grid but far tighter than int4
+    assert rel < 0.04, rel
+
+
+def test_awq_beats_symmetric_int4_on_asymmetric_weights():
+    from ht_vllm_omni_tpu.ops.quant_matmul import (
+        matmul_int4_zp,
+        quantize_awq_int4,
+    )
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    x = jax.random.normal(k1, (16, 256), jnp.float32)
+    # strongly asymmetric weights: symmetric grids waste half their range
+    w = jnp.abs(jax.random.normal(k2, (256, 256), jnp.float32)) + 0.5
+    want = x @ w
+
+    packed, s, z = quantize_awq_int4(w, group_size=128)
+    got = matmul_int4_zp(
+        x, packed, s, z, group_size=128,
+        block_m=128, block_n=256, block_k=256,
+    )
+    rel_awq = np.linalg.norm(got - want) / np.linalg.norm(want)
+
+    p4, s4 = quantize_int4(w, group_size=128)
+    got4 = matmul_int4(
+        x, p4, s4, group_size=128, block_m=128, block_n=256, block_k=256
+    )
+    rel_sym = np.linalg.norm(got4 - want) / np.linalg.norm(want)
+    assert rel_awq < rel_sym * 0.7, (rel_awq, rel_sym)
+    assert rel_awq < 0.07, rel_awq
+
+
+def test_awq_kernel_matches_dequant_reference():
+    from ht_vllm_omni_tpu.ops.quant_matmul import (
+        matmul_int4_zp,
+        quantize_awq_int4,
+    )
+
+    x, w = _mats(8, 256, 256, seed=2)
+    packed, s, z = quantize_awq_int4(w, group_size=128)
+    got = matmul_int4_zp(
+        x, packed, s, z, group_size=128,
+        block_m=128, block_n=256, block_k=256,
+    )
+    lo = (packed & 0xF).astype(jnp.int32)
+    hi = (packed >> 4).astype(jnp.int32)
+    q = jnp.stack([lo, hi], axis=1).reshape(256, 256).astype(jnp.float32)
+    deq = (
+        (q.reshape(2, 128, 256) - z[:, None, :]) * s[:, None, :]
+    ).reshape(256, 256)
+    want = x @ deq
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_awq_checkpoint_unpack_order():
+    from ht_vllm_omni_tpu.ops.quant_matmul import (
+        AWQ_PACK_ORDER,
+        unpack_awq_checkpoint,
+    )
+
+    rng = np.random.default_rng(0)
+    k, n, g = 16, 16, 8
+    wq = rng.integers(0, 16, size=(k, n), dtype=np.uint8)
+    zq = rng.integers(0, 16, size=(k // g, n), dtype=np.uint8)
+    scales = rng.random((k // g, n), dtype=np.float32)
+
+    def pack(arr):  # logical uint4 [..., N] -> AWQ int32 [..., N/8]
+        out = np.zeros(arr.shape[:-1] + (arr.shape[-1] // 8,), np.uint32)
+        for i, o in enumerate(AWQ_PACK_ORDER):
+            out |= arr[..., o::8].astype(np.uint32) << (4 * i)
+        return out.astype(np.int32)
+
+    packed, s_out, z_out = unpack_awq_checkpoint(
+        pack(wq), pack(zq), scales
+    )
+    np.testing.assert_array_equal(packed & 0xF, wq[0::2])
+    np.testing.assert_array_equal(packed >> 4, wq[1::2])
+    np.testing.assert_array_equal(z_out, zq.astype(np.float32))
+    np.testing.assert_array_equal(s_out, scales)
+
+
+def test_fp8_kv_rows_roundtrip():
+    from ht_vllm_omni_tpu.ops.kv_cache_update import quantize_rows
+
+    rows = jax.random.normal(
+        jax.random.PRNGKey(0), (2, 8, 64), jnp.float32
+    ) * 0.3
+    q = quantize_rows(rows, 32, 0.01, 0.01, dtype=jnp.float8_e4m3fn)
+    assert q.dtype == jnp.float8_e4m3fn
+    deq = q.astype(jnp.float32) * 0.01
+    rel = np.linalg.norm(deq - rows) / np.linalg.norm(rows)
+    assert rel < 0.05, rel
