@@ -60,8 +60,16 @@ class KVStoreServer:
         self.ttl_s = ttl_s
         store = self._store
         lock = self._lock
+        self._conns: set = set()
+        conns = self._conns
 
         class Handler(socketserver.BaseRequestHandler):
+            def setup(self) -> None:
+                conns.add(self.request)
+
+            def finish(self) -> None:
+                conns.discard(self.request)
+
             def handle(self) -> None:
                 try:
                     while True:
@@ -125,47 +133,148 @@ class KVStoreServer:
         self._running = False
         self._server.shutdown()
         self._server.server_close()
+        # sever live client connections so peers observe the store down
+        for sock in list(self._conns):
+            try:
+                sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                sock.close()
+            except OSError:
+                pass
 
 
 class TcpConnector(OmniConnectorBase):
-    """put/get client against a KVStoreServer."""
+    """put/get client against a KVStoreServer.
 
-    def __init__(self, host: str, port: int, **extra: Any) -> None:
+    ``put`` is NON-blocking: payloads land on a bounded queue drained by
+    a dedicated sender thread that owns one connection and pipelines
+    PUT+ack round trips, so the orchestrator's pump never stalls on the
+    network (the bounded queue is the backpressure valve — a full queue
+    blocks the producer instead of growing without limit).  ``get`` stays
+    synchronous (the consumer needs the data) on its own connection.
+    Both sides reconnect on error; persistent failures flip
+    ``healthy`` so the coordinator's health loop can see the edge down.
+    """
+
+    QUEUE_DEPTH = 64
+
+    def __init__(
+        self, host: str, port: int, send_timeout_s: float = 30.0,
+        **extra: Any,
+    ) -> None:
+        import queue
+
         super().__init__(**extra)
         self.addr = (host, int(port))
         self._local = threading.local()
+        self.send_timeout_s = send_timeout_s
+        self.healthy = True
+        self._sendq: queue.Queue = queue.Queue(self.QUEUE_DEPTH)
+        self._inflight = 0
+        self._flush_cv = threading.Condition()
+        self._running = True
+        self._sender = threading.Thread(
+            target=self._send_loop, name="tcp-connector-send", daemon=True
+        )
+        self._sender.start()
+
+    def _connect(self) -> socket.socket:
+        sock = socket.create_connection(self.addr, timeout=10)
+        sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        return sock
 
     def _sock(self) -> socket.socket:
         sock = getattr(self._local, "sock", None)
         if sock is None:
-            sock = socket.create_connection(self.addr, timeout=10)
-            sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            sock = self._connect()
             self._local.sock = sock
         return sock
 
     def _key(self, from_stage: int, to_stage: int, key: str) -> str:
         return f"{from_stage}->{to_stage}:{key}"
 
+    # ------------------------------------------------------------ sender
+    def _send_loop(self) -> None:
+        import queue
+
+        sock: socket.socket | None = None
+        while self._running:
+            try:
+                frame = self._sendq.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            try:
+                if sock is None:
+                    sock = self._connect()
+                sock.sendall(frame)
+                _recv_exact(sock, _HDR.size)  # ack
+                self.healthy = True
+            except (OSError, ConnectionError):
+                # one reconnect attempt per frame; then drop + mark down
+                try:
+                    if sock is not None:
+                        sock.close()
+                    sock = self._connect()
+                    sock.sendall(frame)
+                    _recv_exact(sock, _HDR.size)
+                    self.healthy = True
+                except (OSError, ConnectionError):
+                    sock = None
+                    self.healthy = False
+            finally:
+                with self._flush_cv:
+                    self._inflight -= 1
+                    self._flush_cv.notify_all()
+
     def put(self, from_stage, to_stage, key, data):
         blob = encode_payload(data)
         kb = self._key(from_stage, to_stage, key).encode("utf-8")
         body = _KLEN.pack(len(kb)) + kb + blob
-        sock = self._sock()
-        sock.sendall(_HDR.pack(_OP_PUT, len(body)) + body)
-        _HDR.unpack(_recv_exact(sock, _HDR.size))
+        frame = _HDR.pack(_OP_PUT, len(body)) + body
+        with self._flush_cv:
+            self._inflight += 1
+        self._sendq.put(frame, timeout=self.send_timeout_s)
         return True, len(blob)
+
+    def flush(self, timeout_s: float = 30.0) -> bool:
+        """Block until every queued put has been sent+acked (or dropped).
+        Returns self.healthy."""
+        deadline = time.time() + timeout_s
+        with self._flush_cv:
+            while self._inflight > 0:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    return False
+                self._flush_cv.wait(remaining)
+        return self.healthy
 
     def get(self, from_stage, to_stage, key):
         body = self._key(from_stage, to_stage, key).encode("utf-8")
-        sock = self._sock()
-        sock.sendall(_HDR.pack(_OP_GET, len(body)) + body)
-        op, length = _HDR.unpack(_recv_exact(sock, _HDR.size))
+        try:
+            sock = self._sock()
+            sock.sendall(_HDR.pack(_OP_GET, len(body)) + body)
+            op, length = _HDR.unpack(_recv_exact(sock, _HDR.size))
+        except (OSError, ConnectionError):
+            # reconnect once; a missing payload is recoverable upstream
+            # (kv_transfer.receive_and_inject recomputes)
+            try:
+                self._local.sock = None
+                sock = self._sock()
+                sock.sendall(_HDR.pack(_OP_GET, len(body)) + body)
+                op, length = _HDR.unpack(_recv_exact(sock, _HDR.size))
+            except (OSError, ConnectionError):
+                self.healthy = False
+                return None, 0
         if op != _OP_DATA:
             return None, 0
         blob = _recv_exact(sock, length)
         return decode_payload(blob), len(blob)
 
     def close(self) -> None:
+        self._running = False
+        self._sender.join(timeout=2)
         sock = getattr(self._local, "sock", None)
         if sock is not None:
             sock.close()

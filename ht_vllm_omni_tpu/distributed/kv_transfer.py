@@ -16,12 +16,19 @@ straight to decode.
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ht_vllm_omni_tpu.distributed.connectors.base import OmniConnectorBase
+
+logger = logging.getLogger(__name__)
+
+
+class KVLoadError(RuntimeError):
+    """A transferred KV payload was missing or failed validation."""
 
 
 @dataclasses.dataclass
@@ -147,18 +154,93 @@ class OmniKVTransferManager:
             extra=data.get("extra"),
         )
 
+    # ---------------------------------------------------------- recovery
+    @staticmethod
+    def validate_payload(payload: KVPayload, engine) -> str | None:
+        """Sanity-check a transferred payload against the consumer's
+        geometry BEFORE any pages are allocated.  Returns a reason string
+        when the load must be rejected (reference invalid_block_ids
+        handling, omni_ar_scheduler.py:222-227)."""
+        rows = np.asarray(payload.kv_rows)
+        runner = engine.runner
+        if rows.ndim != 3:
+            return f"kv_rows rank {rows.ndim} != 3"
+        num_l = runner.arch.num_hidden_layers
+        if rows.shape[0] != num_l:
+            return f"layer dim {rows.shape[0]} != {num_l}"
+        if rows.shape[2] != 2 * runner.true_f:
+            return (
+                f"feature dim {rows.shape[2]} != {2 * runner.true_f}"
+            )
+        if len(payload.token_ids) != rows.shape[1] + 1:
+            return (
+                f"{len(payload.token_ids)} tokens vs {rows.shape[1]} "
+                "kv rows (+1 pending expected)"
+            )
+        if not np.isfinite(rows).all():
+            return "non-finite kv values"
+        return None
+
     # ------------------------------------------------------------- inject
     def inject(self, engine, payload: KVPayload, request_id: str,
-               sampling_params) -> str:
+               sampling_params, on_failure: str = "recompute") -> str:
         """Add a request to ``engine`` whose prompt KV is pre-populated:
         pages are allocated, rows flushed in place, and the request enters
         the running queue prefill-complete (decode-only instance of a PD
         pair).  Canonical payload rows are re-interleaved to the
-        consumer's tp layout first."""
+        consumer's tp layout first.
+
+        A corrupt payload never reaches the cache: with
+        ``on_failure="recompute"`` (reference recompute_kv_load_failures)
+        the request falls back to a normal prefill over its token ids;
+        with ``"error"`` a KVLoadError raises and nothing is allocated.
+        """
+        reason = self.validate_payload(payload, engine)
+        if reason is not None:
+            if on_failure == "recompute" and payload.token_ids:
+                logger.warning(
+                    "KV load failed for %s (%s): recomputing prefill",
+                    request_id, reason,
+                )
+                # drop the pending (producer-sampled) last token: the
+                # recomputed prefill re-samples it, so the output stream
+                # keeps the same shape as a successful inject
+                ids = list(payload.token_ids)
+                if len(ids) > 1:
+                    ids = ids[:-1]
+                return engine.add_request(
+                    ids, sampling_params, request_id=request_id
+                )
+            raise KVLoadError(f"{request_id}: {reason}")
         rows = rows_from_canonical(
             np.asarray(payload.kv_rows), engine.runner
         )
         return engine.add_request_with_kv(
             payload.token_ids, rows, sampling_params,
             request_id=request_id,
+        )
+
+    def receive_and_inject(
+        self, engine, from_stage: int, to_stage: int, request_id: str,
+        sampling_params, fallback_token_ids: list[int] | None = None,
+        on_failure: str = "recompute",
+    ) -> str:
+        """get() + inject() with missing-payload recovery: when the
+        connector has no payload (producer died / TTL expired), fall back
+        to recomputing from ``fallback_token_ids``."""
+        payload = self.get(from_stage, to_stage, request_id)
+        if payload is None:
+            if on_failure == "recompute" and fallback_token_ids:
+                logger.warning(
+                    "KV payload missing for %s: recomputing prefill",
+                    request_id,
+                )
+                return engine.add_request(
+                    list(fallback_token_ids), sampling_params,
+                    request_id=request_id,
+                )
+            raise KVLoadError(f"{request_id}: payload missing")
+        return self.inject(
+            engine, payload, request_id, sampling_params,
+            on_failure=on_failure,
         )

@@ -19,6 +19,7 @@ def test_tcp_put_get_roundtrip_and_ttl():
                    "kv": np.arange(2048, dtype=np.float32)}
         ok, size = conn.put(0, 1, "req_0_0", payload)
         assert ok and size > 0
+        assert conn.flush(timeout_s=10)  # puts are async: drain first
 
         got, n = conn.get(0, 1, "req_0_0")
         assert got["tokens"] == [1, 2, 3]
@@ -30,6 +31,7 @@ def test_tcp_put_get_roundtrip_and_ttl():
 
         # TTL reclaim of unconsumed entries
         conn.put(0, 1, "stale", {"x": 1})
+        assert conn.flush(timeout_s=10)
         import time
 
         time.sleep(0.8)
