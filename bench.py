@@ -17,6 +17,61 @@ import time
 BASELINE_TOKS_PER_S = 3000.0
 
 
+def tts_serving_metrics() -> dict:
+    """Warm TTFP (ms) + RTF through the bundled qwen3_tts async-chunk
+    pipeline (talker -> code2wav), the reference's headline serving
+    metric (async_chunk_design.md:40-49 anchors TTFP 522.99 ms on GPU).
+    Random-init weights: latency here measures the SYSTEM (scheduling,
+    chunked handoff, codec decode), not model quality."""
+    from ht_vllm_omni_tpu.config.stage_config import (
+        builtin_pipeline_path,
+        load_pipeline_config,
+    )
+    from ht_vllm_omni_tpu.engine.stage_factory import build_stages
+    from ht_vllm_omni_tpu.entrypoints.omni import Omni
+    from ht_vllm_omni_tpu.sampling_params import SamplingParams
+
+    cfg = load_pipeline_config(builtin_pipeline_path("qwen3_tts"))
+    cfg.stage(0).engine_args["model_arch_config"] = dict(
+        model_type="qwen3", vocab_size=4096, hidden_size=256,
+        intermediate_size=512, num_hidden_layers=4, num_attention_heads=8,
+        num_key_value_heads=4, head_dim=32, dtype="bfloat16", qk_norm=True,
+        attention_bias=False, tie_word_embeddings=True, eos_token_id=1,
+    )
+    cfg.stage(0).engine_args["num_pages"] = 128
+    omni = Omni(pipeline=cfg, stages=build_stages(cfg))
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=150, ignore_eos=True,
+        return_hidden_states=True,
+    )
+    omni.generate([[1, 2, 3]], sp)  # warm every compile bucket
+    orch = omni.orchestrator
+
+    t0 = time.time()
+    orch.add_request([10, 42, 99], sp)
+    ttfp = None
+    audio_samples = 0
+    sample_rate = 24000
+    import numpy as np
+
+    while orch.has_unfinished():
+        for out in orch.step():
+            audio = out.consolidated_multimodal("audio")
+            if audio is not None and len(audio):
+                if ttfp is None:
+                    ttfp = time.time() - t0
+                audio_samples = len(audio)
+                sr = out.multimodal_output.get("sample_rate")
+                if sr is not None:
+                    sample_rate = int(np.asarray(sr))
+    e2e = time.time() - t0
+    audio_s = audio_samples / float(sample_rate)
+    return {
+        "tts_ttfp_ms": round((ttfp or e2e) * 1000.0, 1),
+        "tts_rtf": round(e2e / audio_s, 3) if audio_s else None,
+    }
+
+
 def main() -> None:
     import numpy as np
 
@@ -60,6 +115,10 @@ def main() -> None:
     total = sum(len(o.outputs[0].token_ids) for o in outs)
     assert total == batch * decode_tokens, total
     toks_per_s = total / dt
+    try:
+        serve = tts_serving_metrics()
+    except Exception as e:  # serving metrics are best-effort extras
+        serve = {"tts_error": str(e)[:120]}
     print(
         json.dumps(
             {
@@ -67,6 +126,7 @@ def main() -> None:
                 "value": round(toks_per_s, 1),
                 "unit": "tok/s/chip",
                 "vs_baseline": round(toks_per_s / BASELINE_TOKS_PER_S, 3),
+                **serve,
             }
         )
     )
