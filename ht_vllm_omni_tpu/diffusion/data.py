@@ -86,3 +86,7 @@ class OmniDiffusionConfig:
     family: str = "generic"
     # extra kwargs for the family's pipeline constructor
     family_options: dict[str, Any] = dataclasses.field(default_factory=dict)
+    # step/block caching: None | "tea_cache" | "cache_dit" (reference
+    # cache_backend selection, async_omni_engine.py:782-800)
+    cache_backend: str | None = None
+    cache_config: dict[str, Any] = dataclasses.field(default_factory=dict)

@@ -146,6 +146,8 @@ class DiffusionEngine:
             ],
         )
         if image is not None:
-            out.multimodal_output["image"] = image
+            # 4-D output = video frames [F, H, W, 3] (wan_video family)
+            key = "video" if getattr(image, "ndim", 3) == 4 else "image"
+            out.multimodal_output[key] = image
         out.metrics["denoise_step"] = req.state.get("step", 0)
         return [out]

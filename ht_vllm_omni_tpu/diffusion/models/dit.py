@@ -184,3 +184,113 @@ def forward(
         xm, params["final_out"], preferred_element_type=jnp.float32
     )
     return out[s_txt:]  # velocity for image tokens only
+
+
+def forward_cached(
+    cfg: DiTArchConfig,
+    params: dict,
+    latent_tokens: jax.Array,
+    cond_tokens: jax.Array,
+    timestep: jax.Array,
+    db_state: dict,
+    db_cfg,
+    step_idx: jax.Array,
+):
+    """forward() with DBCache block-level skipping (cache/dbcache.py):
+    the first Fn blocks always compute; the middle blocks are replaced by
+    the cached residual when the early hidden state moved less than the
+    threshold; the last Bn blocks always compute.  Returns
+    (velocity, new_db_state, cached?)."""
+    from ht_vllm_omni_tpu.diffusion.cache import dbcache
+
+    dt = _dt(cfg)
+    h = cfg.hidden_size
+
+    # prologue (same as forward)
+    x = jnp.dot(
+        latent_tokens.astype(dt), params["patch_in"],
+        preferred_element_type=jnp.float32,
+    ).astype(dt) + params["patch_in_b"]
+    c = jnp.dot(
+        cond_tokens.astype(dt), params["cond_proj"],
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    s_txt = c.shape[0]
+    x = jnp.concatenate([c, x], axis=0)
+
+    t_emb = timestep_embedding(timestep, 256)
+    t_vec = jnp.dot(t_emb, params["t_mlp1"])
+    t_vec = jnp.dot(jax.nn.silu(t_vec), params["t_mlp2"])
+
+    heads = cfg.num_heads
+    hd = cfg.head_dim
+
+    def block(xc, lp):
+        mods = jnp.dot(jax.nn.silu(t_vec), lp["ada"]) + lp["ada_b"]
+        sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mods, 6)
+        xn = rms_norm(xc, lp["norm_scale"], 1e-6)
+        xm = xn * (1 + sc1.astype(dt)) + sh1.astype(dt)
+        qkv = jnp.dot(
+            xm, lp["wqkv"], preferred_element_type=jnp.float32
+        ).astype(dt)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        s_tot = xc.shape[0]
+
+        def to_heads(a):
+            return a.reshape(s_tot, heads, hd).transpose(1, 0, 2)[None]
+
+        o = flash_attention(
+            to_heads(q), to_heads(k), to_heads(v), causal=False
+        )
+        o = o[0].transpose(1, 0, 2).reshape(s_tot, h)
+        attn = jnp.dot(
+            o, lp["wo"], preferred_element_type=jnp.float32
+        ).astype(dt)
+        xc = xc + g1.astype(dt) * attn
+        xn = rms_norm(xc, lp["norm_scale"], 1e-6)
+        xm = xn * (1 + sc2.astype(dt)) + sh2.astype(dt)
+        mlp = jnp.dot(
+            xm, lp["mlp_in"], preferred_element_type=jnp.float32
+        ).astype(dt)
+        mlp = jnp.dot(
+            jax.nn.gelu(mlp), lp["mlp_out"],
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        xc = xc + g2.astype(dt) * mlp
+        return xc, None
+
+    lp_tree = {
+        k: params[k]
+        for k in ("ada", "ada_b", "wqkv", "wo", "mlp_in", "mlp_out",
+                  "norm_scale")
+    }
+    num_l = params["ada"].shape[0]
+    f_n = min(db_cfg.Fn_compute_blocks, num_l)
+    b_n = min(db_cfg.Bn_compute_blocks, max(num_l - f_n, 0))
+
+    def sl(a, b):
+        return {k: v[a:b] for k, v in lp_tree.items()}
+
+    x, _ = jax.lax.scan(block, x, sl(0, f_n))
+
+    def compute_mid():
+        y, _ = jax.lax.scan(block, x, sl(f_n, num_l - b_n))
+        return y
+
+    x32, db_state, cached = dbcache.cached_mid(
+        db_state, step_idx, x, compute_mid, db_cfg
+    )
+    x = x32.astype(dt)
+    if b_n > 0:
+        x, _ = jax.lax.scan(block, x, sl(num_l - b_n, num_l))
+
+    mods = jnp.dot(jax.nn.silu(t_vec), params["final_ada"]) + (
+        params["final_ada_b"]
+    )
+    shf, scf = jnp.split(mods, 2)
+    xn = rms_norm(x, jnp.ones((h,), dt), 1e-6)
+    xm = xn * (1 + scf.astype(dt)) + shf.astype(dt)
+    out = jnp.dot(
+        xm, params["final_out"], preferred_element_type=jnp.float32
+    )
+    return out[s_txt:], db_state, cached

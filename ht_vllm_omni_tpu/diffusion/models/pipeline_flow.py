@@ -15,6 +15,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ht_vllm_omni_tpu.diffusion.cache.dbcache import (
+    DBCacheConfig,
+    init_state as dbcache_init,
+)
 from ht_vllm_omni_tpu.diffusion.cache.teacache import (
     TeaCacheConfig,
     cached_velocity,
@@ -37,9 +41,11 @@ class FlowPipeline:
         params: dict | None = None,
         seed: int = 0,
         teacache: TeaCacheConfig | None = None,
+        dbcache: DBCacheConfig | None = None,
     ) -> None:
         self.cfg = cfg
         self.teacache = teacache or TeaCacheConfig()
+        self.dbcache = dbcache or DBCacheConfig()
         self.params = (
             params
             if params is not None
@@ -67,6 +73,7 @@ class FlowPipeline:
             cfg = self.cfg
 
             tc_cfg = self.teacache
+            db_cfg = self.dbcache
 
             def run(params, latents, cond, uncond, gscale, start, count,
                     tc_state):
@@ -82,7 +89,23 @@ class FlowPipeline:
                         v_u = dit.forward(cfg, params, tokens, uncond, t)
                         return v_u + gscale * (v_c - v_u)
 
-                    if tc_cfg.enabled:
+                    if db_cfg.enabled:
+                        # DBCache: per-CFG-branch block-level caching
+                        # (reference cache_dit_backend.py DBCacheConfig)
+                        v_c, st_c, hit_c = dit.forward_cached(
+                            cfg, params, tokens, cond, t, tc["c"],
+                            db_cfg, i,
+                        )
+                        v_u, st_u, _ = dit.forward_cached(
+                            cfg, params, tokens, uncond, t, tc["u"],
+                            db_cfg, i,
+                        )
+                        tc = {"c": st_c, "u": st_u}
+                        v = (v_u + gscale * (v_c - v_u)).astype(
+                            jnp.float32
+                        )
+                        skips = skips + hit_c.astype(jnp.int32)
+                    elif tc_cfg.enabled:
                         v, tc = cached_velocity(
                             tc, t, compute, tc_cfg.threshold
                         )
@@ -132,7 +155,18 @@ class FlowPipeline:
     ):
         fn = self._denoise_fn(sp.num_inference_steps, latents.shape[:2])
         if tc_state is None:
-            tc_state = teacache_init(dit.patchify(self.cfg, latents).shape)
+            if self.dbcache.enabled:
+                s_tot = cond.shape[0] + dit.patchify(
+                    self.cfg, latents
+                ).shape[0]
+                shape = (s_tot, self.cfg.hidden_size)
+                tc_state = {
+                    "c": dbcache_init(shape), "u": dbcache_init(shape),
+                }
+            else:
+                tc_state = teacache_init(
+                    dit.patchify(self.cfg, latents).shape
+                )
         return fn(
             self.params, latents, cond, uncond,
             jnp.float32(sp.guidance_scale), jnp.int32(start),

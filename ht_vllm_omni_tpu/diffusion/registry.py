@@ -16,7 +16,31 @@ from ht_vllm_omni_tpu.diffusion.data import OmniDiffusionConfig
 def _generic(config: OmniDiffusionConfig) -> Any:
     from ht_vllm_omni_tpu.diffusion.models.pipeline_flow import FlowPipeline
 
-    return FlowPipeline(config.arch, seed=config.seed)
+    kwargs: dict[str, Any] = {}
+    if config.cache_backend == "tea_cache":
+        from ht_vllm_omni_tpu.diffusion.cache.teacache import TeaCacheConfig
+
+        kwargs["teacache"] = TeaCacheConfig(
+            enabled=True,
+            **{
+                k: v for k, v in config.cache_config.items()
+                if k in ("threshold",)
+            },
+        )
+    elif config.cache_backend == "cache_dit":
+        from ht_vllm_omni_tpu.diffusion.cache.dbcache import DBCacheConfig
+
+        known = {
+            f.name
+            for f in __import__("dataclasses").fields(DBCacheConfig)
+        } - {"enabled"}
+        kwargs["dbcache"] = DBCacheConfig(
+            enabled=True,
+            **{
+                k: v for k, v in config.cache_config.items() if k in known
+            },
+        )
+    return FlowPipeline(config.arch, seed=config.seed, **kwargs)
 
 
 def _qwen_image(config: OmniDiffusionConfig) -> Any:
@@ -50,9 +74,20 @@ def _qwen_image(config: OmniDiffusionConfig) -> Any:
     return QwenImagePipeline(seed=config.seed, **kwargs)
 
 
+def _wan_video(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.wan_video import (
+        WanVideoPipeline,
+    )
+
+    kwargs: dict[str, Any] = dict(config.family_options)
+    return WanVideoPipeline(seed=config.seed, **kwargs)
+
+
 PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
     "generic": _generic,
     "qwen-image": _qwen_image,
+    "wan2.2": _wan_video,
+    "wan2.2-i2v": _wan_video,  # same pipeline; i2v when an image rides in
 }
 
 

@@ -696,26 +696,59 @@ class OmniAPIServer:
         async def run():
             job["status"] = "running"
             try:
-                for i in range(num_frames):
-                    prompt = OmniPrompt(
+                # video-native path first (wan2.2 family): ONE request
+                # carrying num_frames; optional init image = i2v
+                # (reference wan2_2 t2v/i2v, api_server.py:1964-2145)
+                info: dict[str, Any] = {
+                    "seed": int(body.get("seed", 0)),
+                    "size": body.get("size", "64x64"),
+                    "num_inference_steps": body.get(
+                        "num_inference_steps", 8
+                    ),
+                    "num_frames": num_frames,
+                }
+                for k in ("guidance_scale", "guidance_scale_2"):
+                    if body.get(k) is not None:
+                        info[k] = body[k]
+                mm: dict[str, Any] = {}
+                if body.get("image"):
+                    mm["image"] = self._decode_image_part(body["image"])
+                video = None
+                async for out in self.engine.generate(
+                    OmniPrompt(
                         text=prompt_text,
-                        additional_information={
-                            "seed": int(body.get("seed", 0)) + i,
-                            "size": body.get("size", "64x64"),
-                            "num_inference_steps": body.get(
-                                "num_inference_steps", 8
+                        multi_modal_data=mm,
+                        additional_information=info,
+                    ),
+                    None,
+                    f"{video_id}-v",
+                ):
+                    if out.error:
+                        raise RuntimeError(out.error)
+                    if out.finished and out.final_output:
+                        video = out.consolidated_multimodal("video")
+                if video is not None:
+                    job["frames"] = list(np.asarray(video))
+                else:
+                    # image-only pipeline: fall back to per-frame seeds
+                    for i in range(num_frames):
+                        info_i = dict(info, seed=info["seed"] + i)
+                        info_i.pop("num_frames")
+                        rid = f"{video_id}-f{i}"
+                        async for out in self.engine.generate(
+                            OmniPrompt(
+                                text=prompt_text,
+                                additional_information=info_i,
                             ),
-                        },
-                    )
-                    rid = f"{video_id}-f{i}"
-                    async for out in self.engine.generate(
-                        prompt, None, rid
-                    ):
-                        if out.error:
-                            raise RuntimeError(out.error)
-                        if out.finished and out.final_output:
-                            frame = out.consolidated_multimodal("image")
-                            job["frames"].append(np.asarray(frame))
+                            None, rid,
+                        ):
+                            if out.error:
+                                raise RuntimeError(out.error)
+                            if out.finished and out.final_output:
+                                frame = out.consolidated_multimodal(
+                                    "image"
+                                )
+                                job["frames"].append(np.asarray(frame))
                 job["status"] = "completed"
             except Exception as e:
                 job["status"] = "failed"

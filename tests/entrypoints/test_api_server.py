@@ -421,3 +421,62 @@ async def _test_image_edits_endpoint():
     finally:
         await client.close()
         engine.shutdown()
+
+
+def _mk_video_engine():
+    from ht_vllm_omni_tpu.diffusion.data import OmniDiffusionConfig
+    from ht_vllm_omni_tpu.diffusion.diffusion_engine import DiffusionEngine
+    from ht_vllm_omni_tpu.config.stage_config import StageType
+
+    eng = DiffusionEngine(OmniDiffusionConfig(family="wan2.2"))
+    s0 = StageConfig(
+        stage_id=0, model_stage="wan", stage_type=StageType.DIFFUSION,
+        worker_type="generation", final_output=True,
+        final_output_type="video",
+    )
+    pipeline = PipelineConfig("toy_vid", [s0])
+    pipeline.validate()
+    return AsyncOmniEngine(pipeline, [StageHandle(s0, eng)])
+
+
+def test_video_job_native_path():
+    _run(_test_video_job_native_path())
+
+
+async def _test_video_job_native_path():
+    import asyncio
+
+    engine = _mk_video_engine()
+    server = OmniAPIServer(engine, FakeTokenizer())
+    client = TestClient(TestServer(server.build_app()))
+    await client.start_server()
+    try:
+        r = await client.post(
+            "/v1/videos",
+            json={
+                "prompt": "a rolling wave",
+                "num_frames": 4,
+                "size": "16x16",
+                "num_inference_steps": 2,
+                "seed": 3,
+            },
+        )
+        assert r.status == 202
+        vid = (await r.json())["id"]
+        for _ in range(300):
+            r = await client.get(f"/v1/videos/{vid}")
+            st = await r.json()
+            if st["status"] in ("completed", "failed"):
+                break
+            await asyncio.sleep(0.2)
+        assert st["status"] == "completed", st
+        r = await client.get(f"/v1/videos/{vid}/content")
+        assert r.status == 200
+        body = await r.read()
+        frames = int(r.headers["X-Frames"])
+        h = int(r.headers["X-Height"])
+        w = int(r.headers["X-Width"])
+        assert frames == 4 and len(body) == frames * h * w * 3
+    finally:
+        await client.close()
+        engine.shutdown()
