@@ -42,10 +42,13 @@ class FlowPipeline:
         seed: int = 0,
         teacache: TeaCacheConfig | None = None,
         dbcache: DBCacheConfig | None = None,
+        offload: str | None = None,  # None | "layerwise"
     ) -> None:
         self.cfg = cfg
         self.teacache = teacache or TeaCacheConfig()
         self.dbcache = dbcache or DBCacheConfig()
+        self.offload = offload
+        self._offload_runner = None
         self.params = (
             params
             if params is not None
@@ -173,6 +176,36 @@ class FlowPipeline:
             jnp.int32(count), tc_state,
         )
 
+    def _offload_denoise(self, state, sp, count):
+        """Host-loop denoise with layerwise weight offload+prefetch
+        (diffusion/offloader.py): block weights stream from host memory
+        one layer ahead of compute, so device HBM holds at most two
+        blocks of DiT weights at a time."""
+        from ht_vllm_omni_tpu.diffusion.offloader import (
+            LayerwiseOffloadRunner,
+        )
+
+        if self._offload_runner is None:
+            self._offload_runner = LayerwiseOffloadRunner(
+                self.cfg, self.params
+            )
+        runner = self._offload_runner
+        sched = FlowMatchEulerScheduler(sp.num_inference_steps)
+        cfg = self.cfg
+        x = state["latents"]
+        lat_hw = x.shape[:2]
+        g = float(sp.guidance_scale)
+        end = min(state["step"] + count, sp.num_inference_steps)
+        for i in range(state["step"], end):
+            tokens = dit.patchify(cfg, x)
+            t = sched.timestep(i)
+            v_c = runner.forward(tokens, state["cond"], t)
+            v_u = runner.forward(tokens, state["uncond"], t)
+            v = (v_u + g * (v_c - v_u)).astype(jnp.float32)
+            x_tok = tokens + (sched.sigmas[i + 1] - sched.sigmas[i]) * v
+            x = dit.unpatchify(cfg, x_tok.astype(x.dtype), *lat_hw)
+        return x
+
     # ------------------------------------------------------------ decode
     def decode_latents(self, latents: jax.Array) -> np.ndarray:
         """Latents -> uint8 RGB.  Toy decoder: channel mix + nearest
@@ -219,10 +252,16 @@ class FlowPipeline:
         count = (
             sp.stream_every if sp.stream_every > 0 else sp.num_inference_steps
         )
-        state["latents"], state["teacache"], skips = self.denoise_steps(
-            state["latents"], state["cond"], state["uncond"], sp,
-            state["step"], count, state.get("teacache"),
-        )
+        if self.offload == "layerwise":
+            state["latents"] = self._offload_denoise(state, sp, count)
+            skips = 0
+        else:
+            state["latents"], state["teacache"], skips = (
+                self.denoise_steps(
+                    state["latents"], state["cond"], state["uncond"], sp,
+                    state["step"], count, state.get("teacache"),
+                )
+            )
         state["skipped_steps"] = state.get("skipped_steps", 0) + int(skips)
         state["step"] = min(
             state["step"] + count, sp.num_inference_steps
