@@ -83,9 +83,17 @@ def _wan_video(config: OmniDiffusionConfig) -> Any:
     return WanVideoPipeline(seed=config.seed, **kwargs)
 
 
+def _flux(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.flux import FluxPipeline
+
+    kwargs: dict[str, Any] = dict(config.family_options)
+    return FluxPipeline(seed=config.seed, **kwargs)
+
+
 PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
     "generic": _generic,
     "qwen-image": _qwen_image,
+    "flux": _flux,
     "wan2.2": _wan_video,
     "wan2.2-i2v": _wan_video,  # same pipeline; i2v when an image rides in
 }
