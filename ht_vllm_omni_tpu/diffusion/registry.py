@@ -90,12 +90,34 @@ def _flux(config: OmniDiffusionConfig) -> Any:
     return FluxPipeline(seed=config.seed, **kwargs)
 
 
+def _sd3(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.sd3 import SD3Pipeline
+    from ht_vllm_omni_tpu.diffusion.models.sd3.config import SD3ArchConfig
+
+    kwargs: dict[str, Any] = dict(config.family_options)
+    if config.model_path:
+        import os
+
+        from ht_vllm_omni_tpu.diffusion.models.sd3 import transformer
+
+        arch = kwargs.pop("arch", SD3ArchConfig())
+        kwargs.setdefault("params", {})["transformer"] = (
+            transformer.load_diffusers(
+                arch, os.path.join(config.model_path, "transformer")
+            )
+        )
+        kwargs["arch"] = arch
+    return SD3Pipeline(seed=config.seed, **kwargs)
+
+
 PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
     "generic": _generic,
     "qwen-image": _qwen_image,
     "flux": _flux,
     "wan2.2": _wan_video,
     "wan2.2-i2v": _wan_video,  # same pipeline; i2v when an image rides in
+    "sd3": _sd3,
+    "sd3.5": _sd3,  # dual-attention layers + qk_norm come from arch
 }
 
 
