@@ -219,9 +219,31 @@ class LLMEngine:
         want_hidden: dict[str, bool] = {}
         prefill_hidden: dict[str, object] = {}
         prefills: list[Request] = []
+        # cross-request batched prefill: whole token-only prompts with no
+        # hidden-state request run as ONE padded dispatch (one kernel per
+        # layer over the batch) instead of a dispatch per request
+        batchable: list[Request] = []
+        if self.runner.mesh is None:
+            batchable = [
+                req
+                for req, start, num in prefill_works
+                if start == 0
+                and num == req.num_prompt_tokens
+                and req.prompt_embeds is None
+                and not req.additional_information.get("mm_embeds")
+                and req.additional_information.get("mrope_positions") is None
+                and not req.sampling_params.return_hidden_states
+            ]
+        batched_ids = (
+            {r.request_id for r in batchable} if len(batchable) >= 2 else set()
+        )
+        if batched_ids:
+            self.runner.prefill_batch(batchable)
         for req, start, num in prefill_works:
             whole = start == 0 and num == req.num_prompt_tokens
-            if whole:
+            if req.request_id in batched_ids:
+                hidden = None
+            elif whole:
                 hidden = self.runner.prefill(req)
             else:
                 hidden = self.runner.prefill_chunk(req, start, num)

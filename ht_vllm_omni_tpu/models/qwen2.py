@@ -84,10 +84,37 @@ def init_params(cfg: ModelArchConfig, key: jax.Array) -> dict:
 
 _LAYER_KEYS = (
     "ln1", "ln2", "wq", "wk", "wv", "wo", "gate", "up", "down",
+    "wqkv", "bqkv", "wgu",
     "bq", "bk", "bv", "q_norm", "k_norm",
     "router", "egate", "eup", "edown",
     "sgate", "sup", "sdown", "shared_gate",
 )
+
+
+def fuse_params(params: dict) -> dict:
+    """Fuse per-projection weights into wider GEMMs: wq|wk|wv -> wqkv and
+    gate|up -> wgu (the reference's QKVParallelLinear /
+    MergedColumnParallelLinear packing done once at load).  Decode GEMMs
+    at tiny row counts are dispatch-latency-bound; 6 dots/layer -> 4.
+
+    Only valid for plain (bf16/f32) weights: quantized or LoRA'd params
+    address projections by name, so fusion is skipped when any ``:``
+    suffix key is present."""
+    if any(":" in k for k in params):
+        return params
+    if "wq" not in params:
+        return params
+    p = dict(params)
+    p["wqkv"] = jnp.concatenate(
+        [p.pop("wq"), p.pop("wk"), p.pop("wv")], axis=-1
+    )
+    if "bq" in p:
+        p["bqkv"] = jnp.concatenate(
+            [p.pop("bq"), p.pop("bk"), p.pop("bv")], axis=-1
+        )
+    if "gate" in p and "up" in p:
+        p["wgu"] = jnp.concatenate([p.pop("gate"), p.pop("up")], axis=-1)
+    return p
 
 
 def _layer_params(params: dict) -> dict:
@@ -189,13 +216,23 @@ def _qkv(
     """x [T, H] -> q [T, QH, D], k/v [T, KVH, D] with norm+rope applied."""
     t = x.shape[0]
     d = cfg.head_dim
-    q = _linear(lp, "wq", x)
-    k = _linear(lp, "wk", x)
-    v = _linear(lp, "wv", x)
-    if "bq" in lp:
-        q = q + lp["bq"]
-        k = k + lp["bk"]
-        v = v + lp["bv"]
+    if "wqkv" in lp:
+        y = _linear(lp, "wqkv", x)
+        if "bqkv" in lp:
+            y = y + lp["bqkv"]
+        nq = cfg.num_attention_heads * d
+        nkv = cfg.num_key_value_heads * d
+        q, k, v = (
+            y[..., :nq], y[..., nq : nq + nkv], y[..., nq + nkv :]
+        )
+    else:
+        q = _linear(lp, "wq", x)
+        k = _linear(lp, "wk", x)
+        v = _linear(lp, "wv", x)
+        if "bq" in lp:
+            q = q + lp["bq"]
+            k = k + lp["bk"]
+            v = v + lp["bv"]
     q = q.astype(x.dtype).reshape(t, cfg.num_attention_heads, d)
     k = k.astype(x.dtype).reshape(t, cfg.num_key_value_heads, d)
     v = v.astype(x.dtype).reshape(t, cfg.num_key_value_heads, d)
@@ -239,8 +276,12 @@ def _mlp(
     vllm_parallel_state._EP, parallel_state.py:854-864).
     """
     if "router" not in lp:
-        g = _linear(lp, "gate", x)
-        u = _linear(lp, "up", x)
+        if "wgu" in lp:
+            gu = _linear(lp, "wgu", x)
+            g, u = jnp.split(gu, 2, axis=-1)
+        else:
+            g = _linear(lp, "gate", x)
+            u = _linear(lp, "up", x)
         act = (jax.nn.silu(g) * u).astype(x.dtype)
         return _linear(lp, "down", act)
     # MoE: softmax router, normalised top-k (HF Qwen3Moe norm_topk_prob)
@@ -367,6 +408,77 @@ def prefill(
     if final_norm:  # pp stages < last hand off the raw residual stream
         h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
     return h, kv_rows
+
+
+def prefill_batch(
+    cfg: ModelArchConfig,
+    params: dict,
+    inputs_embeds: jax.Array,  # [B, S, H] (padded)
+    positions: jax.Array,  # [B, S] int32
+    prompt_lens: jax.Array,  # [B] valid tokens per row
+    *,
+    tp_axis: str | None = None,
+    fsdp_axis: str | None = None,
+    final_norm: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Cross-request batched prefill: B prompts padded to one bucket run
+    in a single dispatch (one flash kernel per layer over the whole
+    batch) — the fix for one-at-a-time prefill stalls under load
+    (reference runner batches prefills inside vLLM's persistent batch,
+    gpu_model_runner._prepare_inputs).  Returns (hidden [B, S, H],
+    kv_rows [L, B, S, 2F])."""
+    b, s, _ = inputs_embeds.shape
+    d = cfg.head_dim
+    f = cfg.num_key_value_heads * d
+    cos, sin = rope_cos_sin(
+        positions.reshape(-1), cfg.head_dim, cfg.rope_theta
+    )
+    lens = prompt_lens.astype(jnp.int32)
+
+    def layer(h, lp):
+        lp = _gather_fsdp(lp, fsdp_axis)
+        x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(
+            cfg, lp, x.reshape(b * s, -1), cos, sin
+        )  # [B*S, heads, d]
+        q = q.reshape(b, s, cfg.num_attention_heads, d)
+        k = k.reshape(b, s, cfg.num_key_value_heads, d)
+        v = v.reshape(b, s, cfg.num_key_value_heads, d)
+        row = jnp.concatenate(
+            [k.reshape(b, s, f), v.reshape(b, s, f)], axis=-1
+        )
+        o = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            lens,
+            causal=True,
+        ).transpose(0, 2, 1, 3).reshape(b, s, -1)
+        delta = _linear(lp, "wo", o)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)
+        h = h + delta.astype(h.dtype)
+        x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
+        delta = _mlp_batched(cfg, lp, x, tp_axis)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)
+        h = h + delta.astype(h.dtype)
+        return h, row
+
+    h, kv_rows = jax.lax.scan(layer, inputs_embeds, _layer_params(params))
+    if final_norm:
+        h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
+    return h, kv_rows
+
+
+def _mlp_batched(cfg, lp, x, ep_axis):
+    """_mlp over [B, S, H]: dense runs natively; MoE routing flattens."""
+    if "router" not in lp:
+        return _mlp(cfg, lp, x, ep_axis=ep_axis)
+    b, s, hdim = x.shape
+    return _mlp(cfg, lp, x.reshape(b * s, hdim), ep_axis=ep_axis).reshape(
+        b, s, hdim
+    )
 
 
 def decode(

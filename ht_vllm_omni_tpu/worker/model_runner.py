@@ -409,6 +409,10 @@ class ARModelRunner(SpecDecodeMixin):
             from ht_vllm_omni_tpu.quantization import quantize_params
 
             self.params = quantize_params(self.params, cfg.quantization)
+        elif mesh is None:
+            # single-mesh bf16/f32 path: pack qkv and gate/up into fused
+            # GEMMs (no-op when quantized or LoRA'd — fuse_params checks)
+            self.params = qwen2.fuse_params(self.params)
 
         self.page_size = config.cache.page_size
         self.num_pages = self._derive_num_pages()
@@ -810,6 +814,126 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_top_k[slot] = sp.top_k if sp.top_k > 0 else 64
         self.h_top_p[slot] = sp.top_p
         return hidden
+
+    @staticmethod
+    def _prefill_batch_program(
+        cfg,
+        page_size: int,
+        kv_scales,
+        params,
+        kv_cache,
+        keys,
+        token_state,
+        token_ids,  # [B, T] int32
+        positions,  # [B, T]
+        slot_mapping,  # [B, T] cache rows (-1 = padding)
+        lengths,  # [B]
+        slots,  # [B]
+        num_out,  # [B] prior output tokens (0 for fresh prompts)
+        temperature,  # [B]
+        top_k,  # [B]
+        top_p,  # [B]
+    ):
+        x = qwen2.embed_tokens(params, token_ids)
+        hidden, kv_rows = qwen2.prefill_batch(
+            cfg, params, x, positions, lengths,
+        )
+        ksc, vsc = kv_scales if kv_scales is not None else (1.0, 1.0)
+        nl = kv_rows.shape[0]
+        kv_cache = flush_kv_rows(
+            kv_cache,
+            kv_rows.reshape(nl, -1, kv_rows.shape[-1]),
+            slot_mapping.reshape(-1),
+            true_f=cfg.num_key_value_heads * cfg.head_dim,
+            k_scale=ksc, v_scale=vsc,
+        )
+        last = jnp.take_along_axis(
+            hidden, (lengths - 1)[:, None, None], axis=1
+        )[:, 0]
+        logits = qwen2.compute_logits(cfg, params, last)
+        slot_keys = keys[slots]
+        splits = jax.vmap(lambda k: jax.random.split(k, 2))(slot_keys)
+        toks = sample_tokens(
+            logits, SamplingTensors(temperature, top_k, top_p),
+            splits[:, 1],
+        )
+        keys = keys.at[slots].set(splits[:, 0])
+        token_state = token_state.at[slots].set(toks)
+        return kv_cache, keys, token_state
+
+    def prefill_batch(self, requests) -> None:
+        """Run several whole prompts in ONE device dispatch (padded to a
+        shared power-of-2 bucket).  Eligibility is the caller's job:
+        token-ids prompts only, no multimodal overlay, no M-RoPE, no
+        hidden-state collection, single-mesh runner.  Sampled first
+        tokens land in device token_state, exactly like prefill()."""
+        bsz = len(requests)
+        s_max = max(len(r.prompt_token_ids) for r in requests)
+        bucket = max(next_power_of_2(s_max), self.page_size)
+        ids = np.zeros((bsz, bucket), np.int32)
+        positions = np.tile(
+            np.arange(bucket, dtype=np.int32)[None], (bsz, 1)
+        )
+        slot_map = np.full((bsz, bucket), -1, np.int32)
+        slots = np.zeros(bsz, np.int32)
+        lengths = np.zeros(bsz, np.int32)
+        num_out = np.zeros(bsz, np.int32)
+        for i, req in enumerate(requests):
+            sp = req.sampling_params
+            slot = self.slot_for(req.request_id)
+            if sp.seed is not None:
+                self.keys = self.keys.at[slot].set(
+                    jax.random.PRNGKey(sp.seed)
+                )
+            s = len(req.prompt_token_ids)
+            ids[i, :s] = req.prompt_token_ids
+            pages = self._local_pages(slot, req.page_ids)
+            idx = np.arange(s)
+            slot_map[i, :s] = pages[idx // self.page_size] * (
+                self.page_size
+            ) + idx % self.page_size
+            slots[i] = slot
+            lengths[i] = s
+            num_out[i] = req.num_output_tokens
+        st = SamplingTensors.from_params(
+            [r.sampling_params for r in requests], bsz
+        )
+        fn = self._prefill_fns.get(("batch", bsz, bucket))
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    self._prefill_batch_program, self.arch,
+                    self.page_size, self.kv_scales,
+                ),
+                donate_argnums=(1, 2, 3),
+            )
+            self._prefill_fns[("batch", bsz, bucket)] = fn
+        self.kv_cache, self.keys, self.token_state = fn(
+            self.params, self.kv_cache, self.keys, self.token_state,
+            ids, positions, slot_map, lengths, slots, num_out,
+            st.temperature, st.top_k, st.top_p,
+        )
+        for i, req in enumerate(requests):
+            sp = req.sampling_params
+            slot = int(slots[i])
+            s = int(lengths[i])
+            self.h_rope_delta[slot] = 0
+            self.h_positions[slot] = s
+            self.h_active[slot] = True
+            self.h_fresh[slot] = True
+            self._reset_spec(slot)
+            self.h_emitted[slot] = req.num_output_tokens + 1
+            self.h_limit[slot] = sp.max_tokens
+            self.h_min_tokens[slot] = sp.min_tokens
+            pages = self._local_pages(slot, req.page_ids)
+            self.h_tables[slot, : len(req.page_ids)] = pages
+            stops = (sp.stop_token_ids or [])[:MAX_STOP_TOKENS]
+            self.h_stops[slot] = -2
+            if not sp.ignore_eos:
+                self.h_stops[slot, : len(stops)] = stops
+            self.h_temp[slot] = sp.temperature
+            self.h_top_k[slot] = sp.top_k if sp.top_k > 0 else 64
+            self.h_top_p[slot] = sp.top_p
 
     def _local_pages(self, slot: int, page_ids) -> np.ndarray:
         """Translate a request's global page ids to its dp shard's local
