@@ -45,6 +45,8 @@ class ModelArchConfig:
     quantization: str | None = None
     # M-RoPE half-dim section sizes (t, h, w); None = standard RoPE
     mrope_sections: tuple | None = None
+    # GPT-J interleaved rotation (HF is_neox_style=False); Fish-Speech
+    rope_interleaved: bool = False
     image_token_id: int | None = None
     audio_token_id: int | None = None
 

@@ -117,6 +117,53 @@ def _build_qwen3_omni_code2wav(cfg: StageConfig, model_path: str | None):
 _GENERATION_BUILDERS["qwen3_omni_code2wav"] = _build_qwen3_omni_code2wav
 
 
+def _build_fish_speech_dac(cfg: StageConfig, model_path: str | None):
+    """Fish-Speech DAC decode stage (models/fish_speech/dac_model.py)."""
+    from ht_vllm_omni_tpu.engine.generation_engine import GenerationEngine
+    from ht_vllm_omni_tpu.models.fish_speech.dac_decoder import (
+        DacDecoderConfig,
+    )
+    from ht_vllm_omni_tpu.models.fish_speech.dac_model import (
+        FishSpeechDacModel,
+    )
+
+    kwargs = dict(cfg.engine_args.get("dac", {}))
+    if "upsampling_ratios" in kwargs:
+        kwargs["upsampling_ratios"] = tuple(kwargs["upsampling_ratios"])
+    sample_rate = kwargs.pop("sample_rate", 44100)
+    model = FishSpeechDacModel(
+        DacDecoderConfig(**kwargs),
+        seed=cfg.engine_args.get("seed", 0),
+        sample_rate=sample_rate,
+    )
+    cfg.runtime["dac_model"] = model
+    return GenerationEngine(
+        model, max_batch_size=cfg.engine_args.get("max_num_seqs", 1)
+    )
+
+
+_GENERATION_BUILDERS["fish_speech_dac"] = _build_fish_speech_dac
+
+
+def _attach_fast_ar(cfg: StageConfig, engine) -> None:
+    """Build the Fish-Speech Fast AR (residual-codebook predictor) and
+    hang it on the slow-AR stage config so the fish_speech_slow2dac
+    processor can expand codes."""
+    import jax as _jax
+
+    from ht_vllm_omni_tpu.models.fish_speech import fast_ar as fa
+    from ht_vllm_omni_tpu.models.fish_speech.config import (
+        FishSpeechFastConfig,
+    )
+
+    spec = dict(cfg.engine_args["fast_ar"])
+    fcfg = FishSpeechFastConfig(**spec)
+    params = fa.init_params(
+        fcfg, _jax.random.PRNGKey(cfg.engine_args.get("seed", 0) + 11)
+    )
+    cfg.runtime["fast_ar"] = fa.FastARRuntime(fcfg, params)
+
+
 def _attach_code_predictor(cfg: StageConfig, engine) -> None:
     """Build the talker's MTP residual-code predictor and hang it on the
     stage config so the talker2code2wav processor can expand codes
@@ -159,5 +206,7 @@ def build_stages(
             engine = LLMEngine(engine_config_from_stage(cfg, model_path))
             if "code_predictor" in cfg.engine_args:
                 _attach_code_predictor(cfg, engine)
+            if "fast_ar" in cfg.engine_args:
+                _attach_fast_ar(cfg, engine)
         handles.append(StageHandle(cfg, engine))
     return handles

@@ -51,6 +51,28 @@ def apply_rope(
     return out.astype(orig)
 
 
+def apply_rope_gptj(
+    x: jax.Array,  # [..., head_dim]
+    cos: jax.Array,  # [..., head_dim] (standard [f || f] concat tables)
+    sin: jax.Array,
+) -> jax.Array:
+    """Interleaved (GPT-J / is_neox_style=False) rotation: frequency i
+    rotates the (2i, 2i+1) pair.  Fish-Speech trains with this style
+    (reference fish_speech_slow_ar.py:_fix_rope_style)."""
+    orig = x.dtype
+    half = x.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    c = cos[..., :half]
+    s = sin[..., :half]
+    x_even = xf[..., 0::2]
+    x_odd = xf[..., 1::2]
+    out_even = x_even * c - x_odd * s
+    out_odd = x_odd * c + x_even * s
+    return jnp.stack([out_even, out_odd], axis=-1).reshape(
+        xf.shape
+    ).astype(orig)
+
+
 def swiglu_mlp(
     x: jax.Array,  # [..., H]
     gate_w: jax.Array,  # [H, I]

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ht_vllm_omni_tpu.config import ModelArchConfig
 from ht_vllm_omni_tpu.models.layers import (
     apply_rope,
+    apply_rope_gptj,
     rms_norm,
     rope_cos_sin,
 )
@@ -239,8 +240,12 @@ def _qkv(
     if "q_norm" in lp:
         q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-    q = apply_rope(q, cos[:, None, :], sin[:, None, :])
-    k = apply_rope(k, cos[:, None, :], sin[:, None, :])
+    rope = (
+        apply_rope_gptj if getattr(cfg, "rope_interleaved", False)
+        else apply_rope
+    )
+    q = rope(q, cos[:, None, :], sin[:, None, :])
+    k = rope(k, cos[:, None, :], sin[:, None, :])
     return q, k, v
 
 

@@ -114,3 +114,41 @@ def qwen3_omni_talker2code2wav(
         additional_information={"codes": codes},
         text="" if not len(tokens) else None,
     )
+
+
+@register("fish_speech_slow2dac")
+def fish_speech_slow2dac(
+    output: OmniRequestOutput, from_cfg, to_cfg
+) -> OmniPrompt:
+    """Slow-AR chunk -> DAC chunk with Fast-AR residual expansion.
+
+    The slow AR emits vocab-space semantic tokens plus per-token hidden
+    states; the Fast AR attached to the stage
+    (from_cfg.runtime["fast_ar"], built by the stage factory) expands
+    each into all num_codebooks residual codes (reference
+    fish_speech_fast_ar.py:384).  Non-semantic tokens (e.g. im_end) are
+    dropped before expansion; the vocab-space -> codebook offset comes
+    from engine_args["semantic_begin_id"]."""
+    import numpy as np
+
+    comp = output.outputs[0] if output.outputs else None
+    tokens = np.asarray(list(comp.token_ids) if comp else [], np.int32)
+    hidden = comp.hidden_states if comp else None
+    begin = int(from_cfg.engine_args.get("semantic_begin_id", 0))
+    fast = from_cfg.runtime.get("fast_ar")
+    if fast is not None:
+        end = begin + fast.cfg.vocab_size - 1
+    else:
+        end = int(from_cfg.engine_args.get("semantic_end_id", 1 << 30))
+    keep = (tokens >= begin) & (tokens <= end)
+    sem = tokens[keep] - begin
+    if fast is not None and hidden is not None and len(sem):
+        h = np.asarray(hidden)[keep[: len(hidden)]]
+        codes = fast.expand(h, sem).T  # [n_codebooks, n]
+    else:
+        codes = sem[None, :]
+    return OmniPrompt(
+        token_ids=[int(t) for t in sem] or None,
+        additional_information={"codes": codes},
+        text="" if not len(sem) else None,
+    )

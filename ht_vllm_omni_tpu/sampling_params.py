@@ -33,6 +33,11 @@ class SamplingParams:
     # vllm_omni/engine/arg_utils.py).
     return_hidden_states: bool = False
     logprobs: int | None = None
+    # Constrain sampling to token ids in [lo, hi) (plus stop tokens) —
+    # the reference's constant semantic logit mask for codec-token
+    # stages (fish_speech_slow_ar.py:_semantic_allowed_mask).  None or
+    # hi <= lo disables the window.
+    allowed_token_range: tuple[int, int] | None = None
     # Free-form per-request payload forwarded between stages (first-class
     # version of the reference's additional_information plumbing).
     extra_args: dict[str, Any] = dataclasses.field(default_factory=dict)

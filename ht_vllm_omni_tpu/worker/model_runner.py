@@ -63,6 +63,18 @@ MAX_STOP_TOKENS = 8
 _NO_TOKEN = -1
 
 
+
+def _allow_vec(sp) -> "np.ndarray":
+    """[2 + MAX_STOP] int32: allowed window lo/hi + stop ids (-2 pad)."""
+    v = np.full(2 + MAX_STOP_TOKENS, -2, np.int32)
+    rng = getattr(sp, "allowed_token_range", None) or (0, 0)
+    v[0], v[1] = int(rng[0]), int(rng[1])
+    stops = (sp.stop_token_ids or [])[:MAX_STOP_TOKENS]
+    if not sp.ignore_eos:
+        v[2 : 2 + len(stops)] = stops
+    return v
+
+
 class SpecDecodeMixin:
     """Greedy speculative decoding for ARModelRunner (Medusa-style).
 
@@ -156,6 +168,8 @@ class SpecDecodeMixin:
         int_state[self._ROW_MIN_TOKENS] = self.h_min_tokens
         int_state[self._ROW_ROPE_DELTA] = self.h_rope_delta
         int_state[self._ROW_TOP_K] = self.h_top_k
+        int_state[self._ROW_ALLOW_LO] = self.h_allow_lo
+        int_state[self._ROW_ALLOW_HI] = self.h_allow_hi
         int_state[self._ROW_STOPS :] = self.h_stops.T
         (
             self.kv_cache,
@@ -210,6 +224,8 @@ class SpecDecodeMixin:
         emitted = int_state[R._ROW_EMITTED]
         limit = int_state[R._ROW_LIMIT]
         min_tokens = int_state[R._ROW_MIN_TOKENS]
+        allow_lo = int_state[R._ROW_ALLOW_LO]
+        allow_hi = int_state[R._ROW_ALLOW_HI]
         stops = int_state[R._ROW_STOPS :].T
         s = token_state.shape[0]
         q = num_draft + 1
@@ -248,6 +264,12 @@ class SpecDecodeMixin:
                 rows_per_slot=rows_per_slot, kv_scales=kv_scales,
             )
             logits = qwen2.compute_logits(cfg, params, hidden)
+            logits = R._window_logits(
+                logits.reshape(-1, logits.shape[-1]),
+                jnp.repeat(allow_lo, logits.shape[1]),
+                jnp.repeat(allow_hi, logits.shape[1]),
+                jnp.repeat(stops, logits.shape[1], axis=0),
+            ).reshape(logits.shape)
             targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             targets = targets.reshape(s, q)
             # prefix acceptance: proposal j matches target at row j-1
@@ -498,6 +520,8 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_temp = np.zeros(s, np.float32)
         self.h_top_k = np.zeros(s, np.int32)
         self.h_top_p = np.ones(s, np.float32)
+        self.h_allow_lo = np.zeros(s, np.int32)  # [lo, hi) sampling window
+        self.h_allow_hi = np.zeros(s, np.int32)  # hi <= lo => full vocab
 
         self._free_slots = list(range(s - 1, -1, -1))
         self._slot_of: dict[str, int] = {}
@@ -573,6 +597,7 @@ class ARModelRunner(SpecDecodeMixin):
         temperature,  # [1] etc.
         top_k,
         top_p,
+        allow,  # [2 + MAX_STOP] int32: lo, hi, stop ids (-2 pad)
     ):
         if use_embeds == "embeds":
             x = token_ids.astype(params["embed"].dtype)
@@ -605,6 +630,9 @@ class ARModelRunner(SpecDecodeMixin):
             hidden, prompt_len - 1, axis=0, keepdims=True
         )
         logits = qwen2.compute_logits(cfg, params, last)
+        logits = ARModelRunner._window_logits(
+            logits, allow[0:1], allow[1:2], allow[None, 2:]
+        )
         slot_key = keys[slot]
         new_key, step_key = jax.random.split(slot_key)
         token = sample_tokens(
@@ -795,6 +823,7 @@ class ARModelRunner(SpecDecodeMixin):
             st.temperature,
             st.top_k,
             st.top_p,
+            _allow_vec(sp),
         )
         # host mirror for the upcoming decode chunks
         self.h_positions[slot] = s  # position of the next (sampled) token
@@ -813,6 +842,8 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_temp[slot] = sp.temperature
         self.h_top_k[slot] = sp.top_k if sp.top_k > 0 else 64
         self.h_top_p[slot] = sp.top_p
+        rng = getattr(sp, "allowed_token_range", None) or (0, 0)
+        self.h_allow_lo[slot], self.h_allow_hi[slot] = rng
         return hidden
 
     @staticmethod
@@ -833,6 +864,7 @@ class ARModelRunner(SpecDecodeMixin):
         temperature,  # [B]
         top_k,  # [B]
         top_p,  # [B]
+        allow,  # [B, 2 + MAX_STOP] int32
     ):
         x = qwen2.embed_tokens(params, token_ids)
         hidden, kv_rows = qwen2.prefill_batch(
@@ -851,6 +883,9 @@ class ARModelRunner(SpecDecodeMixin):
             hidden, (lengths - 1)[:, None, None], axis=1
         )[:, 0]
         logits = qwen2.compute_logits(cfg, params, last)
+        logits = ARModelRunner._window_logits(
+            logits, allow[:, 0], allow[:, 1], allow[:, 2:]
+        )
         slot_keys = keys[slots]
         splits = jax.vmap(lambda k: jax.random.split(k, 2))(slot_keys)
         toks = sample_tokens(
@@ -912,6 +947,7 @@ class ARModelRunner(SpecDecodeMixin):
             self.params, self.kv_cache, self.keys, self.token_state,
             ids, positions, slot_map, lengths, slots, num_out,
             st.temperature, st.top_k, st.top_p,
+            np.stack([_allow_vec(r.sampling_params) for r in requests]),
         )
         for i, req in enumerate(requests):
             sp = req.sampling_params
@@ -934,6 +970,8 @@ class ARModelRunner(SpecDecodeMixin):
             self.h_temp[slot] = sp.temperature
             self.h_top_k[slot] = sp.top_k if sp.top_k > 0 else 64
             self.h_top_p[slot] = sp.top_p
+            rng = getattr(sp, "allowed_token_range", None) or (0, 0)
+            self.h_allow_lo[slot], self.h_allow_hi[slot] = rng
 
     def _local_pages(self, slot: int, page_ids) -> np.ndarray:
         """Translate a request's global page ids to its dp shard's local
@@ -978,6 +1016,7 @@ class ARModelRunner(SpecDecodeMixin):
         temperature,
         top_k,
         top_p,
+        allow,  # [2 + MAX_STOP] int32
     ):
         if token_ids.ndim == 2:
             x = token_ids.astype(params["embed"].dtype)
@@ -998,6 +1037,9 @@ class ARModelRunner(SpecDecodeMixin):
             hidden, valid_len - 1, axis=0, keepdims=True
         )
         logits = qwen2.compute_logits(cfg, params, last)
+        logits = ARModelRunner._window_logits(
+            logits, allow[0:1], allow[1:2], allow[None, 2:]
+        )
         slot_key = keys[slot]
         new_key, step_key = jax.random.split(slot_key)
         token = sample_tokens(
@@ -1076,6 +1118,7 @@ class ARModelRunner(SpecDecodeMixin):
             st.temperature,
             st.top_k,
             st.top_p,
+            _allow_vec(sp),
         )
         if is_final:
             s = req.num_prompt_tokens
@@ -1100,6 +1143,8 @@ class ARModelRunner(SpecDecodeMixin):
             self.h_temp[slot] = sp.temperature
             self.h_top_k[slot] = sp.top_k if sp.top_k > 0 else 64
             self.h_top_p[slot] = sp.top_p
+            rng = getattr(sp, "allowed_token_range", None) or (0, 0)
+            self.h_allow_lo[slot], self.h_allow_hi[slot] = rng
         return hidden
 
     def inject_kv(self, request, kv_rows) -> None:
@@ -1149,6 +1194,8 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_temp[slot] = sp.temperature
         self.h_top_k[slot] = sp.top_k if sp.top_k > 0 else 64
         self.h_top_p[slot] = sp.top_p
+        rng = getattr(sp, "allowed_token_range", None) or (0, 0)
+        self.h_allow_lo[slot], self.h_allow_hi[slot] = rng
 
     # ----------------------------------------------------------- decode
     # int_state row indices (host mirrors packed into ONE h2d transfer —
@@ -1162,8 +1209,24 @@ class ARModelRunner(SpecDecodeMixin):
     _ROW_MIN_TOKENS = 5
     _ROW_ROPE_DELTA = 6
     _ROW_TOP_K = 7
-    _ROW_STOPS = 8  # .. _ROW_STOPS + MAX_STOP_TOKENS
-    _NUM_INT_ROWS = 8 + MAX_STOP_TOKENS
+    _ROW_ALLOW_LO = 8
+    _ROW_ALLOW_HI = 9  # hi <= lo disables the window (full vocab)
+    _ROW_STOPS = 10  # .. _ROW_STOPS + MAX_STOP_TOKENS
+    _NUM_INT_ROWS = 10 + MAX_STOP_TOKENS
+
+    @staticmethod
+    def _window_logits(logits, allow_lo, allow_hi, stops):
+        """Constrain sampling to per-slot [lo, hi) token windows plus the
+        slot's stop tokens (the reference's constant semantic logit mask,
+        fish_speech_slow_ar.py:_semantic_allowed_mask; hi<=lo = off)."""
+        v = logits.shape[-1]
+        idx = jnp.arange(v, dtype=jnp.int32)[None]
+        on = allow_hi > allow_lo
+        ok = (idx >= allow_lo[:, None]) & (idx < allow_hi[:, None])
+        if stops is not None:
+            ok = ok | (idx[:, None, :] == stops[:, :, None]).any(axis=1)
+        ok = ok | jnp.logical_not(on)[:, None]
+        return jnp.where(ok, logits, jnp.float32(-1e30))
 
     @staticmethod
     def _decode_program(
@@ -1191,6 +1254,8 @@ class ARModelRunner(SpecDecodeMixin):
         min_tokens = int_state[R._ROW_MIN_TOKENS]
         rope_delta = int_state[R._ROW_ROPE_DELTA]
         top_k = int_state[R._ROW_TOP_K]
+        allow_lo = int_state[R._ROW_ALLOW_LO]
+        allow_hi = int_state[R._ROW_ALLOW_HI]
         stops = int_state[R._ROW_STOPS :].T  # [S, MAX_STOP]
         temperature = f32_state[0]
         top_p = f32_state[1]
@@ -1231,6 +1296,7 @@ class ARModelRunner(SpecDecodeMixin):
                 kv_scales=kv_scales,
             )
             logits = qwen2.compute_logits(cfg, params, hidden)
+            logits = R._window_logits(logits, allow_lo, allow_hi, stops)
             keys, step_keys = _split_keys(keys)
             sampled = sample_tokens(logits, st, step_keys)
             sampled = jnp.where(act, sampled, _NO_TOKEN)
@@ -1410,6 +1476,8 @@ class ARModelRunner(SpecDecodeMixin):
         int_state[self._ROW_MIN_TOKENS] = self.h_min_tokens
         int_state[self._ROW_ROPE_DELTA] = self.h_rope_delta
         int_state[self._ROW_TOP_K] = self.h_top_k
+        int_state[self._ROW_ALLOW_LO] = self.h_allow_lo
+        int_state[self._ROW_ALLOW_HI] = self.h_allow_hi
         int_state[self._ROW_STOPS :] = self.h_stops.T
         f32_state = np.stack([self.h_temp, self.h_top_p])
         res = fn(

@@ -77,6 +77,8 @@ def decode_program_pp(
     min_tokens = int_state[R._ROW_MIN_TOKENS]
     rope_delta = int_state[R._ROW_ROPE_DELTA]
     top_k = int_state[R._ROW_TOP_K]
+    allow_lo = int_state[R._ROW_ALLOW_LO]
+    allow_hi = int_state[R._ROW_ALLOW_HI]
     stops = int_state[R._ROW_STOPS :].T  # [S_l, MAX_STOP]
     temperature = f32_state[0]
     top_p = f32_state[1]
@@ -159,6 +161,10 @@ def decode_program_pp(
         # ---- last stage: norm + logits + sample + bookkeeping
         hn = rms_norm(hidden, params["norm_f"], cfg.rms_norm_eps)
         logits = qwen2.compute_logits(cfg, params, hn)
+        logits = R._window_logits(
+            logits, sl1(allow_lo, off), sl1(allow_hi, off),
+            sl1(stops, off),
+        )
         keys_m = sl1(keys, off)
         splits = jax.vmap(lambda kk: jax.random.split(kk, 2))(keys_m)
         keys_m_new, step_keys = splits[:, 0], splits[:, 1]
