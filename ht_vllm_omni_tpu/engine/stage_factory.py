@@ -145,6 +145,44 @@ def _build_fish_speech_dac(cfg: StageConfig, model_path: str | None):
 _GENERATION_BUILDERS["fish_speech_dac"] = _build_fish_speech_dac
 
 
+def _build_cosyvoice3_code2wav(cfg: StageConfig, model_path: str | None):
+    """CosyVoice3 CFM flow + HiFT vocoder stage
+    (models/cosyvoice3/code2wav_model.py)."""
+    from ht_vllm_omni_tpu.engine.generation_engine import GenerationEngine
+    from ht_vllm_omni_tpu.models.cosyvoice3.code2wav_model import (
+        CosyVoice3Code2WavModel,
+    )
+    from ht_vllm_omni_tpu.models.cosyvoice3.config import (
+        CosyVoice3Config,
+        FlowConfig,
+        HiftConfig,
+    )
+
+    spec = dict(cfg.engine_args.get("code2wav", {}))
+    fkw = dict(spec.get("flow", {}))
+    hkw = dict(spec.get("hift", {}))
+    for tkey in (
+        "upsample_rates", "upsample_kernel_sizes",
+        "resblock_kernel_sizes", "source_resblock_kernel_sizes",
+    ):
+        if tkey in hkw:
+            hkw[tkey] = tuple(hkw[tkey])
+    for tkey in ("resblock_dilation_sizes", "source_resblock_dilation_sizes"):
+        if tkey in hkw:
+            hkw[tkey] = tuple(tuple(v) for v in hkw[tkey])
+    model = CosyVoice3Code2WavModel(
+        CosyVoice3Config(flow=FlowConfig(**fkw), hift=HiftConfig(**hkw)),
+        seed=cfg.engine_args.get("seed", 0),
+    )
+    cfg.runtime["code2wav_model"] = model
+    return GenerationEngine(
+        model, max_batch_size=cfg.engine_args.get("max_num_seqs", 1)
+    )
+
+
+_GENERATION_BUILDERS["cosyvoice3_code2wav"] = _build_cosyvoice3_code2wav
+
+
 def _attach_fast_ar(cfg: StageConfig, engine) -> None:
     """Build the Fish-Speech Fast AR (residual-codebook predictor) and
     hang it on the slow-AR stage config so the fish_speech_slow2dac

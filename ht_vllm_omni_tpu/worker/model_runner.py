@@ -722,6 +722,7 @@ class ARModelRunner(SpecDecodeMixin):
                 scalar,  # temperature
                 scalar,  # top_k
                 scalar,  # top_p
+                scalar,  # allow (lo, hi, stop ids)
             )
             out_specs = (
                 cache_spec,
