@@ -156,3 +156,9 @@ class EngineConfig:
     # verification forward (0 = off).  Greedy-only; the engine falls back
     # to normal decode when a batch wants sampling or hidden states.
     spec_num_draft: int = 0
+    # per-step decode adapter spec, e.g. {"name": "voxtral_tts", ...} —
+    # resolved by worker/step_adapter.py.  Replaces the decode loop's
+    # token embedding + logits sampling with model-specific hooks (the
+    # reference's make_omni_output / embed_multimodal feedback,
+    # vllm_omni voxtral_tts.py:286).  None = plain LM decode.
+    step_adapter_spec: dict | None = None

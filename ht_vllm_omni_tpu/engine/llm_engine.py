@@ -223,7 +223,7 @@ class LLMEngine:
         # hidden-state request run as ONE padded dispatch (one kernel per
         # layer over the batch) instead of a dispatch per request
         batchable: list[Request] = []
-        if self.runner.mesh is None:
+        if self.runner.mesh is None and self.runner.step_adapter is None:
             batchable = [
                 req
                 for req, start, num in prefill_works
@@ -275,6 +275,7 @@ class LLMEngine:
         if (
             use_spec
             and not want_hidden
+            and self.runner.step_adapter is None
             and all(
                 r.sampling_params.temperature == 0.0 for r in active
             )

@@ -89,6 +89,7 @@ def engine_config_from_stage(
         model_path=args.get("model", model_path),
         seed=args.get("seed", 0),
         mm_encoder_spec=args.get("mm_encoder"),
+        step_adapter_spec=args.get("step_adapter"),
     )
 
 
@@ -183,6 +184,82 @@ def _build_cosyvoice3_code2wav(cfg: StageConfig, model_path: str | None):
 _GENERATION_BUILDERS["cosyvoice3_code2wav"] = _build_cosyvoice3_code2wav
 
 
+def _build_voxtral_tts_codec(cfg: StageConfig, model_path: str | None):
+    """Voxtral TTS audio-tokenizer decoder stage
+    (models/voxtral_tts/codec.py)."""
+    from ht_vllm_omni_tpu.engine.generation_engine import GenerationEngine
+    from ht_vllm_omni_tpu.models.voxtral_tts.codec import VoxtralCodecModel
+    from ht_vllm_omni_tpu.models.voxtral_tts.config import (
+        VoxtralCodecConfig,
+    )
+
+    kwargs = dict(cfg.engine_args.get("codec", {}))
+    for tkey in (
+        "encoder_convs_strides", "decoder_transformer_lengths",
+        "decoder_convs_kernels", "decoder_convs_strides",
+    ):
+        if tkey in kwargs:
+            kwargs[tkey] = tuple(kwargs[tkey])
+    model = VoxtralCodecModel(
+        VoxtralCodecConfig(**kwargs), seed=cfg.engine_args.get("seed", 0)
+    )
+    cfg.runtime["codec_model"] = model
+    return GenerationEngine(
+        model, max_batch_size=cfg.engine_args.get("max_num_seqs", 1)
+    )
+
+
+_GENERATION_BUILDERS["voxtral_tts_codec"] = _build_voxtral_tts_codec
+
+
+def _build_qwen2_5_omni_token2wav(cfg: StageConfig, model_path: str | None):
+    """Qwen2.5-Omni DiT + BigVGAN stage
+    (models/qwen2_5_omni/token2wav_model.py)."""
+    from ht_vllm_omni_tpu.engine.generation_engine import GenerationEngine
+    from ht_vllm_omni_tpu.models.qwen2_5_omni.config import (
+        BigVGANConfig,
+        DiTConfig,
+        Token2WavConfig,
+    )
+    from ht_vllm_omni_tpu.models.qwen2_5_omni.token2wav_model import (
+        Qwen2_5OmniToken2WavModel,
+    )
+
+    spec = dict(cfg.engine_args.get("token2wav", {}))
+    dkw = dict(spec.pop("dit", {}))
+    bkw = dict(spec.pop("bigvgan", {}))
+    for tkey in (
+        "look_ahead_layers", "look_backward_layers", "enc_channels",
+        "enc_kernel_sizes", "enc_dilations",
+    ):
+        if tkey in dkw:
+            dkw[tkey] = tuple(dkw[tkey])
+    for tkey in ("upsample_rates", "upsample_kernel_sizes",
+                 "resblock_kernel_sizes"):
+        if tkey in bkw:
+            bkw[tkey] = tuple(bkw[tkey])
+    if "resblock_dilation_sizes" in bkw:
+        bkw["resblock_dilation_sizes"] = tuple(
+            tuple(v) for v in bkw["resblock_dilation_sizes"]
+        )
+    t2w = Token2WavConfig(
+        dit=DiTConfig(**dkw), bigvgan=BigVGANConfig(**bkw),
+        sample_rate=spec.pop("sample_rate", 24000),
+    )
+    model = Qwen2_5OmniToken2WavModel(
+        t2w, seed=cfg.engine_args.get("seed", 0), **spec
+    )
+    cfg.runtime["token2wav_model"] = model
+    return GenerationEngine(
+        model, max_batch_size=cfg.engine_args.get("max_num_seqs", 1)
+    )
+
+
+_GENERATION_BUILDERS["qwen2_5_omni_token2wav"] = (
+    _build_qwen2_5_omni_token2wav
+)
+
+
 def _attach_fast_ar(cfg: StageConfig, engine) -> None:
     """Build the Fish-Speech Fast AR (residual-codebook predictor) and
     hang it on the slow-AR stage config so the fish_speech_slow2dac
@@ -246,5 +323,9 @@ def build_stages(
                 _attach_code_predictor(cfg, engine)
             if "fast_ar" in cfg.engine_args:
                 _attach_fast_ar(cfg, engine)
+            if engine.runner.step_adapter is not None:
+                # stage edges regenerate per-frame codes from exported
+                # hidden states through the same adapter
+                cfg.runtime["step_adapter"] = engine.runner.step_adapter
         handles.append(StageHandle(cfg, engine))
     return handles

@@ -152,3 +152,36 @@ def fish_speech_slow2dac(
         additional_information={"codes": codes},
         text="" if not len(sem) else None,
     )
+
+
+@register("voxtral_tts_llm2codec")
+def voxtral_tts_llm2codec(
+    output: OmniRequestOutput, from_cfg, to_cfg
+) -> OmniPrompt:
+    """Voxtral talker chunk -> codec chunk.
+
+    The talker's forced token stream is audio placeholders (+ final
+    EOS); the real per-frame [semantic, acoustic x N] codes are
+    regenerated from the exported hidden states by the stage's step
+    adapter (from_cfg.runtime["step_adapter"]) with position-keyed flow
+    noise, reproducing exactly the codes that fed back in-loop
+    (reference voxtral_tts.py:210 tts_postprocess attaches the same
+    per-step multimodal codes)."""
+    import numpy as np
+
+    comp = output.outputs[0] if output.outputs else None
+    tokens = list(comp.token_ids) if comp else []
+    hidden = comp.hidden_states if comp else None
+    adapter = from_cfg.runtime.get("step_adapter")
+    n_prompt = len(output.prompt_token_ids or [])
+    if adapter is not None and hidden is not None and len(hidden):
+        codes = adapter.expand(
+            np.asarray(hidden, np.float32), n_prompt - 1
+        ).T  # [K, n]
+    else:
+        codes = np.asarray(tokens, np.int32)[None, :]
+    return OmniPrompt(
+        token_ids=[int(t) for t in tokens] or None,
+        additional_information={"codes": codes},
+        text="" if not tokens else None,
+    )

@@ -264,11 +264,12 @@ class SpecDecodeMixin:
                 rows_per_slot=rows_per_slot, kv_scales=kv_scales,
             )
             logits = qwen2.compute_logits(cfg, params, hidden)
+            # logits is [s*q, V]: window rows repeat per-slot q times
             logits = R._window_logits(
                 logits.reshape(-1, logits.shape[-1]),
-                jnp.repeat(allow_lo, logits.shape[1]),
-                jnp.repeat(allow_hi, logits.shape[1]),
-                jnp.repeat(stops, logits.shape[1], axis=0),
+                jnp.repeat(allow_lo, q),
+                jnp.repeat(allow_hi, q),
+                jnp.repeat(stops, q, axis=0),
             ).reshape(logits.shape)
             targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             targets = targets.reshape(s, q)
@@ -500,12 +501,52 @@ class ARModelRunner(SpecDecodeMixin):
         else:
             self.kv_cache = jnp.zeros(kv_shape, kv_dt)
 
+        # per-step decode adapter (worker/step_adapter.py): hooks the
+        # compiled decode loop's embedding + head; params ride in
+        # self.params under a reserved prefix (replicated under a mesh)
+        self.step_adapter = None
+        if config.step_adapter_spec:
+            if self.pp > 1:
+                raise NotImplementedError(
+                    "step adapters under pipeline parallelism"
+                )
+            from ht_vllm_omni_tpu.worker.step_adapter import (
+                PARAM_PREFIX,
+                build_step_adapter,
+            )
+
+            self.step_adapter = build_step_adapter(
+                config.step_adapter_spec, cfg, config.seed
+            )
+            ap = self.step_adapter.init_params()
+            if self.mesh is not None:
+                rep = NamedSharding(self.mesh, P())
+                ap = {k: jax.device_put(v, rep) for k, v in ap.items()}
+            self.params.update(
+                {PARAM_PREFIX + k: v for k, v in ap.items()}
+            )
+
         s = self.max_slots
         self.keys = jax.vmap(jax.random.PRNGKey)(
             jnp.arange(s, dtype=jnp.uint32) + config.seed
         )
         # device-resident decode state, written by prefill/decode programs
         self.token_state = jnp.full((s,), _NO_TOKEN, jnp.int32)
+        # adapter aux rows ([S, 1] dummy when no adapter so programs and
+        # call sites keep one calling convention; column 0 = valid flag)
+        aux_w = (
+            self.step_adapter.aux_width
+            if self.step_adapter is not None
+            else 1
+        )
+        aux0 = jnp.zeros((s, aux_w), jnp.int32)
+        self.aux_state = (
+            jax.device_put(
+                aux0, NamedSharding(self.mesh, P(DP_AXIS, None))
+            )
+            if self.mesh is not None
+            else aux0
+        )
         # host mirror of scheduler-owned state (pushed to device when dirty)
         self.h_positions = np.zeros(s, np.int32)
         self.h_active = np.zeros(s, bool)
@@ -583,10 +624,12 @@ class ARModelRunner(SpecDecodeMixin):
         fsdp_axis,
         use_embeds: bool,
         kv_scales,
+        adapter,
         params,
         kv_cache,
         keys,
         token_state,
+        aux_state,  # [S, W] int32 adapter rows ([S, 1] dummy when none)
         token_ids,  # [S_pad] int32, or [S_pad, H] prompt embeds
         positions,  # [S_pad]
         slot_mapping,  # [S_pad] slots in the owner dp-group's local cache
@@ -629,17 +672,25 @@ class ARModelRunner(SpecDecodeMixin):
         last = jax.lax.dynamic_index_in_dim(
             hidden, prompt_len - 1, axis=0, keepdims=True
         )
-        logits = qwen2.compute_logits(cfg, params, last)
-        logits = ARModelRunner._window_logits(
-            logits, allow[0:1], allow[1:2], allow[None, 2:]
-        )
         slot_key = keys[slot]
         new_key, step_key = jax.random.split(slot_key)
-        token = sample_tokens(
-            logits,
-            SamplingTensors(temperature, top_k, top_p),
-            step_key[None],
-        )[0]
+        if adapter is None:
+            logits = qwen2.compute_logits(cfg, params, last)
+            logits = ARModelRunner._window_logits(
+                logits, allow[0:1], allow[1:2], allow[None, 2:]
+            )
+            token = sample_tokens(
+                logits,
+                SamplingTensors(temperature, top_k, top_p),
+                step_key[None],
+            )[0]
+            new_aux = aux_state
+        else:
+            tok, aux_row = adapter.head(
+                params, last, jnp.reshape(prompt_len - 1, (1,))
+            )
+            token = tok[0]
+            new_aux = aux_state.at[slot].set(aux_row[0])
         new_keys = keys.at[slot].set(new_key)
         new_token_state = token_state.at[slot].set(token)
         if dp_axis is not None:
@@ -648,11 +699,13 @@ class ARModelRunner(SpecDecodeMixin):
                 lambda new, old: jnp.where(keep, new, old), new_keys, keys
             )
             token_state = jnp.where(keep, new_token_state, token_state)
+            aux_state = jnp.where(keep, new_aux, aux_state)
         else:
             keys = new_keys
             token_state = new_token_state
+            aux_state = new_aux
         out_hidden = hidden if collect_hidden else last
-        return kv_cache, keys, token_state, out_hidden
+        return kv_cache, keys, token_state, aux_state, out_hidden
 
     def _prefill_fn(
         self, bucket: int, collect_hidden: bool, use_embeds: str = "tokens"
@@ -664,7 +717,7 @@ class ARModelRunner(SpecDecodeMixin):
         if self.mesh is None:
             prog = functools.partial(
                 self._prefill_program, self.arch, collect_hidden, None, None,
-                None, use_embeds, self.kv_scales,
+                None, use_embeds, self.kv_scales, self.step_adapter,
             )
         else:
             is_pp = self.pp > 1
@@ -673,7 +726,7 @@ class ARModelRunner(SpecDecodeMixin):
                     prefill_program_pp,
                 )
 
-                body = functools.partial(
+                body = _aux_passthrough(functools.partial(
                     prefill_program_pp,
                     self.local_arch,
                     self.pp,
@@ -684,7 +737,7 @@ class ARModelRunner(SpecDecodeMixin):
                     DP_AXIS if self.fsdp else None,
                     use_embeds,
                     self.kv_scales,
-                )
+                ))
             else:
                 body = functools.partial(
                     self._prefill_program,
@@ -695,14 +748,9 @@ class ARModelRunner(SpecDecodeMixin):
                     DP_AXIS if self.fsdp else None,
                     use_embeds,
                     self.kv_scales,
+                    self.step_adapter,
                 )
-            pspec = {
-                k: v
-                for k, v in param_pspecs(
-                    self.arch, fsdp=self.fsdp, pp=is_pp
-                ).items()
-                if k in self.params
-            }
+            pspec = self._param_pspecs(is_pp)
             cache_spec = P(
                 PP_AXIS if is_pp else None, DP_AXIS, TP_AXIS
             )
@@ -712,6 +760,7 @@ class ARModelRunner(SpecDecodeMixin):
                 cache_spec,  # kv_cache
                 P(DP_AXIS, None),  # keys
                 P(DP_AXIS),  # token_state
+                P(DP_AXIS, None),  # aux_state
                 scalar,  # token_ids
                 scalar,  # positions
                 scalar,  # slot_mapping
@@ -728,6 +777,7 @@ class ARModelRunner(SpecDecodeMixin):
                 cache_spec,
                 P(DP_AXIS, None),
                 P(DP_AXIS),
+                P(DP_AXIS, None),  # aux_state
                 P(),  # hidden (replicated)
             )
             prog = shard_map(
@@ -737,9 +787,26 @@ class ARModelRunner(SpecDecodeMixin):
                 out_specs=out_specs,
                 check_vma=False,
             )
-        fn = jax.jit(prog, donate_argnums=(1, 2, 3))
+        fn = jax.jit(prog, donate_argnums=(1, 2, 3, 4))
         self._prefill_fns[key] = fn
         return fn
+
+    def _param_pspecs(self, is_pp: bool) -> dict:
+        """Partition specs for the live param dict (step-adapter params
+        are replicated)."""
+        from ht_vllm_omni_tpu.worker.step_adapter import PARAM_PREFIX
+
+        pspec = {
+            k: v
+            for k, v in param_pspecs(
+                self.arch, fsdp=self.fsdp, pp=is_pp
+            ).items()
+            if k in self.params
+        }
+        pspec.update(
+            {k: P() for k in self.params if k.startswith(PARAM_PREFIX)}
+        )
+        return pspec
 
     def prefill(self, request) -> jax.Array:
         """Run one prompt.  Returns the device hidden-state array (last
@@ -808,12 +875,14 @@ class ARModelRunner(SpecDecodeMixin):
             self.kv_cache,
             self.keys,
             self.token_state,
+            self.aux_state,
             hidden,
         ) = fn(
             self.params,
             self.kv_cache,
             self.keys,
             self.token_state,
+            self.aux_state,
             ids,
             positions,
             slot_map,
@@ -1002,10 +1071,12 @@ class ARModelRunner(SpecDecodeMixin):
         tp_axis,
         page_size: int,
         kv_scales,
+        adapter,
         params,
         kv_cache,
         keys,
         token_state,
+        aux_state,  # [S, W] int32 adapter rows ([S, 1] dummy when none)
         token_ids,  # [T_pad] int32 (or [T_pad, H] embeds — rank keyed)
         positions,  # [T_pad]
         slot_mapping,  # [T_pad] chunk rows' cache slots
@@ -1037,23 +1108,32 @@ class ARModelRunner(SpecDecodeMixin):
         last = jax.lax.dynamic_index_in_dim(
             hidden, valid_len - 1, axis=0, keepdims=True
         )
-        logits = qwen2.compute_logits(cfg, params, last)
-        logits = ARModelRunner._window_logits(
-            logits, allow[0:1], allow[1:2], allow[None, 2:]
-        )
         slot_key = keys[slot]
         new_key, step_key = jax.random.split(slot_key)
-        token = sample_tokens(
-            logits,
-            SamplingTensors(temperature, top_k, top_p),
-            step_key[None],
-        )[0]
+        if adapter is None:
+            logits = qwen2.compute_logits(cfg, params, last)
+            logits = ARModelRunner._window_logits(
+                logits, allow[0:1], allow[1:2], allow[None, 2:]
+            )
+            token = sample_tokens(
+                logits,
+                SamplingTensors(temperature, top_k, top_p),
+                step_key[None],
+            )[0]
+            new_aux = aux_state
+        else:
+            tok, aux_row = adapter.head(
+                params, last, jnp.reshape(ctx_len + valid_len - 1, (1,))
+            )
+            token = tok[0]
+            new_aux = aux_state.at[slot].set(aux_row[0])
         # only the final chunk samples + advances the slot PRNG
         keys = jnp.where(is_final, keys.at[slot].set(new_key), keys)
         token_state = jnp.where(
             is_final, token_state.at[slot].set(token), token_state
         )
-        return kv_cache, keys, token_state, hidden
+        aux_state = jnp.where(is_final, new_aux, aux_state)
+        return kv_cache, keys, token_state, aux_state, hidden
 
     def _prefill_chunk_fn(self, bucket: int, use_embeds: bool):
         key = ("chunk", bucket, use_embeds)
@@ -1062,9 +1142,9 @@ class ARModelRunner(SpecDecodeMixin):
             fn = jax.jit(
                 functools.partial(
                     self._prefill_chunk_program, self.arch, None,
-                    self.page_size, self.kv_scales,
+                    self.page_size, self.kv_scales, self.step_adapter,
                 ),
-                donate_argnums=(1, 2, 3),
+                donate_argnums=(1, 2, 3, 4),
             )
             self._prefill_fns[key] = fn
         return fn
@@ -1103,11 +1183,13 @@ class ARModelRunner(SpecDecodeMixin):
 
         st = SamplingTensors.from_params([sp], 1)
         fn = self._prefill_chunk_fn(bucket, use_embeds)
-        (self.kv_cache, self.keys, self.token_state, hidden) = fn(
+        (self.kv_cache, self.keys, self.token_state, self.aux_state,
+         hidden) = fn(
             self.params,
             self.kv_cache,
             self.keys,
             self.token_state,
+            self.aux_state,
             ids,
             positions,
             slot_map,
@@ -1175,6 +1257,10 @@ class ARModelRunner(SpecDecodeMixin):
             req.prompt_token_ids[-1]
         )
         self.token_state = self.token_state.at[slot].set(jnp.int32(last))
+        if self.step_adapter is not None:
+            # no adapter feedback rode along with the KV payload: clear
+            # the row so decode falls back to plain token embedding
+            self.aux_state = self.aux_state.at[slot].set(0)
         self.h_positions[slot] = n
         self.h_active[slot] = True
         self.h_fresh[slot] = False
@@ -1238,10 +1324,12 @@ class ARModelRunner(SpecDecodeMixin):
         tp_axis,
         fsdp_axis,
         kv_scales,
+        adapter,
         params,
         kv_cache,  # [L, NSLOTS, 2F] donated; read in-scan, flushed once
         keys,
         token_state,  # [S]
+        aux_state,  # [S, W] int32 adapter rows ([S, 1] dummy when none)
         int_state,  # [_NUM_INT_ROWS, S] packed int32 host mirrors
         f32_state,  # [2, S] temperature, top_p
         block_tables,  # [S, P]
@@ -1285,9 +1373,12 @@ class ARModelRunner(SpecDecodeMixin):
         written0 = jnp.zeros((s, num_steps), bool)
 
         def step(carry, j):
-            keys, tokens, pos, act, emit, written, fresh_buf = carry
+            keys, tokens, pos, act, emit, written, fresh_buf, aux = carry
             written = written.at[:, j].set(act)
-            x = qwen2.embed_tokens(params, jnp.maximum(tokens, 0))
+            if adapter is None:
+                x = qwen2.embed_tokens(params, jnp.maximum(tokens, 0))
+            else:
+                x = adapter.embed(params, jnp.maximum(tokens, 0), aux)
             hidden, fresh_buf = qwen2.decode(
                 cfg, params, kv_cache, fresh_buf, x, pos, j, written,
                 block_tables, seq_lens0,
@@ -1296,10 +1387,16 @@ class ARModelRunner(SpecDecodeMixin):
                 rope_delta=rope_delta,
                 kv_scales=kv_scales,
             )
-            logits = qwen2.compute_logits(cfg, params, hidden)
-            logits = R._window_logits(logits, allow_lo, allow_hi, stops)
             keys, step_keys = _split_keys(keys)
-            sampled = sample_tokens(logits, st, step_keys)
+            if adapter is None:
+                logits = qwen2.compute_logits(cfg, params, hidden)
+                logits = R._window_logits(
+                    logits, allow_lo, allow_hi, stops
+                )
+                sampled = sample_tokens(logits, st, step_keys)
+            else:
+                sampled, aux_new = adapter.head(params, hidden, pos)
+                aux = jnp.where(act[:, None], aux_new, aux)
             sampled = jnp.where(act, sampled, _NO_TOKEN)
             emit = emit + act.astype(jnp.int32)
             stop = ARModelRunner._stop_mask(
@@ -1308,17 +1405,18 @@ class ARModelRunner(SpecDecodeMixin):
             new_act = jnp.logical_and(act, jnp.logical_not(stop))
             pos = pos + act.astype(jnp.int32)
             out = (sampled, hidden) if collect_hidden else (sampled,)
-            return (keys, sampled, pos, new_act, emit, written, fresh_buf), out
+            return (
+                keys, sampled, pos, new_act, emit, written, fresh_buf, aux,
+            ), out
 
         entry_tokens = token_state
         init = (keys, token_state, positions, active, emitted, written0,
-                fresh_buf)
+                fresh_buf, aux_state)
         carry, outs = jax.lax.scan(
             step, init, jnp.arange(num_steps, dtype=jnp.int32)
         )
-        keys, token_state, positions, active, emitted, written, fresh_buf = (
-            carry
-        )
+        (keys, token_state, positions, active, emitted, written, fresh_buf,
+         aux_state) = carry
 
         # flush this chunk's rows into the paged cache (one aliased write)
         steps_r = jnp.arange(num_steps, dtype=jnp.int32)[None, :]
@@ -1348,7 +1446,7 @@ class ARModelRunner(SpecDecodeMixin):
             ],
             axis=0,
         )
-        ret = (kv_cache, keys, token_state, packed)
+        ret = (kv_cache, keys, token_state, aux_state, packed)
         if collect_hidden:
             ret = ret + (outs[1],)
         return ret
@@ -1368,6 +1466,7 @@ class ARModelRunner(SpecDecodeMixin):
                 None,
                 None,
                 self.kv_scales,
+                self.step_adapter,
             )
         else:
             is_pp = self.pp > 1
@@ -1381,7 +1480,7 @@ class ARModelRunner(SpecDecodeMixin):
                     decode_program_pp,
                 )
 
-                body = functools.partial(
+                body = _aux_passthrough(functools.partial(
                     decode_program_pp,
                     self.local_arch,
                     num_steps,
@@ -1392,7 +1491,7 @@ class ARModelRunner(SpecDecodeMixin):
                     DP_AXIS if self.fsdp else None,
                     self.kv_scales,
                     ARModelRunner,
-                )
+                ))
             else:
                 body = functools.partial(
                     self._decode_program,
@@ -1403,14 +1502,9 @@ class ARModelRunner(SpecDecodeMixin):
                     TP_AXIS,
                     DP_AXIS if self.fsdp else None,
                     self.kv_scales,
+                    self.step_adapter,
                 )
-            pspec = {
-                k: v
-                for k, v in param_pspecs(
-                    self.arch, fsdp=self.fsdp, pp=is_pp
-                ).items()
-                if k in self.params
-            }
+            pspec = self._param_pspecs(is_pp)
             cache_spec = P(
                 PP_AXIS if is_pp else None, DP_AXIS, TP_AXIS
             )
@@ -1420,6 +1514,7 @@ class ARModelRunner(SpecDecodeMixin):
                 cache_spec,  # kv_cache
                 P(DP_AXIS, None),  # keys
                 slotdim,  # token_state
+                P(DP_AXIS, None),  # aux_state
                 P(None, DP_AXIS),  # int_state
                 P(None, DP_AXIS),  # f32_state
                 P(DP_AXIS, None),  # block_tables
@@ -1428,6 +1523,7 @@ class ARModelRunner(SpecDecodeMixin):
                 cache_spec,  # kv_cache
                 P(DP_AXIS, None),  # keys
                 slotdim,  # token_state
+                P(DP_AXIS, None),  # aux_state
                 P(None, DP_AXIS),  # packed
             ]
             if collect_hidden:
@@ -1439,7 +1535,7 @@ class ARModelRunner(SpecDecodeMixin):
                 out_specs=tuple(out),
                 check_vma=False,
             )
-        fn = jax.jit(prog, donate_argnums=(1, 2, 3))
+        fn = jax.jit(prog, donate_argnums=(1, 2, 3, 4))
         self._decode_fns[key] = fn
         return fn
 
@@ -1486,13 +1582,15 @@ class ARModelRunner(SpecDecodeMixin):
             self.kv_cache,
             self.keys,
             self.token_state,
+            self.aux_state,
             int_state,
             f32_state,
             np.ascontiguousarray(self.h_tables[:, :width]),
         )
-        (self.kv_cache, self.keys, self.token_state, packed) = res[:4]
+        (self.kv_cache, self.keys, self.token_state, self.aux_state,
+         packed) = res[:5]
         host = np.asarray(packed)  # [K+4, S]; the single sync point
-        hidden = np.asarray(res[4]) if collect_hidden else None
+        hidden = np.asarray(res[5]) if collect_hidden else None
         tokens = host[: num_steps + 1]
         # device mirrors advance exactly as the host would recompute them;
         # keep numpy mirrors in lockstep without further syncs
@@ -1506,3 +1604,15 @@ class ARModelRunner(SpecDecodeMixin):
 def _split_keys(keys):
     splits = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
     return splits[:, 0], splits[:, 1]
+
+
+def _aux_passthrough(body):
+    """Adapt a (params, kv, keys, token_state, *rest) program that does
+    not know about adapter aux state to the aux-threaded calling
+    convention (aux rides through unchanged)."""
+
+    def run(params, kv_cache, keys, token_state, aux_state, *rest):
+        out = body(params, kv_cache, keys, token_state, *rest)
+        return out[:3] + (aux_state,) + out[3:]
+
+    return run

@@ -286,6 +286,7 @@ def prefill_program_pp(
     temperature,
     top_k,
     top_p,
+    allow,  # [2 + MAX_STOP] int32: lo, hi, stop ids (-2 pad)
 ):
     """Per-shard prefill body: ring wave over pp stages; each stage keeps
     its local layers' KV rows when the true activation passes through."""
@@ -345,6 +346,11 @@ def prefill_program_pp(
         h, prompt_len - 1, axis=0, keepdims=True
     )
     logits = qwen2.compute_logits(cfg, params, last)
+    from ht_vllm_omni_tpu.worker.model_runner import ARModelRunner
+
+    logits = ARModelRunner._window_logits(
+        logits, allow[0:1], allow[1:2], allow[None, 2:]
+    )
     slot_key = keys[slot]
     new_key, step_key = jax.random.split(slot_key)
     token = sample_tokens(
