@@ -160,11 +160,14 @@ class FluxPipeline:
         sched = state["sched"]
         fn = self._transformer_fn()
         lat_h, lat_w = state["lat_hw"]
-        img_shape = (1, lat_h // 2, lat_w // 2)
+        img_shape = state.get("img_shapes", (1, lat_h // 2, lat_w // 2))
         gscale = float(sp.guidance_scale or 1.0)
         distilled = self.arch.guidance_embeds
         do_cfg = state["do_cfg"]
         nb = state["txt"].shape[0]
+        # Kontext appends packed conditioning-image latents each step;
+        # only the target tokens are denoised (pipeline_flux_kontext.py)
+        cond = state.get("cond_latents")
 
         end = min(state["step"] + count, sp.num_inference_steps)
         latents = state["latents"]
@@ -174,12 +177,18 @@ class FluxPipeline:
             g = (
                 jnp.full((nb,), gscale, jnp.float32) if distilled else None
             )
+            inp = (
+                latents
+                if cond is None
+                else jnp.concatenate([latents, cond], axis=1)
+            )
             v = fn(
                 self.params["transformer"],
-                jnp.concatenate([latents] * nb, 0),
+                jnp.concatenate([inp] * nb, 0),
                 state["txt"], state["txt_lens"], state["pooled"], t, g,
                 img_shape,
             )
+            v = v[:, : latents.shape[1]]
             if do_cfg:
                 pos, neg = v[:1], v[1:2]
                 pred = neg + gscale * (pos - neg)

@@ -285,13 +285,17 @@ def forward(
     return out
 
 
-def _flux_rope(
-    cfg: FluxArchConfig, img_shape: tuple[int, int, int], txt_len: int
-):
+def _flux_rope(cfg: FluxArchConfig, img_shape, txt_len: int):
     """FluxPosEmbed tables (reference flux_transformer.py:420-447):
-    image ids are (0, y, x) from the origin; text ids are all-zero, so
-    text tokens rotate by identity on every axis."""
-    f, h, wd = img_shape
+    image ids are (idx, y, x) from the origin — segment idx is 0 for the
+    target grid and i for the i-th conditioning-image segment (Kontext
+    sets image_ids[..., 0] = 1, pipeline_flux_kontext.py:421); text ids
+    are all-zero, so text tokens rotate by identity on every axis."""
+    from ht_vllm_omni_tpu.diffusion.models.qwen_image.transformer import (
+        normalize_shapes,
+    )
+
+    shapes = normalize_shapes(img_shape)
     theta = cfg.rope_theta
 
     def axis_freqs(positions, dim):
@@ -302,17 +306,28 @@ def _flux_rope(
         return positions[:, None].astype(jnp.float32) * inv
 
     d_f, d_h, d_w = cfg.axes_dims_rope
-    ff = axis_freqs(jnp.arange(f, dtype=jnp.float32), d_f)
-    fh = axis_freqs(jnp.arange(h, dtype=jnp.float32), d_h)
-    fw = axis_freqs(jnp.arange(wd, dtype=jnp.float32), d_w)
-    grid = jnp.concatenate(
-        [
-            jnp.broadcast_to(ff[:, None, None, :], (f, h, wd, d_f // 2)),
-            jnp.broadcast_to(fh[None, :, None, :], (f, h, wd, d_h // 2)),
-            jnp.broadcast_to(fw[None, None, :, :], (f, h, wd, d_w // 2)),
-        ],
-        axis=-1,
-    ).reshape(f * h * wd, -1)
+    grids = []
+    for idx, (f, h, wd) in enumerate(shapes):
+        ff = axis_freqs(idx + jnp.arange(f, dtype=jnp.float32), d_f)
+        fh = axis_freqs(jnp.arange(h, dtype=jnp.float32), d_h)
+        fw = axis_freqs(jnp.arange(wd, dtype=jnp.float32), d_w)
+        grids.append(
+            jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        ff[:, None, None, :], (f, h, wd, d_f // 2)
+                    ),
+                    jnp.broadcast_to(
+                        fh[None, :, None, :], (f, h, wd, d_h // 2)
+                    ),
+                    jnp.broadcast_to(
+                        fw[None, None, :, :], (f, h, wd, d_w // 2)
+                    ),
+                ],
+                axis=-1,
+            ).reshape(f * h * wd, -1)
+        )
+    grid = jnp.concatenate(grids, axis=0)
     txt = jnp.zeros(
         (txt_len, sum(cfg.axes_dims_rope) // 2), jnp.float32
     )

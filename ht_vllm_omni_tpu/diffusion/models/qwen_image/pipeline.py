@@ -202,20 +202,33 @@ class QwenImagePipeline:
         sched: FlowUniPCScheduler = state["sched"]
         fn = self._transformer_fn()
         lat_h, lat_w = state["lat_hw"]
-        img_shape = (1, lat_h // 2, lat_w // 2)
+        img_shape = state.get(
+            "img_shapes", (state.get("frames", 1), lat_h // 2, lat_w // 2)
+        )
         do_cfg = state["do_cfg"]
         gscale = float(sp.guidance_scale)
+
+        # edit pipelines append packed conditioning-image latents to the
+        # model input every step; only the target tokens are denoised
+        # (reference pipeline_qwen_image_edit.py latent_model_input)
+        cond = state.get("cond_latents")
 
         end = min(state["step"] + count, sp.num_inference_steps)
         latents = state["latents"]
         for step in range(state["step"], end):
             sigma = sched.timestep(step)
             t = jnp.full((state["txt"].shape[0],), sigma, jnp.float32)
+            inp = (
+                latents
+                if cond is None
+                else jnp.concatenate([latents, cond], axis=1)
+            )
             v = fn(
                 self.params["transformer"],
-                jnp.concatenate([latents] * state["txt"].shape[0], 0),
+                jnp.concatenate([inp] * state["txt"].shape[0], 0),
                 state["txt"], state["txt_lens"], t, img_shape,
             )
+            v = v[:, : latents.shape[1]]
             if do_cfg:
                 pos, neg = v[:1], v[1:2]
                 comb = neg + gscale * (pos - neg)
@@ -232,14 +245,17 @@ class QwenImagePipeline:
         state["latents"] = latents
         state["step"] = end
         if end >= sp.num_inference_steps:
-            img = self._decode_fn()(
-                self.params["vae"], latents, lat_h, lat_w
-            )[0]
-            return (
-                np.asarray(img * 255.0, np.float32).astype(np.uint8),
-                state,
-            )
+            return self._finalize(state, latents), state
         return None, state
+
+    def _finalize(self, state: dict, latents) -> np.ndarray:
+        """Decode the final latents to a uint8 image (overridden by the
+        layered pipeline, which decodes one image per layer)."""
+        lat_h, lat_w = state["lat_hw"]
+        img = self._decode_fn()(
+            self.params["vae"], latents, lat_h, lat_w
+        )[0]
+        return np.asarray(img * 255.0, np.float32).astype(np.uint8)
 
     # engine compatibility: token-ids entry point delegates to text path
     def generate(

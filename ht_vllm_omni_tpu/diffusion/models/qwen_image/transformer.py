@@ -97,9 +97,18 @@ def _layer_params(params: dict) -> dict:
 
 
 # --------------------------------------------------------------------- rope
+def normalize_shapes(img_shape) -> tuple[tuple[int, int, int], ...]:
+    """Accept one (f, h, w) tuple or a tuple of them (multi-segment
+    sequences: target grid + conditioning-image grids, reference
+    pipeline_qwen_image_edit.py img_shapes)."""
+    if isinstance(img_shape[0], (tuple, list)):
+        return tuple(tuple(s) for s in img_shape)
+    return (tuple(img_shape),)
+
+
 def rope_cos_sin_3d(
     cfg: QwenImageArchConfig,
-    img_shape: tuple[int, int, int],  # (frames, lat_h//2, lat_w//2)
+    img_shape,  # (frames, lat_h//2, lat_w//2) or a tuple of such shapes
     txt_len: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """3-axis rotary tables: (img_cos, img_sin, txt_cos, txt_sin), each
@@ -107,11 +116,13 @@ def rope_cos_sin_3d(
 
     Matches reference QwenEmbedRope with scale_rope=True
     (qwen_image_transformer.py:320,396-418): height/width positions are
-    centred (negative freqs fill the first half), the frame axis starts
-    at 0, and text tokens sit at position max(h//2, w//2) + j on all
-    three axes.
+    centred (negative freqs fill the first half), segment i's frame axis
+    starts at position i (edit pipelines append conditioning-image
+    segments, each offset by its index — _compute_video_freqs(idx)), and
+    text tokens sit at position max over segments of (h//2, w//2) + j on
+    all three axes.
     """
-    f, h, wd = img_shape
+    shapes = normalize_shapes(img_shape)
     theta = cfg.rope_theta
 
     def axis_freqs(positions: jnp.ndarray, dim: int) -> jnp.ndarray:
@@ -122,24 +133,36 @@ def rope_cos_sin_3d(
         return positions[:, None].astype(jnp.float32) * inv  # [n, half]
 
     d_f, d_h, d_w = cfg.axes_dims_rope
-    pos_f = jnp.arange(f, dtype=jnp.float32)
-    pos_h = jnp.arange(h, dtype=jnp.float32) - (h - h // 2)
-    pos_w = jnp.arange(wd, dtype=jnp.float32) - (wd - wd // 2)
+    grids = []
+    max_vid = 0
+    for idx, (f, h, wd) in enumerate(shapes):
+        pos_f = idx + jnp.arange(f, dtype=jnp.float32)
+        pos_h = jnp.arange(h, dtype=jnp.float32) - (h - h // 2)
+        pos_w = jnp.arange(wd, dtype=jnp.float32) - (wd - wd // 2)
 
-    ff = axis_freqs(pos_f, d_f)  # [f, d_f//2]
-    fh = axis_freqs(pos_h, d_h)  # [h, d_h//2]
-    fw = axis_freqs(pos_w, d_w)  # [w, d_w//2]
+        ff = axis_freqs(pos_f, d_f)  # [f, d_f//2]
+        fh = axis_freqs(pos_h, d_h)  # [h, d_h//2]
+        fw = axis_freqs(pos_w, d_w)  # [w, d_w//2]
 
-    grid = jnp.concatenate(
-        [
-            jnp.broadcast_to(ff[:, None, None, :], (f, h, wd, d_f // 2)),
-            jnp.broadcast_to(fh[None, :, None, :], (f, h, wd, d_h // 2)),
-            jnp.broadcast_to(fw[None, None, :, :], (f, h, wd, d_w // 2)),
-        ],
-        axis=-1,
-    ).reshape(f * h * wd, -1)
+        grids.append(
+            jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        ff[:, None, None, :], (f, h, wd, d_f // 2)
+                    ),
+                    jnp.broadcast_to(
+                        fh[None, :, None, :], (f, h, wd, d_h // 2)
+                    ),
+                    jnp.broadcast_to(
+                        fw[None, None, :, :], (f, h, wd, d_w // 2)
+                    ),
+                ],
+                axis=-1,
+            ).reshape(f * h * wd, -1)
+        )
+        max_vid = max(max_vid, h // 2, wd // 2)
+    grid = jnp.concatenate(grids, axis=0)
 
-    max_vid = max(h // 2, wd // 2)
     pos_t = max_vid + jnp.arange(txt_len, dtype=jnp.float32)
     txt = jnp.concatenate(
         [axis_freqs(pos_t, d) for d in cfg.axes_dims_rope], axis=-1

@@ -74,6 +74,32 @@ def _qwen_image(config: OmniDiffusionConfig) -> Any:
     return QwenImagePipeline(seed=config.seed, **kwargs)
 
 
+def _qwen_image_variant(cls_name: str):
+    def make(config: OmniDiffusionConfig) -> Any:
+        from ht_vllm_omni_tpu.diffusion.models.qwen_image import edit
+
+        kwargs: dict[str, Any] = dict(config.family_options)
+        return getattr(edit, cls_name)(seed=config.seed, **kwargs)
+
+    return make
+
+
+def _flux_kontext(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.flux.kontext import (
+        FluxKontextPipeline,
+    )
+
+    kwargs: dict[str, Any] = dict(config.family_options)
+    return FluxKontextPipeline(seed=config.seed, **kwargs)
+
+
+def _z_image(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.z_image import ZImagePipeline
+
+    kwargs: dict[str, Any] = dict(config.family_options)
+    return ZImagePipeline(seed=config.seed, **kwargs)
+
+
 def _wan_video(config: OmniDiffusionConfig) -> Any:
     from ht_vllm_omni_tpu.diffusion.models.wan_video import (
         WanVideoPipeline,
@@ -113,7 +139,14 @@ def _sd3(config: OmniDiffusionConfig) -> Any:
 PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
     "generic": _generic,
     "qwen-image": _qwen_image,
+    "qwen-image-edit": _qwen_image_variant("QwenImageEditPipeline"),
+    "qwen-image-edit-plus": _qwen_image_variant(
+        "QwenImageEditPlusPipeline"
+    ),
+    "qwen-image-layered": _qwen_image_variant("QwenImageLayeredPipeline"),
     "flux": _flux,
+    "flux-kontext": _flux_kontext,
+    "z-image": _z_image,
     "wan2.2": _wan_video,
     "wan2.2-i2v": _wan_video,  # same pipeline; i2v when an image rides in
     "sd3": _sd3,
