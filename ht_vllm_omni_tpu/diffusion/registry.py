@@ -93,6 +93,16 @@ def _flux_kontext(config: OmniDiffusionConfig) -> Any:
     return FluxKontextPipeline(seed=config.seed, **kwargs)
 
 
+def _flux2(cls_name: str):
+    def make(config: OmniDiffusionConfig) -> Any:
+        from ht_vllm_omni_tpu.diffusion.models import flux2
+
+        kwargs: dict[str, Any] = dict(config.family_options)
+        return getattr(flux2, cls_name)(seed=config.seed, **kwargs)
+
+    return make
+
+
 def _z_image(config: OmniDiffusionConfig) -> Any:
     from ht_vllm_omni_tpu.diffusion.models.z_image import ZImagePipeline
 
@@ -146,6 +156,8 @@ PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
     "qwen-image-layered": _qwen_image_variant("QwenImageLayeredPipeline"),
     "flux": _flux,
     "flux-kontext": _flux_kontext,
+    "flux2": _flux2("Flux2Pipeline"),
+    "flux2-klein": _flux2("Flux2KleinPipeline"),
     "z-image": _z_image,
     "wan2.2": _wan_video,
     "wan2.2-i2v": _wan_video,  # same pipeline; i2v when an image rides in

@@ -363,6 +363,7 @@ def prefill(
     tp_axis: str | None = None,
     fsdp_axis: str | None = None,
     final_norm: bool = True,
+    collect_layer_hiddens: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Run one request's prompt; returns (hidden [S, H] normed,
     kv_rows [L, S, 2F]).
@@ -371,6 +372,11 @@ def prefill(
     [K || V] rows are collected as scan outputs and flushed into the paged
     cache ONCE by the caller (ops/kv_cache_update.flush_kv_rows — the only
     composition where the cache write is copy-free).
+
+    With ``collect_layer_hiddens`` the second return value becomes the
+    per-layer residual stream [L, S, H] instead of KV rows — used by
+    text-encoder consumers that stack intermediate layers (e.g. Flux2's
+    Mistral-3 features from layers 10/20/30).
     """
     s = inputs_embeds.shape[0]
     f = cfg.num_key_value_heads * cfg.head_dim
@@ -407,12 +413,12 @@ def prefill(
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         h = h + delta.astype(h.dtype)
-        return h, row
+        return h, (h if collect_layer_hiddens else row)
 
-    h, kv_rows = jax.lax.scan(layer, inputs_embeds, _layer_params(params))
+    h, aux = jax.lax.scan(layer, inputs_embeds, _layer_params(params))
     if final_norm:  # pp stages < last hand off the raw residual stream
         h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
-    return h, kv_rows
+    return h, aux
 
 
 def prefill_batch(
