@@ -146,8 +146,12 @@ class DiffusionEngine:
             ],
         )
         if image is not None:
-            # 4-D output = video frames [F, H, W, 3] (wan_video family)
-            key = "video" if getattr(image, "ndim", 3) == 4 else "image"
-            out.multimodal_output[key] = image
+            if isinstance(image, dict):
+                # audio families return {"audio", "sample_rate"} payloads
+                out.multimodal_output.update(image)
+            else:
+                # 4-D output = video frames [F, H, W, 3] (wan_video family)
+                key = "video" if getattr(image, "ndim", 3) == 4 else "image"
+                out.multimodal_output[key] = image
         out.metrics["denoise_step"] = req.state.get("step", 0)
         return [out]

@@ -103,6 +103,27 @@ def _flux2(cls_name: str):
     return make
 
 
+def _stable_audio(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.stable_audio import (
+        StableAudioPipeline,
+    )
+
+    kwargs: dict[str, Any] = dict(config.family_options)
+    return StableAudioPipeline(seed=config.seed, **kwargs)
+
+
+def _hunyuan_video(cls_name: str):
+    def make(config: OmniDiffusionConfig) -> Any:
+        from ht_vllm_omni_tpu.diffusion.models import hunyuan_video
+
+        kwargs: dict[str, Any] = dict(config.family_options)
+        return getattr(hunyuan_video, cls_name)(
+            seed=config.seed, **kwargs
+        )
+
+    return make
+
+
 def _z_image(config: OmniDiffusionConfig) -> Any:
     from ht_vllm_omni_tpu.diffusion.models.z_image import ZImagePipeline
 
@@ -161,6 +182,9 @@ PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
     "z-image": _z_image,
     "wan2.2": _wan_video,
     "wan2.2-i2v": _wan_video,  # same pipeline; i2v when an image rides in
+    "hunyuan-video-1.5": _hunyuan_video("HunyuanVideoPipeline"),
+    "hunyuan-video-1.5-i2v": _hunyuan_video("HunyuanVideoI2VPipeline"),
+    "stable-audio": _stable_audio,
     "sd3": _sd3,
     "sd3.5": _sd3,  # dual-attention layers + qk_norm come from arch
 }
