@@ -103,6 +103,16 @@ def _flux2(cls_name: str):
     return make
 
 
+def _flux_like(cls_name: str):
+    def make(config: OmniDiffusionConfig) -> Any:
+        from ht_vllm_omni_tpu.diffusion.models import flux_like
+
+        kwargs: dict[str, Any] = dict(config.family_options)
+        return getattr(flux_like, cls_name)(seed=config.seed, **kwargs)
+
+    return make
+
+
 def _stable_audio(config: OmniDiffusionConfig) -> Any:
     from ht_vllm_omni_tpu.diffusion.models.stable_audio import (
         StableAudioPipeline,
@@ -185,6 +195,9 @@ PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
     "hunyuan-video-1.5": _hunyuan_video("HunyuanVideoPipeline"),
     "hunyuan-video-1.5-i2v": _hunyuan_video("HunyuanVideoI2VPipeline"),
     "stable-audio": _stable_audio,
+    "ovis-image": _flux_like("OvisImagePipeline"),
+    "longcat-image": _flux_like("LongCatImagePipeline"),
+    "longcat-image-edit": _flux_like("LongCatImageEditPipeline"),
     "sd3": _sd3,
     "sd3.5": _sd3,  # dual-attention layers + qk_norm come from arch
 }
