@@ -47,12 +47,22 @@ class ModelArchConfig:
     mrope_sections: tuple | None = None
     # GPT-J interleaved rotation (HF is_neox_style=False); Fish-Speech
     rope_interleaved: bool = False
+    # rotate only the first head_dim * factor dims (GLM-4: 0.5)
+    partial_rotary_factor: float = 1.0
+    # GLM-4 sandwich norms: extra RMSNorm on the attention and MLP
+    # deltas before each residual add (post_self_attn_layernorm /
+    # post_mlp_layernorm)
+    use_post_norms: bool = False
     image_token_id: int | None = None
     audio_token_id: int | None = None
 
     def __post_init__(self) -> None:
         if self.head_dim is None:
             self.head_dim = self.hidden_size // self.num_attention_heads
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.head_dim * self.partial_rotary_factor)
 
     @property
     def eos_token_ids(self) -> list[int]:

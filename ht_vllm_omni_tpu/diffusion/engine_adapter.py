@@ -20,6 +20,10 @@ def build_diffusion_stage(cfg: StageConfig, model_path: str | None):
         parallel=DiffusionParallelConfig(**args.get("parallel", {})),
         model_path=args.get("model", model_path),
         seed=args.get("seed", 0),
+        family=args.get("family", "generic"),
+        family_options=args.get("family_options", {}) or {},
+        cache_backend=args.get("cache_backend"),
+        cache_config=args.get("cache_config", {}) or {},
     )
     defaults = DiffusionSamplingParams(
         **{

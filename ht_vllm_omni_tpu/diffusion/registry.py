@@ -113,6 +113,31 @@ def _flux_like(cls_name: str):
     return make
 
 
+def _dreamid_omni(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.dreamid_omni import (
+        DreamIDOmniPipeline,
+    )
+
+    kwargs: dict[str, Any] = dict(config.family_options)
+    return DreamIDOmniPipeline(seed=config.seed, **kwargs)
+
+
+def _bagel(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.bagel import BagelPipeline
+
+    kwargs: dict[str, Any] = dict(config.family_options)
+    return BagelPipeline(seed=config.seed, **kwargs)
+
+
+def _glm_image(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.glm_image import (
+        GlmImagePipeline,
+    )
+
+    kwargs: dict[str, Any] = dict(config.family_options)
+    return GlmImagePipeline(seed=config.seed, **kwargs)
+
+
 def _stable_audio(config: OmniDiffusionConfig) -> Any:
     from ht_vllm_omni_tpu.diffusion.models.stable_audio import (
         StableAudioPipeline,
@@ -195,6 +220,9 @@ PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
     "hunyuan-video-1.5": _hunyuan_video("HunyuanVideoPipeline"),
     "hunyuan-video-1.5-i2v": _hunyuan_video("HunyuanVideoI2VPipeline"),
     "stable-audio": _stable_audio,
+    "glm-image": _glm_image,
+    "bagel": _bagel,
+    "dreamid-omni": _dreamid_omni,
     "ovis-image": _flux_like("OvisImagePipeline"),
     "longcat-image": _flux_like("LongCatImagePipeline"),
     "longcat-image-edit": _flux_like("LongCatImageEditPipeline"),

@@ -40,6 +40,9 @@ def config_from_hf(path: str) -> ModelArchConfig:
         max_position_embeddings=hf.get("max_position_embeddings", 32768),
         qk_norm=mt in ("qwen3", "qwen3_moe"),
         attention_bias=hf.get("attention_bias", mt == "qwen2"),
+        partial_rotary_factor=hf.get("partial_rotary_factor", 1.0),
+        use_post_norms=mt in ("glm4", "glm_image"),
+        rope_interleaved=mt in ("glm4", "glm_image"),
         eos_token_id=hf.get("eos_token_id", 151645),
         bos_token_id=hf.get("bos_token_id"),
         num_experts=hf.get("num_experts", 0) if mt.endswith("_moe") else 0,
@@ -127,8 +130,15 @@ def load_hf_params(cfg: ModelArchConfig, path: str, dtype=None) -> dict:
                 p + "mlp.shared_expert_gate.weight", True
             )
     else:
-        params["gate"] = stack(p + "mlp.gate_proj.weight", True)
-        params["up"] = stack(p + "mlp.up_proj.weight", True)
+        if any("mlp.gate_up_proj.weight" in k for k in raw):
+            # GLM-4 ships a fused gate|up projection
+            gu = stack(p + "mlp.gate_up_proj.weight", True)
+            inter = cfg.intermediate_size
+            params["gate"] = gu[:, :, :inter]
+            params["up"] = gu[:, :, inter:]
+        else:
+            params["gate"] = stack(p + "mlp.gate_proj.weight", True)
+            params["up"] = stack(p + "mlp.up_proj.weight", True)
         params["down"] = stack(p + "mlp.down_proj.weight", True)
     if cfg.attention_bias:
         params["bq"] = stack(p + "self_attn.q_proj.bias", False)
@@ -137,6 +147,11 @@ def load_hf_params(cfg: ModelArchConfig, path: str, dtype=None) -> dict:
     if cfg.qk_norm:
         params["q_norm"] = stack(p + "self_attn.q_norm.weight", False)
         params["k_norm"] = stack(p + "self_attn.k_norm.weight", False)
+    if cfg.use_post_norms:
+        params["post_ln1"] = stack(
+            p + "post_self_attn_layernorm.weight", False
+        )
+        params["post_ln2"] = stack(p + "post_mlp_layernorm.weight", False)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dt)
     return params

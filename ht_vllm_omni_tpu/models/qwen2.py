@@ -65,6 +65,9 @@ def init_params(cfg: ModelArchConfig, key: jax.Array) -> dict:
     if cfg.qk_norm:
         params["q_norm"] = jnp.ones((nl, d), dt)
         params["k_norm"] = jnp.ones((nl, d), dt)
+    if cfg.use_post_norms:
+        params["post_ln1"] = jnp.ones((nl, h), dt)
+        params["post_ln2"] = jnp.ones((nl, h), dt)
     if cfg.num_experts > 0:
         e, im = cfg.num_experts, cfg.moe_intermediate_size
         params["router"] = w(next(keys), (nl, h, e), 0.02)
@@ -84,7 +87,8 @@ def init_params(cfg: ModelArchConfig, key: jax.Array) -> dict:
 
 
 _LAYER_KEYS = (
-    "ln1", "ln2", "wq", "wk", "wv", "wo", "gate", "up", "down",
+    "ln1", "ln2", "post_ln1", "post_ln2",
+    "wq", "wk", "wv", "wo", "gate", "up", "down",
     "wqkv", "bqkv", "wgu",
     "bq", "bk", "bv", "q_norm", "k_norm",
     "router", "egate", "eup", "edown",
@@ -210,6 +214,14 @@ def _linear_base(lp: dict, name: str, x: jax.Array) -> jax.Array:
     return jnp.dot(x, lp[name], preferred_element_type=jnp.float32)
 
 
+def _maybe_post_norm(cfg, lp, name, delta):
+    """GLM-4 sandwich norm: RMSNorm the sub-layer delta before the
+    residual add (post_self_attn_layernorm / post_mlp_layernorm)."""
+    if getattr(cfg, "use_post_norms", False):
+        return rms_norm(delta, lp[name], cfg.rms_norm_eps)
+    return delta
+
+
 def _qkv(
     cfg: ModelArchConfig, lp: dict, x: jax.Array, cos: jax.Array,
     sin: jax.Array,
@@ -244,8 +256,20 @@ def _qkv(
         apply_rope_gptj if getattr(cfg, "rope_interleaved", False)
         else apply_rope
     )
-    q = rope(q, cos[:, None, :], sin[:, None, :])
-    k = rope(k, cos[:, None, :], sin[:, None, :])
+    rd = cfg.rotary_dim
+    if rd < d:
+        # partial rotary (GLM-4): rotate the first rd dims, pass the rest
+        q = jnp.concatenate(
+            [rope(q[..., :rd], cos[:, None, :], sin[:, None, :]),
+             q[..., rd:]], axis=-1,
+        )
+        k = jnp.concatenate(
+            [rope(k[..., :rd], cos[:, None, :], sin[:, None, :]),
+             k[..., rd:]], axis=-1,
+        )
+    else:
+        q = rope(q, cos[:, None, :], sin[:, None, :])
+        k = rope(k, cos[:, None, :], sin[:, None, :])
     return q, k, v
 
 
@@ -388,7 +412,7 @@ def prefill(
             tuple(cfg.mrope_sections),
         )
     else:
-        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        cos, sin = rope_cos_sin(positions, cfg.rotary_dim, cfg.rope_theta)
     lens = prompt_len[None].astype(jnp.int32)
 
     def layer(h, lp):
@@ -407,11 +431,13 @@ def prefill(
         delta = _linear(lp, "wo", o)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
+        delta = _maybe_post_norm(cfg, lp, "post_ln1", delta)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
         delta = _mlp(cfg, lp, x, ep_axis=tp_axis)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
+        delta = _maybe_post_norm(cfg, lp, "post_ln2", delta)
         h = h + delta.astype(h.dtype)
         return h, (h if collect_layer_hiddens else row)
 
@@ -442,7 +468,7 @@ def prefill_batch(
     d = cfg.head_dim
     f = cfg.num_key_value_heads * d
     cos, sin = rope_cos_sin(
-        positions.reshape(-1), cfg.head_dim, cfg.rope_theta
+        positions.reshape(-1), cfg.rotary_dim, cfg.rope_theta
     )
     lens = prompt_lens.astype(jnp.int32)
 
@@ -468,11 +494,13 @@ def prefill_batch(
         delta = _linear(lp, "wo", o)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
+        delta = _maybe_post_norm(cfg, lp, "post_ln1", delta)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
         delta = _mlp_batched(cfg, lp, x, tp_axis)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
+        delta = _maybe_post_norm(cfg, lp, "post_ln2", delta)
         h = h + delta.astype(h.dtype)
         return h, row
 
@@ -525,7 +553,7 @@ def decode(
     rope_pos = (
         positions + rope_delta if rope_delta is not None else positions
     )
-    cos, sin = rope_cos_sin(rope_pos, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin(rope_pos, cfg.rotary_dim, cfg.rope_theta)
     row_idx = jnp.arange(s_slots) * chunk_steps + step  # this step's rows
 
     def layer(h, xs):
@@ -553,11 +581,13 @@ def decode(
         delta = _linear(lp, "wo", o)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
+        delta = _maybe_post_norm(cfg, lp, "post_ln1", delta)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
         delta = _mlp(cfg, lp, x, ep_axis=tp_axis)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
+        delta = _maybe_post_norm(cfg, lp, "post_ln2", delta)
         h = h + delta.astype(h.dtype)
         return h, fresh_l
 
@@ -605,7 +635,7 @@ def spec_verify_forward(
     s_slots = sq // q_per_seq
     kvh, d = cfg.num_key_value_heads, cfg.head_dim
     f = kvh * d
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.rotary_dim, cfg.rope_theta)
     offs = jnp.tile(jnp.arange(q_per_seq, dtype=jnp.int32), s_slots)
     slot_of = jnp.repeat(
         jnp.arange(s_slots, dtype=jnp.int32), q_per_seq
@@ -640,11 +670,13 @@ def spec_verify_forward(
         delta = _linear(lp, "wo", o)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
+        delta = _maybe_post_norm(cfg, lp, "post_ln1", delta)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
         delta = _mlp(cfg, lp, x, ep_axis=tp_axis)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
+        delta = _maybe_post_norm(cfg, lp, "post_ln2", delta)
         h = h + delta.astype(h.dtype)
         return h, fresh_l
 
@@ -694,7 +726,7 @@ def prefill_chunk(
     kvh, d = cfg.num_key_value_heads, cfg.head_dim
     f = kvh * d
     group = cfg.num_attention_heads // kvh
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.rotary_dim, cfg.rope_theta)
 
     def layer(h, xs):
         lp, li = xs
@@ -720,11 +752,13 @@ def prefill_chunk(
         delta = _linear(lp, "wo", o)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
+        delta = _maybe_post_norm(cfg, lp, "post_ln1", delta)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
         delta = _mlp(cfg, lp, x, ep_axis=tp_axis)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
+        delta = _maybe_post_norm(cfg, lp, "post_ln2", delta)
         h = h + delta.astype(h.dtype)
         return h, row
 

@@ -185,3 +185,26 @@ def voxtral_tts_llm2codec(
         additional_information={"codes": codes},
         text="" if not tokens else None,
     )
+
+
+@register("glm_image_ar2dit")
+def glm_image_ar2dit(
+    output: OmniRequestOutput, from_cfg, to_cfg
+) -> OmniPrompt:
+    """GLM-Image AR -> DiT handoff: the AR's sampled tokens in the
+    image-code region become per-patch VQ prior tokens for the
+    diffusion stage (reference pipeline_glm_image.py:246-260 —
+    prior_token_ids from the AR stage), offset back into codebook
+    space via engine_args["image_code_begin_id"]."""
+    import numpy as np
+
+    comp = output.outputs[0] if output.outputs else None
+    tokens = np.asarray(list(comp.token_ids) if comp else [], np.int64)
+    begin = int(from_cfg.engine_args.get("image_code_begin_id", 0))
+    size = int(from_cfg.engine_args.get("image_code_size", 1 << 30))
+    keep = (tokens >= begin) & (tokens < begin + size)
+    prior = tokens[keep] - begin
+    return OmniPrompt(
+        text=getattr(output, "prompt_text", None) or "",
+        additional_information={"prior_tokens": prior},
+    )

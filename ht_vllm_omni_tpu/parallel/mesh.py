@@ -73,6 +73,8 @@ def param_pspecs(
         "embed": P(),
         "ln1": P(ppx),
         "ln2": P(ppx),
+        "post_ln1": P(ppx),
+        "post_ln2": P(ppx),
         "wq": P(ppx, dpx, TP_AXIS),
         "wk": P(ppx, dpx, TP_AXIS),
         "wv": P(ppx, dpx, TP_AXIS),
