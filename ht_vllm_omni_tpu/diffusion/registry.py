@@ -113,6 +113,20 @@ def _flux_like(cls_name: str):
     return make
 
 
+def _helios(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.helios import HeliosPipeline
+
+    kwargs: dict[str, Any] = dict(config.family_options)
+    return HeliosPipeline(seed=config.seed, **kwargs)
+
+
+def _omnigen2(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.omnigen2 import OmniGen2Pipeline
+
+    kwargs: dict[str, Any] = dict(config.family_options)
+    return OmniGen2Pipeline(seed=config.seed, **kwargs)
+
+
 def _dreamid_omni(config: OmniDiffusionConfig) -> Any:
     from ht_vllm_omni_tpu.diffusion.models.dreamid_omni import (
         DreamIDOmniPipeline,
@@ -223,6 +237,9 @@ PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
     "glm-image": _glm_image,
     "bagel": _bagel,
     "dreamid-omni": _dreamid_omni,
+    "omnigen2": _omnigen2,
+    "helios": _helios,
+    "helios-pyramid": _helios,  # same class in the reference registry
     "ovis-image": _flux_like("OvisImagePipeline"),
     "longcat-image": _flux_like("LongCatImagePipeline"),
     "longcat-image-edit": _flux_like("LongCatImageEditPipeline"),
