@@ -113,6 +113,16 @@ def _flux_like(cls_name: str):
     return make
 
 
+def _ltx2(cls_name: str):
+    def make(config: OmniDiffusionConfig) -> Any:
+        from ht_vllm_omni_tpu.diffusion.models import ltx2
+
+        kwargs: dict[str, Any] = dict(config.family_options)
+        return getattr(ltx2, cls_name)(seed=config.seed, **kwargs)
+
+    return make
+
+
 def _helios(config: OmniDiffusionConfig) -> Any:
     from ht_vllm_omni_tpu.diffusion.models.helios import HeliosPipeline
 
@@ -238,6 +248,8 @@ PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
     "bagel": _bagel,
     "dreamid-omni": _dreamid_omni,
     "omnigen2": _omnigen2,
+    "ltx2": _ltx2("LTX2Pipeline"),
+    "ltx2-i2v": _ltx2("LTX2ImageToVideoPipeline"),
     "helios": _helios,
     "helios-pyramid": _helios,  # same class in the reference registry
     "ovis-image": _flux_like("OvisImagePipeline"),
