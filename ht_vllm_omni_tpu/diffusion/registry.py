@@ -226,6 +226,15 @@ def _sd3(config: OmniDiffusionConfig) -> Any:
     return SD3Pipeline(seed=config.seed, **kwargs)
 
 
+def _nextstep(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.nextstep import (
+        NextStep11Pipeline,
+    )
+
+    kwargs: dict[str, Any] = dict(config.family_options)
+    return NextStep11Pipeline(seed=config.seed, **kwargs)
+
+
 PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
     "generic": _generic,
     "qwen-image": _qwen_image,
@@ -257,6 +266,7 @@ PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
     "longcat-image-edit": _flux_like("LongCatImageEditPipeline"),
     "sd3": _sd3,
     "sd3.5": _sd3,  # dual-attention layers + qk_norm come from arch
+    "nextstep-1.1": _nextstep,
 }
 
 
