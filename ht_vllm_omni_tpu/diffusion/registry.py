@@ -226,6 +226,15 @@ def _sd3(config: OmniDiffusionConfig) -> Any:
     return SD3Pipeline(seed=config.seed, **kwargs)
 
 
+def _hunyuan_image3(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.hunyuan_image3 import (
+        HunyuanImage3Pipeline,
+    )
+
+    kwargs: dict[str, Any] = dict(config.family_options)
+    return HunyuanImage3Pipeline(seed=config.seed, **kwargs)
+
+
 def _nextstep(config: OmniDiffusionConfig) -> Any:
     from ht_vllm_omni_tpu.diffusion.models.nextstep import (
         NextStep11Pipeline,
@@ -267,6 +276,7 @@ PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
     "sd3": _sd3,
     "sd3.5": _sd3,  # dual-attention layers + qk_norm come from arch
     "nextstep-1.1": _nextstep,
+    "hunyuan-image-3": _hunyuan_image3,
 }
 
 
