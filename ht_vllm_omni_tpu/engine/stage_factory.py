@@ -212,6 +212,30 @@ def _build_voxtral_tts_codec(cfg: StageConfig, model_path: str | None):
 _GENERATION_BUILDERS["voxtral_tts_codec"] = _build_voxtral_tts_codec
 
 
+def _build_mimo_audio_code2wav(cfg: StageConfig, model_path: str | None):
+    """MiMo-Audio tokenizer-decoder stage
+    (models/mimo_audio/code2wav_model.py)."""
+    from ht_vllm_omni_tpu.engine.generation_engine import GenerationEngine
+    from ht_vllm_omni_tpu.models.mimo_audio.code2wav_model import (
+        MiMoAudioCode2WavModel,
+    )
+    from ht_vllm_omni_tpu.models.mimo_audio.config import (
+        MiMoCode2WavConfig,
+    )
+
+    kwargs = dict(cfg.engine_args.get("code2wav", {}))
+    model = MiMoAudioCode2WavModel(
+        MiMoCode2WavConfig(**kwargs), seed=cfg.engine_args.get("seed", 0)
+    )
+    cfg.runtime["code2wav_model"] = model
+    return GenerationEngine(
+        model, max_batch_size=cfg.engine_args.get("max_num_seqs", 1)
+    )
+
+
+_GENERATION_BUILDERS["mimo_audio_code2wav"] = _build_mimo_audio_code2wav
+
+
 def _build_qwen2_5_omni_token2wav(cfg: StageConfig, model_path: str | None):
     """Qwen2.5-Omni DiT + BigVGAN stage
     (models/qwen2_5_omni/token2wav_model.py)."""

@@ -187,6 +187,40 @@ def voxtral_tts_llm2codec(
     )
 
 
+@register("mimo_audio_llm2codec")
+def mimo_audio_llm2codec(
+    output: OmniRequestOutput, from_cfg, to_cfg
+) -> OmniPrompt:
+    """MiMo-Audio fused thinker-talker chunk -> code2wav chunk.
+
+    Speech rides only on <|empty|> steps: each such step's hidden state
+    regenerates its group_size x channels RVQ patch via the stage's
+    step adapter (greedy local decode is deterministic, so the edge
+    recompute equals the in-loop feedback codes).  Patches flatten
+    frame-major into the channel-major code matrix the codec stage
+    expects (the reference flattens col-major with a pad row,
+    stage_input_processors/mimo_audio.py:13-46; our connector carries
+    the matrix directly)."""
+    import numpy as np
+
+    comp = output.outputs[0] if output.outputs else None
+    tokens = np.asarray(list(comp.token_ids) if comp else [], np.int32)
+    hidden = comp.hidden_states if comp else None
+    adapter = from_cfg.runtime.get("step_adapter")
+    if adapter is not None and hidden is not None and len(tokens):
+        keep = tokens[: len(hidden)] == adapter.acfg.empty_token_id
+        h = np.asarray(hidden, np.float32)[keep]
+        patches = adapter.expand(h)  # [n, G, C]
+        codes = patches.reshape(-1, patches.shape[-1]).T  # [C, n*G]
+    else:
+        codes = tokens[None, :]
+    return OmniPrompt(
+        token_ids=[int(t) for t in tokens] or None,
+        additional_information={"codes": codes},
+        text="" if not len(tokens) else None,
+    )
+
+
 @register("glm_image_ar2dit")
 def glm_image_ar2dit(
     output: OmniRequestOutput, from_cfg, to_cfg
