@@ -53,6 +53,10 @@ class ModelArchConfig:
     # deltas before each residual add (post_self_attn_layernorm /
     # post_mlp_layernorm)
     use_post_norms: bool = False
+    # MammothModa2 dual-expert FFN (und/gen MLP per layer, routed by
+    # token id >= gen_vocab_start; reference mammoth_moda2.py:201)
+    use_gen_mlp: bool = False
+    gen_vocab_start: int = 0
     image_token_id: int | None = None
     audio_token_id: int | None = None
 

@@ -235,6 +235,17 @@ def _hunyuan_image3(config: OmniDiffusionConfig) -> Any:
     return HunyuanImage3Pipeline(seed=config.seed, **kwargs)
 
 
+def _mammoth_moda2(config: OmniDiffusionConfig) -> Any:
+    from ht_vllm_omni_tpu.diffusion.models.mammoth_moda2 import (
+        MammothModa2DiTPipeline,
+    )
+
+    kwargs: dict[str, Any] = dict(config.family_options)
+    if "cfg_range" in kwargs:
+        kwargs["cfg_range"] = tuple(kwargs["cfg_range"])
+    return MammothModa2DiTPipeline(seed=config.seed, **kwargs)
+
+
 def _nextstep(config: OmniDiffusionConfig) -> Any:
     from ht_vllm_omni_tpu.diffusion.models.nextstep import (
         NextStep11Pipeline,
@@ -277,6 +288,7 @@ PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
     "sd3.5": _sd3,  # dual-attention layers + qk_norm come from arch
     "nextstep-1.1": _nextstep,
     "hunyuan-image-3": _hunyuan_image3,
+    "mammoth-moda2": _mammoth_moda2,
 }
 
 

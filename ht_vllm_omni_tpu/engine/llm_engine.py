@@ -349,11 +349,22 @@ class LLMEngine:
         self, req: Request, finished: bool, num_new: int
     ) -> OmniRequestOutput:
         hidden = None
+        prompt_hidden = None
         store = self._hidden.get(req.request_id)
         if store is not None and store["steps"]:
             # attach the producing hidden of every token so far — streaming
             # consumers (async-chunk talker handoff) slice their delta
             hidden = np.stack(store["steps"])
+        if (
+            store is not None
+            and store["prompt"] is not None
+            and getattr(
+                req.sampling_params, "return_prompt_hidden_states", False
+            )
+        ):
+            prompt_hidden = np.asarray(store["prompt"])[
+                : req.num_prompt_tokens
+            ]
         if finished:
             self._hidden.pop(req.request_id, None)
         text = ""
@@ -369,6 +380,7 @@ class LLMEngine:
                     text=text,
                     finish_reason=req.status.finish_reason,
                     hidden_states=hidden,
+                    prompt_hidden_states=prompt_hidden,
                 )
             ],
             finished=finished,

@@ -52,6 +52,10 @@ def config_from_hf(path: str) -> ModelArchConfig:
             "shared_expert_intermediate_size", 0
         ),
         norm_topk_prob=hf.get("norm_topk_prob", True),
+        # MammothModa2 (reference transformers_utils/configs/
+        # mammoth_moda2.py:91-135): dual und/gen FFN routed by token id
+        use_gen_mlp=mt.startswith("mammothmoda2"),
+        gen_vocab_start=hf.get("gen_vocab_start_index", 0) or 0,
     )
 
 
@@ -129,6 +133,23 @@ def load_hf_params(cfg: ModelArchConfig, path: str, dtype=None) -> dict:
             params["shared_gate"] = stack(
                 p + "mlp.shared_expert_gate.weight", True
             )
+    elif cfg.use_gen_mlp:
+        # MammothModa2 dual FFN: index 0 = mlp (und), index 1 = gen_mlp;
+        # layers shipped without gen_mlp replicate the und weights so
+        # routing is a no-op there (moe_enable layer ranges,
+        # reference mammoth_moda2.py:54)
+        for our, hfname in (
+            ("dgate", "gate_proj"), ("dup", "up_proj"),
+            ("ddown", "down_proj"),
+        ):
+            mats = []
+            for i in range(nl):
+                und = get(f"model.layers.{i}.mlp.{hfname}.weight").T
+                gen_key = f"model.layers.{i}.gen_mlp.{hfname}.weight"
+                gen = raw.get(gen_key)
+                gen = gen.T if gen is not None else und
+                mats.append(np.stack([und, gen]))
+            params[our] = jnp.asarray(np.stack(mats), dtype=dt)
     else:
         if any("mlp.gate_up_proj.weight" in k for k in raw):
             # GLM-4 ships a fused gate|up projection

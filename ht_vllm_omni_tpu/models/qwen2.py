@@ -68,6 +68,15 @@ def init_params(cfg: ModelArchConfig, key: jax.Array) -> dict:
     if cfg.use_post_norms:
         params["post_ln1"] = jnp.ones((nl, h), dt)
         params["post_ln2"] = jnp.ones((nl, h), dt)
+    if cfg.use_gen_mlp:
+        # MammothModa2 dual-expert FFN: index 0 = understanding (text),
+        # index 1 = generation (image tokens), routed by token id
+        # (reference mammoth_moda2.py:75 moe_forward + Mammoth2DecoderLayer
+        # :201 gen_mlp)
+        params["dgate"] = w(next(keys), (nl, 2, h, inter))
+        params["dup"] = w(next(keys), (nl, 2, h, inter))
+        params["ddown"] = w(next(keys), (nl, 2, inter, h))
+        params.pop("gate"), params.pop("up"), params.pop("down")
     if cfg.num_experts > 0:
         e, im = cfg.num_experts, cfg.moe_intermediate_size
         params["router"] = w(next(keys), (nl, h, e), 0.02)
@@ -93,6 +102,7 @@ _LAYER_KEYS = (
     "bq", "bk", "bv", "q_norm", "k_norm",
     "router", "egate", "eup", "edown",
     "sgate", "sup", "sdown", "shared_gate",
+    "dgate", "dup", "ddown",
 )
 
 
@@ -149,6 +159,7 @@ _FSDP_GATHER_DIM = {
     "wq": 0, "wk": 0, "wv": 0, "gate": 0, "up": 0, "sgate": 0, "sup": 0,
     "wo": 1, "down": 1, "sdown": 1,
     "egate": 1, "eup": 1, "edown": 2,
+    "dgate": 1, "dup": 1, "ddown": 2,
 }
 
 
@@ -294,6 +305,7 @@ def compute_logits(
 def _mlp(
     cfg: ModelArchConfig, lp: dict, x: jax.Array,
     ep_axis: str | None = None,
+    gen_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Dense SwiGLU or top-k MoE (qwen3-moe style), returns f32 [T, H].
 
@@ -304,6 +316,31 @@ def _mlp(
     expert partials — no extra collectives (reference EP via
     vllm_parallel_state._EP, parallel_state.py:854-864).
     """
+    if "dgate" in lp:
+        # MammothModa2 dual-expert FFN: deterministic 2-way routing by
+        # gen_mask (token id >= gen_vocab_start), over the same TPU
+        # grouped-GEMM dispatch as the top-k MoE below (reference
+        # moe_forward, mammoth_moda2.py:75 — permute/split/concat)
+        t = x.shape[0]
+        m = (
+            gen_mask.astype(jnp.int32)
+            if gen_mask is not None
+            else jnp.zeros((t,), jnp.int32)
+        )
+        order = jnp.argsort(m)  # und rows first, gen rows second
+        xs = x[order]
+        gs = jnp.bincount(m, length=2)
+        gg = jax.lax.ragged_dot(
+            xs, lp["dgate"], gs, preferred_element_type=jnp.float32
+        )
+        uu = jax.lax.ragged_dot(
+            xs, lp["dup"], gs, preferred_element_type=jnp.float32
+        )
+        act = (jax.nn.silu(gg) * uu).astype(x.dtype)
+        rows = jax.lax.ragged_dot(
+            act, lp["ddown"], gs, preferred_element_type=jnp.float32
+        )
+        return jnp.zeros((t, x.shape[-1]), jnp.float32).at[order].set(rows)
     if "router" not in lp:
         if "wgu" in lp:
             gu = _linear(lp, "wgu", x)
@@ -386,6 +423,7 @@ def prefill(
     *,
     tp_axis: str | None = None,
     fsdp_axis: str | None = None,
+    gen_mask: jax.Array | None = None,
     final_norm: bool = True,
     collect_layer_hiddens: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
@@ -434,7 +472,7 @@ def prefill(
         delta = _maybe_post_norm(cfg, lp, "post_ln1", delta)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        delta = _mlp(cfg, lp, x, ep_axis=tp_axis)
+        delta = _mlp(cfg, lp, x, ep_axis=tp_axis, gen_mask=gen_mask)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         delta = _maybe_post_norm(cfg, lp, "post_ln2", delta)
@@ -456,6 +494,7 @@ def prefill_batch(
     *,
     tp_axis: str | None = None,
     fsdp_axis: str | None = None,
+    gen_mask: jax.Array | None = None,
     final_norm: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Cross-request batched prefill: B prompts padded to one bucket run
@@ -510,14 +549,16 @@ def prefill_batch(
     return h, kv_rows
 
 
-def _mlp_batched(cfg, lp, x, ep_axis):
-    """_mlp over [B, S, H]: dense runs natively; MoE routing flattens."""
-    if "router" not in lp:
+def _mlp_batched(cfg, lp, x, ep_axis, gen_mask=None):
+    """_mlp over [B, S, H]: dense runs natively; MoE/dual routing
+    flattens."""
+    if "router" not in lp and "dgate" not in lp:
         return _mlp(cfg, lp, x, ep_axis=ep_axis)
     b, s, hdim = x.shape
-    return _mlp(cfg, lp, x.reshape(b * s, hdim), ep_axis=ep_axis).reshape(
-        b, s, hdim
-    )
+    gm = gen_mask.reshape(b * s) if gen_mask is not None else None
+    return _mlp(
+        cfg, lp, x.reshape(b * s, hdim), ep_axis=ep_axis, gen_mask=gm
+    ).reshape(b, s, hdim)
 
 
 def decode(
@@ -536,6 +577,7 @@ def decode(
     chunk_steps: int,
     tp_axis: str | None = None,
     fsdp_axis: str | None = None,
+    gen_mask: jax.Array | None = None,
     final_norm: bool = True,
     rope_delta: jax.Array | None = None,  # [S] M-RoPE decode offset
     kv_scales: tuple | None = None,  # (k_scale, v_scale) for int8 caches
@@ -584,7 +626,7 @@ def decode(
         delta = _maybe_post_norm(cfg, lp, "post_ln1", delta)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        delta = _mlp(cfg, lp, x, ep_axis=tp_axis)
+        delta = _mlp(cfg, lp, x, ep_axis=tp_axis, gen_mask=gen_mask)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         delta = _maybe_post_norm(cfg, lp, "post_ln2", delta)
@@ -622,6 +664,7 @@ def spec_verify_forward(
     rows_per_slot: int,
     tp_axis: str | None = None,
     fsdp_axis: str | None = None,
+    gen_mask: jax.Array | None = None,
     kv_scales: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """One speculative-verification forward: Q query rows per slot (the
@@ -673,7 +716,7 @@ def spec_verify_forward(
         delta = _maybe_post_norm(cfg, lp, "post_ln1", delta)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        delta = _mlp(cfg, lp, x, ep_axis=tp_axis)
+        delta = _mlp(cfg, lp, x, ep_axis=tp_axis, gen_mask=gen_mask)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         delta = _maybe_post_norm(cfg, lp, "post_ln2", delta)
@@ -707,6 +750,7 @@ def prefill_chunk(
     page_size: int,
     tp_axis: str | None = None,
     fsdp_axis: str | None = None,
+    gen_mask: jax.Array | None = None,
     kv_scales: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """One prompt chunk with paged context attention (chunked prefill).
@@ -755,7 +799,7 @@ def prefill_chunk(
         delta = _maybe_post_norm(cfg, lp, "post_ln1", delta)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        delta = _mlp(cfg, lp, x, ep_axis=tp_axis)
+        delta = _mlp(cfg, lp, x, ep_axis=tp_axis, gen_mask=gen_mask)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         delta = _maybe_post_norm(cfg, lp, "post_ln2", delta)

@@ -221,6 +221,52 @@ def mimo_audio_llm2codec(
     )
 
 
+@register("mammoth_ar2dit")
+def mammoth_ar2dit(
+    output: OmniRequestOutput, from_cfg, to_cfg
+) -> OmniPrompt:
+    """MammothModa2 AR -> DiT handoff (reference
+    stage_input_processors/mammoth_moda2.py:11 ar2dit): the DiT
+    conditions on hidden states, not tokens — text-condition rows are
+    the PROMPT positions holding plain text (not visual specials, not
+    gen-vocab), image-condition rows are the generated positions
+    holding gen-vocab tokens (the AR's t2i grid output, EOL rows
+    dropped)."""
+    import numpy as np
+
+    comp = output.outputs[0] if output.outputs else None
+    gen_ids = np.asarray(list(comp.token_ids) if comp else [], np.int64)
+    prompt_ids = np.asarray(output.prompt_token_ids or [], np.int64)
+    gen_start = int(from_cfg.engine_args.get("gen_vocab_start", 0))
+    visual_ids = np.asarray(
+        from_cfg.engine_args.get("visual_special_ids", []), np.int64
+    )
+    info: dict = {}
+
+    ph = getattr(comp, "prompt_hidden_states", None) if comp else None
+    if ph is not None and len(prompt_ids):
+        ph = np.asarray(ph, np.float32)[: len(prompt_ids)]
+        text_mask = prompt_ids[: len(ph)] < gen_start
+        if len(visual_ids):
+            text_mask &= ~np.isin(prompt_ids[: len(ph)], visual_ids)
+        info["text_prompt_embeds"] = ph[text_mask]
+
+    sh = comp.hidden_states if comp else None
+    if sh is not None and len(gen_ids) > 1:
+        sh = np.asarray(sh, np.float32)
+        # hidden AT generated position i (holding gen_ids[i]) is the
+        # producing hidden of token i+1; the last token has none
+        n = min(len(gen_ids) - 1, len(sh) - 1)
+        pos_h = sh[1 : n + 1]
+        keep = gen_ids[:n] >= gen_start
+        info["image_prompt_embeds"] = pos_h[keep]
+
+    return OmniPrompt(
+        text=getattr(output, "prompt_text", None) or "",
+        additional_information=info,
+    )
+
+
 @register("glm_image_ar2dit")
 def glm_image_ar2dit(
     output: OmniRequestOutput, from_cfg, to_cfg

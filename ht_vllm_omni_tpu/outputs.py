@@ -27,6 +27,11 @@ class CompletionOutput:
     # Optional per-request hidden states captured at sampled positions
     # ([num_tokens, hidden]); forwarded to downstream stages.
     hidden_states: np.ndarray | None = None
+    # Optional hidden states at the PROMPT positions ([prompt_len,
+    # hidden]; SamplingParams.return_prompt_hidden_states) — the
+    # MammothModa2 AR->DiT edge needs text-condition hiddens from the
+    # prompt (reference stage_input_processors/mammoth_moda2.py:46).
+    prompt_hidden_states: np.ndarray | None = None
     cumulative_logprob: float | None = None
 
     @property

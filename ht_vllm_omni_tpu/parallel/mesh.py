@@ -100,6 +100,11 @@ def param_pspecs(
         "sup": P(ppx, dpx, TP_AXIS),
         "sdown": P(ppx, TP_AXIS, dpx),
         "shared_gate": P(ppx),
+        # MammothModa2 dual und/gen FFN: both experts column/row-parallel
+        # like a dense Megatron MLP (deterministic 2-way routing)
+        "dgate": P(ppx, None, dpx, TP_AXIS),
+        "dup": P(ppx, None, dpx, TP_AXIS),
+        "ddown": P(ppx, None, TP_AXIS, dpx),
     }
     # quantized leaves follow their base weight's layout; group/channel
     # scales live on whichever dim survives: col-parallel weights shard

@@ -32,12 +32,22 @@ class SamplingParams:
     # layers forwarded downstream (reference engine_output_type="latent",
     # vllm_omni/engine/arg_utils.py).
     return_hidden_states: bool = False
+    # Also attach the hidden states at PROMPT positions to the final
+    # output (MammothModa2 text-condition export; requires
+    # return_hidden_states and a non-chunked prefill).
+    return_prompt_hidden_states: bool = False
     logprobs: int | None = None
     # Constrain sampling to token ids in [lo, hi) (plus stop tokens) —
     # the reference's constant semantic logit mask for codec-token
     # stages (fish_speech_slow_ar.py:_semantic_allowed_mask).  None or
     # hi <= lo disables the window.
     allowed_token_range: tuple[int, int] | None = None
+    # MammothModa2 t2i AR-grid constraint (reference mammoth_moda2.py:589
+    # _apply_t2i_token_constraints): every (grid_row_width+1)-th emitted
+    # token is forced to grid_eol_token_id; intra-row tokens obey
+    # allowed_token_range with the EOL token forbidden.  0 disables.
+    grid_row_width: int = 0
+    grid_eol_token_id: int = -1
     # Free-form per-request payload forwarded between stages (first-class
     # version of the reference's additional_information plumbing).
     extra_args: dict[str, Any] = dataclasses.field(default_factory=dict)

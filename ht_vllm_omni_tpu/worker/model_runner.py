@@ -65,13 +65,17 @@ _NO_TOKEN = -1
 
 
 def _allow_vec(sp) -> "np.ndarray":
-    """[2 + MAX_STOP] int32: allowed window lo/hi + stop ids (-2 pad)."""
-    v = np.full(2 + MAX_STOP_TOKENS, -2, np.int32)
+    """[4 + MAX_STOP] int32: allowed window lo/hi, grid row width +
+    end-of-line token (MammothModa2 t2i constraint — 0 width = off),
+    then stop ids (-2 pad)."""
+    v = np.full(4 + MAX_STOP_TOKENS, -2, np.int32)
     rng = getattr(sp, "allowed_token_range", None) or (0, 0)
     v[0], v[1] = int(rng[0]), int(rng[1])
+    v[2] = int(getattr(sp, "grid_row_width", 0) or 0)
+    v[3] = int(getattr(sp, "grid_eol_token_id", -1) or -1)
     stops = (sp.stop_token_ids or [])[:MAX_STOP_TOKENS]
     if not sp.ignore_eos:
-        v[2 : 2 + len(stops)] = stops
+        v[4 : 4 + len(stops)] = stops
     return v
 
 
@@ -170,6 +174,8 @@ class SpecDecodeMixin:
         int_state[self._ROW_TOP_K] = self.h_top_k
         int_state[self._ROW_ALLOW_LO] = self.h_allow_lo
         int_state[self._ROW_ALLOW_HI] = self.h_allow_hi
+        int_state[self._ROW_GRID_W] = self.h_grid_w
+        int_state[self._ROW_GRID_EOL] = self.h_grid_eol
         int_state[self._ROW_STOPS :] = self.h_stops.T
         (
             self.kv_cache,
@@ -257,9 +263,14 @@ class SpecDecodeMixin:
             pos_rows = (
                 pos[:, None] + jnp.arange(q, dtype=jnp.int32)[None]
             ).reshape(-1)
+            spec_gen_mask = (
+                (jnp.maximum(q_tokens, 0) >= cfg.gen_vocab_start)
+                .reshape(s * q)
+                if cfg.use_gen_mlp else None
+            )
             hidden, fresh_buf = qwen2.spec_verify_forward(
                 cfg, params, kv_cache, fresh_buf, x, pos_rows, cnt,
-                block_tables, seq_lens0,
+                block_tables, seq_lens0, gen_mask=spec_gen_mask,
                 page_size=page_size, q_per_seq=q,
                 rows_per_slot=rows_per_slot, kv_scales=kv_scales,
             )
@@ -563,6 +574,8 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_top_p = np.ones(s, np.float32)
         self.h_allow_lo = np.zeros(s, np.int32)  # [lo, hi) sampling window
         self.h_allow_hi = np.zeros(s, np.int32)  # hi <= lo => full vocab
+        self.h_grid_w = np.zeros(s, np.int32)  # t2i grid row width
+        self.h_grid_eol = np.full(s, -1, np.int32)  # t2i grid EOL token
 
         self._free_slots = list(range(s - 1, -1, -1))
         self._slot_of: dict[str, int] = {}
@@ -653,9 +666,14 @@ class ARModelRunner(SpecDecodeMixin):
             )
         else:
             x = qwen2.embed_tokens(params, token_ids)
+        gen_mask = None
+        if cfg.use_gen_mlp:
+            ids = token_ids[0] if use_embeds == "overlay" else token_ids
+            if ids.ndim == 1:
+                gen_mask = ids >= cfg.gen_vocab_start
         hidden, kv_rows = qwen2.prefill(
             cfg, params, x, positions, prompt_len, tp_axis=tp_axis,
-            fsdp_axis=fsdp_axis,
+            fsdp_axis=fsdp_axis, gen_mask=gen_mask,
         )
         if dp_axis is not None:
             # every dp shard computes the (replicated) forward; only the
@@ -676,8 +694,12 @@ class ARModelRunner(SpecDecodeMixin):
         new_key, step_key = jax.random.split(slot_key)
         if adapter is None:
             logits = qwen2.compute_logits(cfg, params, last)
-            logits = ARModelRunner._window_logits(
-                logits, allow[0:1], allow[1:2], allow[None, 2:]
+            win = ARModelRunner._window_logits(
+                logits, allow[0:1], allow[1:2], allow[None, 4:]
+            )
+            logits = ARModelRunner._grid_logits(
+                logits, win, jnp.reshape(emitted_before, (1,)),
+                allow[2:3], allow[3:4],
             )
             token = sample_tokens(
                 logits,
@@ -914,6 +936,10 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_top_p[slot] = sp.top_p
         rng = getattr(sp, "allowed_token_range", None) or (0, 0)
         self.h_allow_lo[slot], self.h_allow_hi[slot] = rng
+        self.h_grid_w[slot] = int(getattr(sp, "grid_row_width", 0) or 0)
+        self.h_grid_eol[slot] = int(
+            getattr(sp, "grid_eol_token_id", -1) or -1
+        )
         return hidden
 
     @staticmethod
@@ -937,8 +963,11 @@ class ARModelRunner(SpecDecodeMixin):
         allow,  # [B, 2 + MAX_STOP] int32
     ):
         x = qwen2.embed_tokens(params, token_ids)
+        gen_mask = (
+            token_ids >= cfg.gen_vocab_start if cfg.use_gen_mlp else None
+        )
         hidden, kv_rows = qwen2.prefill_batch(
-            cfg, params, x, positions, lengths,
+            cfg, params, x, positions, lengths, gen_mask=gen_mask,
         )
         ksc, vsc = kv_scales if kv_scales is not None else (1.0, 1.0)
         nl = kv_rows.shape[0]
@@ -953,8 +982,11 @@ class ARModelRunner(SpecDecodeMixin):
             hidden, (lengths - 1)[:, None, None], axis=1
         )[:, 0]
         logits = qwen2.compute_logits(cfg, params, last)
-        logits = ARModelRunner._window_logits(
-            logits, allow[:, 0], allow[:, 1], allow[:, 2:]
+        win = ARModelRunner._window_logits(
+            logits, allow[:, 0], allow[:, 1], allow[:, 4:]
+        )
+        logits = ARModelRunner._grid_logits(
+            logits, win, num_out, allow[:, 2], allow[:, 3]
         )
         slot_keys = keys[slots]
         splits = jax.vmap(lambda k: jax.random.split(k, 2))(slot_keys)
@@ -1042,6 +1074,12 @@ class ARModelRunner(SpecDecodeMixin):
             self.h_top_p[slot] = sp.top_p
             rng = getattr(sp, "allowed_token_range", None) or (0, 0)
             self.h_allow_lo[slot], self.h_allow_hi[slot] = rng
+            self.h_grid_w[slot] = int(
+                getattr(sp, "grid_row_width", 0) or 0
+            )
+            self.h_grid_eol[slot] = int(
+                getattr(sp, "grid_eol_token_id", -1) or -1
+            )
 
     def _local_pages(self, slot: int, page_ids) -> np.ndarray:
         """Translate a request's global page ids to its dp shard's local
@@ -1092,12 +1130,17 @@ class ARModelRunner(SpecDecodeMixin):
     ):
         if token_ids.ndim == 2:
             x = token_ids.astype(params["embed"].dtype)
+            gen_mask = None
         else:
             x = qwen2.embed_tokens(params, token_ids)
+            gen_mask = (
+                token_ids >= cfg.gen_vocab_start
+                if cfg.use_gen_mlp else None
+            )
         hidden, kv_rows = qwen2.prefill_chunk(
             cfg, params, kv_cache, x, positions, ctx_len, page_table,
             valid_len, page_size=page_size, tp_axis=tp_axis,
-            kv_scales=kv_scales,
+            kv_scales=kv_scales, gen_mask=gen_mask,
         )
         ksc, vsc = kv_scales if kv_scales is not None else (1.0, 1.0)
         kv_cache = flush_kv_rows(
@@ -1112,8 +1155,12 @@ class ARModelRunner(SpecDecodeMixin):
         new_key, step_key = jax.random.split(slot_key)
         if adapter is None:
             logits = qwen2.compute_logits(cfg, params, last)
-            logits = ARModelRunner._window_logits(
-                logits, allow[0:1], allow[1:2], allow[None, 2:]
+            win = ARModelRunner._window_logits(
+                logits, allow[0:1], allow[1:2], allow[None, 4:]
+            )
+            logits = ARModelRunner._grid_logits(
+                logits, win, jnp.zeros((1,), jnp.int32),
+                allow[2:3], allow[3:4],
             )
             token = sample_tokens(
                 logits,
@@ -1228,6 +1275,12 @@ class ARModelRunner(SpecDecodeMixin):
             self.h_top_p[slot] = sp.top_p
             rng = getattr(sp, "allowed_token_range", None) or (0, 0)
             self.h_allow_lo[slot], self.h_allow_hi[slot] = rng
+            self.h_grid_w[slot] = int(
+                getattr(sp, "grid_row_width", 0) or 0
+            )
+            self.h_grid_eol[slot] = int(
+                getattr(sp, "grid_eol_token_id", -1) or -1
+            )
         return hidden
 
     def inject_kv(self, request, kv_rows) -> None:
@@ -1283,6 +1336,10 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_top_p[slot] = sp.top_p
         rng = getattr(sp, "allowed_token_range", None) or (0, 0)
         self.h_allow_lo[slot], self.h_allow_hi[slot] = rng
+        self.h_grid_w[slot] = int(getattr(sp, "grid_row_width", 0) or 0)
+        self.h_grid_eol[slot] = int(
+            getattr(sp, "grid_eol_token_id", -1) or -1
+        )
 
     # ----------------------------------------------------------- decode
     # int_state row indices (host mirrors packed into ONE h2d transfer —
@@ -1298,8 +1355,10 @@ class ARModelRunner(SpecDecodeMixin):
     _ROW_TOP_K = 7
     _ROW_ALLOW_LO = 8
     _ROW_ALLOW_HI = 9  # hi <= lo disables the window (full vocab)
-    _ROW_STOPS = 10  # .. _ROW_STOPS + MAX_STOP_TOKENS
-    _NUM_INT_ROWS = 10 + MAX_STOP_TOKENS
+    _ROW_GRID_W = 10  # t2i AR-grid row width (0 = off)
+    _ROW_GRID_EOL = 11  # forced end-of-line token at column grid_w
+    _ROW_STOPS = 12  # .. _ROW_STOPS + MAX_STOP_TOKENS
+    _NUM_INT_ROWS = 12 + MAX_STOP_TOKENS
 
     @staticmethod
     def _window_logits(logits, allow_lo, allow_hi, stops):
@@ -1314,6 +1373,26 @@ class ARModelRunner(SpecDecodeMixin):
             ok = ok | (idx[:, None, :] == stops[:, :, None]).any(axis=1)
         ok = ok | jnp.logical_not(on)[:, None]
         return jnp.where(ok, logits, jnp.float32(-1e30))
+
+    @staticmethod
+    def _grid_logits(raw, windowed, emitted, grid_w, grid_eol):
+        """MammothModa2 t2i AR-grid constraint (reference
+        mammoth_moda2.py:589 _apply_t2i_token_constraints): rows of
+        ``grid_w`` tokens end in a forced end-of-line token.  At column
+        grid_w only the EOL token survives (from the RAW logits — the
+        vocab window excludes it); intra-row the windowed logits apply
+        with EOL forbidden.  grid_w == 0 disables."""
+        v = raw.shape[-1]
+        idx = jnp.arange(v, dtype=jnp.int32)[None]
+        on = grid_w > 0
+        col = emitted % jnp.maximum(grid_w + 1, 1)
+        at_eol = on & (col == grid_w)
+        is_eol = idx == grid_eol[:, None]
+        eol_only = jnp.where(is_eol, raw, jnp.float32(-1e30))
+        intra = jnp.where(
+            on[:, None] & is_eol, jnp.float32(-1e30), windowed
+        )
+        return jnp.where(at_eol[:, None], eol_only, intra)
 
     @staticmethod
     def _decode_program(
@@ -1341,6 +1420,8 @@ class ARModelRunner(SpecDecodeMixin):
         emitted = int_state[R._ROW_EMITTED]
         limit = int_state[R._ROW_LIMIT]
         min_tokens = int_state[R._ROW_MIN_TOKENS]
+        grid_w = int_state[R._ROW_GRID_W]
+        grid_eol = int_state[R._ROW_GRID_EOL]
         rope_delta = int_state[R._ROW_ROPE_DELTA]
         top_k = int_state[R._ROW_TOP_K]
         allow_lo = int_state[R._ROW_ALLOW_LO]
@@ -1379,19 +1460,26 @@ class ARModelRunner(SpecDecodeMixin):
                 x = qwen2.embed_tokens(params, jnp.maximum(tokens, 0))
             else:
                 x = adapter.embed(params, jnp.maximum(tokens, 0), aux)
+            gen_mask = (
+                jnp.maximum(tokens, 0) >= cfg.gen_vocab_start
+                if cfg.use_gen_mlp else None
+            )
             hidden, fresh_buf = qwen2.decode(
                 cfg, params, kv_cache, fresh_buf, x, pos, j, written,
                 block_tables, seq_lens0,
                 page_size=page_size, chunk_steps=num_steps,
                 tp_axis=tp_axis, fsdp_axis=fsdp_axis,
                 rope_delta=rope_delta,
-                kv_scales=kv_scales,
+                kv_scales=kv_scales, gen_mask=gen_mask,
             )
             keys, step_keys = _split_keys(keys)
             if adapter is None:
                 logits = qwen2.compute_logits(cfg, params, hidden)
-                logits = R._window_logits(
+                win = R._window_logits(
                     logits, allow_lo, allow_hi, stops
+                )
+                logits = R._grid_logits(
+                    logits, win, emit, grid_w, grid_eol
                 )
                 sampled = sample_tokens(logits, st, step_keys)
             else:
@@ -1575,6 +1663,8 @@ class ARModelRunner(SpecDecodeMixin):
         int_state[self._ROW_TOP_K] = self.h_top_k
         int_state[self._ROW_ALLOW_LO] = self.h_allow_lo
         int_state[self._ROW_ALLOW_HI] = self.h_allow_hi
+        int_state[self._ROW_GRID_W] = self.h_grid_w
+        int_state[self._ROW_GRID_EOL] = self.h_grid_eol
         int_state[self._ROW_STOPS :] = self.h_stops.T
         f32_state = np.stack([self.h_temp, self.h_top_p])
         res = fn(

@@ -349,8 +349,8 @@ def prefill_program_pp(
     from ht_vllm_omni_tpu.worker.model_runner import ARModelRunner
 
     logits = ARModelRunner._window_logits(
-        logits, allow[0:1], allow[1:2], allow[None, 2:]
-    )
+        logits, allow[0:1], allow[1:2], allow[None, 4:]
+    )  # grid constraint (allow[2:4]) is single-mesh-only, like adapters
     slot_key = keys[slot]
     new_key, step_key = jax.random.split(slot_key)
     token = sample_tokens(
