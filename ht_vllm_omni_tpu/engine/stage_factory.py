@@ -236,6 +236,63 @@ def _build_mimo_audio_code2wav(cfg: StageConfig, model_path: str | None):
 _GENERATION_BUILDERS["mimo_audio_code2wav"] = _build_mimo_audio_code2wav
 
 
+def _build_qwen3_tts_code2wav_25hz(cfg: StageConfig, model_path):
+    """Qwen3-TTS 25 Hz tokenizer decoder stage (v1: DiT flow + BigVGAN;
+    models/qwen3_tts/tokenizer_decoders.py)."""
+    from ht_vllm_omni_tpu.engine.generation_engine import GenerationEngine
+    from ht_vllm_omni_tpu.models.qwen3_tts.tokenizer_decoders import (
+        Qwen3TTSTokenizer25HzDecoder,
+        v1_bigvgan_config,
+        v1_dit_config,
+    )
+
+    spec = dict(cfg.engine_args.get("tokenizer_25hz", {}))
+    model = Qwen3TTSTokenizer25HzDecoder(
+        dit_cfg=v1_dit_config(**spec.get("dit", {})),
+        bigvgan_cfg=v1_bigvgan_config(**spec.get("bigvgan", {})),
+        seed=cfg.engine_args.get("seed", 0),
+        num_steps=spec.get("num_steps", 10),
+        guidance_scale=spec.get("guidance_scale", 0.5),
+    )
+    cfg.runtime["code2wav_model"] = model
+    return GenerationEngine(
+        model, max_batch_size=cfg.engine_args.get("max_num_seqs", 1)
+    )
+
+
+_GENERATION_BUILDERS["qwen3_tts_code2wav_25hz"] = (
+    _build_qwen3_tts_code2wav_25hz
+)
+
+
+def _build_qwen3_tts_code2wav_12hz(cfg: StageConfig, model_path):
+    """Qwen3-TTS 12.5 Hz tokenizer decoder stage (v2: causal
+    pre-transformer + ConvNeXt + SnakeBeta decoder)."""
+    from ht_vllm_omni_tpu.engine.generation_engine import GenerationEngine
+    from ht_vllm_omni_tpu.models.qwen3_omni.code2wav import Code2WavConfig
+    from ht_vllm_omni_tpu.models.qwen3_tts.tokenizer_decoders import (
+        Qwen3TTSTokenizer12HzDecoder,
+    )
+
+    spec = dict(cfg.engine_args.get("tokenizer_12hz", {}))
+    for tkey in ("upsampling_ratios", "upsample_rates"):
+        if tkey in spec:
+            spec[tkey] = tuple(spec[tkey])
+    model = Qwen3TTSTokenizer12HzDecoder(
+        cfg=Code2WavConfig(**spec),
+        seed=cfg.engine_args.get("seed", 0),
+    )
+    cfg.runtime["code2wav_model"] = model
+    return GenerationEngine(
+        model, max_batch_size=cfg.engine_args.get("max_num_seqs", 1)
+    )
+
+
+_GENERATION_BUILDERS["qwen3_tts_code2wav_12hz"] = (
+    _build_qwen3_tts_code2wav_12hz
+)
+
+
 def _build_qwen2_5_omni_token2wav(cfg: StageConfig, model_path: str | None):
     """Qwen2.5-Omni DiT + BigVGAN stage
     (models/qwen2_5_omni/token2wav_model.py)."""

@@ -363,9 +363,13 @@ def sample(
     num_steps: int = 10,
     guidance_scale: float = 0.5,
     sway_coefficient: float = -1.0,
+    solver: str = "rk4",
 ) -> jax.Array:
     """Block-wise flow sample -> mel [1, T_mel, mel_dim] (reference
-    fast_block_sample + RungeKutta4ODESolver)."""
+    fast_block_sample + RungeKutta4ODESolver; the Qwen3-TTS 25 Hz
+    tokenizer reuses this DiT with a plain Euler ODE —
+    solver="euler", reference tokenizer_25hz/
+    modeling_qwen3_tts_tokenizer_v1.py:1219-1229)."""
     T = y0.shape[1]
     code_embed = jnp.repeat(
         p["codec_embed"][jnp.clip(codes, 0, cfg.num_embeds)],
@@ -404,5 +408,10 @@ def sample(
         k4 = velocity(t1, y + dt * (k1 - k2 + k3))
         return y + (k1 + 3 * (k2 + k3) + k4) * dt / 8, None
 
-    y, _ = jax.lax.scan(rk38, y0, jnp.arange(num_steps - 1))
+    def euler(y, i):
+        t0, t1 = ts[i], ts[i + 1]
+        return y + (t1 - t0) * velocity(t0, y), None
+
+    step = rk38 if solver == "rk4" else euler
+    y, _ = jax.lax.scan(step, y0, jnp.arange(num_steps - 1))
     return y
