@@ -72,7 +72,17 @@ def _read_all_tensors(path: str) -> dict[str, np.ndarray]:
 
 
 def load_hf_params(cfg: ModelArchConfig, path: str, dtype=None) -> dict:
-    """Load a HF Qwen2/Qwen3-style checkpoint directory."""
+    """Load a HF Qwen2/Qwen3-style checkpoint directory (or a .gguf
+    file / directory containing one — quantization/gguf.py)."""
+    if path.endswith(".gguf"):
+        from ht_vllm_omni_tpu.quantization.gguf import load_gguf_params
+
+        return load_gguf_params(cfg, path, dtype)
+    ggufs = sorted(glob.glob(os.path.join(path, "*.gguf")))
+    if ggufs and not glob.glob(os.path.join(path, "*.safetensors")):
+        from ht_vllm_omni_tpu.quantization.gguf import load_gguf_params
+
+        return load_gguf_params(cfg, ggufs[0], dtype)
     dt = jnp.dtype(dtype or cfg.dtype)
     raw = _read_all_tensors(path)
     nl = cfg.num_hidden_layers
