@@ -105,6 +105,7 @@ class DiffusionEngine:
             return []
         req = self.waiting[0]
         p = req.prompt
+        t_begin = time.time()
         try:
             if hasattr(self.pipeline, "generate_prompt"):
                 # text-native pipelines (real families run their own
@@ -154,4 +155,13 @@ class DiffusionEngine:
                 key = "video" if getattr(image, "ndim", 3) == 4 else "image"
                 out.multimodal_output[key] = image
         out.metrics["denoise_step"] = req.state.get("step", 0)
+        # per-pipeline-stage durations (reference
+        # diffusion_pipeline_profiler.py stage_durations in outputs)
+        durs = req.state.setdefault("_durations", [])
+        durs.append(time.time() - t_begin)
+        out.metrics["stage_durations"] = {
+            "denoise_s": round(sum(durs), 4),
+            "calls": len(durs),
+            "queue_s": round(t_begin - req.arrival, 4),
+        }
         return [out]
