@@ -197,6 +197,14 @@ def _linear(lp: dict, name: str, x: jax.Array) -> jax.Array:
 
 
 def _linear_base(lp: dict, name: str, x: jax.Array) -> jax.Array:
+    if x.ndim > 2 and any(
+        name + suf in lp for suf in (":q8", ":q4", ":f8", ":q4z")
+    ):
+        # quantized Pallas matmuls are 2-D; flatten batched prefill's
+        # [B, S, H] rows and restore
+        lead = x.shape[:-1]
+        y = _linear_base(lp, name, x.reshape(-1, x.shape[-1]))
+        return y.reshape(*lead, y.shape[-1])
     if name + ":q8" in lp:
         from ht_vllm_omni_tpu.ops.quant_matmul import matmul_int8
 

@@ -22,10 +22,18 @@ def _mats(m, k, n, seed=0):
 def test_int8_matmul_close_to_fp(m, k, n):
     x, w = _mats(m, k, n)
     w_q, s = quantize_int8(w)
-    got = matmul_int8(x, w_q, s, block_m=128, block_n=256, block_k=256)
+    got = matmul_int8(x, w_q, s)
     want = x @ w
     rel = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert rel < 0.02, rel  # int8 + bf16-MXU rounding
+    # the hand-tiled Pallas variant stays numerically equivalent
+    from ht_vllm_omni_tpu.ops.quant_matmul import matmul_int8_pallas
+
+    got_pl = matmul_int8_pallas(
+        x, w_q, s, block_m=128, block_n=256, block_k=256
+    )
+    rel_pl = np.linalg.norm(got_pl - want) / np.linalg.norm(want)
+    assert rel_pl < 0.02, rel_pl
 
 
 def test_int8_quantize_roundtrip():
