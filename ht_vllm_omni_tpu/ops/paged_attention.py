@@ -651,6 +651,67 @@ def paged_attention_fresh(
     return out[:, :, :group, :].reshape(batch, q_heads, head_dim)
 
 
+def paged_attention_fresh_dense(
+    q: jax.Array,  # [B, QH, D]
+    kv_cache: jax.Array,  # [L, NSLOTS, >=2F]
+    layer: jax.Array,  # scalar int32
+    fresh: jax.Array,  # [B, K, 2f]
+    fresh_limits: jax.Array,  # [B] or scalar: fresh-row visibility
+    block_tables: jax.Array,  # [B, P]
+    seq_lens: jax.Array,  # [B]
+    *,
+    page_size: int,
+    kv_heads: int,
+    sm_scale: float | None = None,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+) -> jax.Array:
+    """XLA gather-then-attend twin of paged_attention_fresh — a full
+    reference for the fused kernel's semantics (paged + in-chunk fresh
+    rows under one softmax), used by unit tests.  NOT a serving path:
+    measured ~2x slower than the kernel even at 4-page envelopes (XLA's
+    row gather materializes the context)."""
+    batch, q_heads, head_dim = q.shape
+    f = kv_heads * head_dim
+    ctx = block_tables.shape[1] * page_size
+    n_fresh = fresh.shape[1]
+    group = q_heads // kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+    kv = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0, keepdims=False)
+    rows = (
+        block_tables.astype(jnp.int32)[:, :, None] * page_size
+        + jnp.arange(page_size, dtype=jnp.int32)[None, None]
+    ).reshape(batch, ctx)
+    paged = jnp.take(kv, rows, axis=0)  # [B, ctx, two_f]
+    kp = paged[..., :f].astype(jnp.float32) * k_scale
+    vp = paged[..., f : 2 * f].astype(jnp.float32) * v_scale
+    kf = fresh[..., :f].astype(jnp.float32)
+    vf = fresh[..., f:].astype(jnp.float32)
+    k_all = jnp.concatenate([kp, kf], 1).reshape(
+        batch, ctx + n_fresh, kv_heads, head_dim
+    )
+    v_all = jnp.concatenate([vp, vf], 1).reshape(
+        batch, ctx + n_fresh, kv_heads, head_dim
+    )
+    lim = jnp.broadcast_to(
+        jnp.asarray(fresh_limits, jnp.int32), (batch,)
+    )
+    valid = jnp.concatenate(
+        [
+            jnp.arange(ctx)[None] < seq_lens[:, None],
+            jnp.arange(n_fresh)[None] <= lim[:, None],
+        ],
+        axis=1,
+    )  # [B, ctx + K]
+    qg = q.reshape(batch, kv_heads, group, head_dim).astype(jnp.float32)
+    scores = jnp.einsum("bhgd,bshd->bhgs", qg, k_all) * sm_scale
+    scores = jnp.where(valid[:, None, None], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgs,bshd->bhgd", probs, v_all)
+    return out.reshape(batch, q_heads, head_dim).astype(q.dtype)
+
+
 def paged_attention_fused(
     q: jax.Array,
     kv_cache: jax.Array,

@@ -96,3 +96,46 @@ def test_paged_attention_after_write():
     p = jax.nn.softmax(s, axis=-1)
     ref = jnp.einsum("hs,hsd->hd", p, vd)[None]
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_fresh_kernel_matches_dense_reference():
+    """The fused paged+fresh decode kernel == the XLA gather-then-attend
+    twin (ops/paged_attention.paged_attention_fresh_dense) including
+    fresh-row visibility limits and per-sequence live lengths."""
+    import jax
+    import jax.numpy as jnp
+
+    from ht_vllm_omni_tpu.ops.paged_attention import (
+        paged_attention_fresh,
+        paged_attention_fresh_dense,
+    )
+
+    s, k_steps = 4, 8
+    nq, nkv, d = 8, 2, 64
+    f = nkv * d
+    page_size = 16
+    rng = jax.random.PRNGKey(0)
+    kv_cache = jax.random.normal(rng, (2, 64 * page_size, 2 * f),
+                                 jnp.float32) * 0.3
+    fresh = jax.random.normal(
+        jax.random.fold_in(rng, 1), (s, k_steps, 2 * f), jnp.float32
+    ) * 0.3
+    q = jax.random.normal(jax.random.fold_in(rng, 2), (s, nq, d),
+                          jnp.float32)
+    tables = jnp.asarray(
+        np.random.default_rng(0).integers(0, 64, size=(s, 3)), jnp.int32
+    )
+    lens = jnp.asarray([5, 33, 0, 48], jnp.int32)
+    step = jnp.int32(3)
+
+    a = paged_attention_fresh(
+        q, kv_cache, jnp.int32(1), fresh, step, tables, lens,
+        page_size=page_size, kv_heads=nkv,
+    )
+    b = paged_attention_fresh_dense(
+        q, kv_cache, jnp.int32(1), fresh, step, tables, lens,
+        page_size=page_size, kv_heads=nkv,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2
+    )
