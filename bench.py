@@ -119,6 +119,28 @@ def main() -> None:
         serve = tts_serving_metrics()
     except Exception as e:  # serving metrics are best-effort extras
         serve = {"tts_error": str(e)[:120]}
+    try:
+        import dataclasses
+
+        eng8 = LLMEngine(
+            EngineConfig(
+                model=dataclasses.replace(cfg, quantization="int8"),
+                cache=CacheConfig(page_size=128, num_pages=1024),
+                scheduler=SchedulerConfig(
+                    max_num_seqs=batch, max_model_len=2048
+                ),
+            ),
+            decode_horizon=256,
+        )
+        eng8.generate(prompts, sp)  # warm
+        t0 = time.time()
+        outs8 = eng8.generate(prompts, sp)
+        dt8 = time.time() - t0
+        serve["int8_toks_per_s"] = round(
+            sum(len(o.outputs[0].token_ids) for o in outs8) / dt8, 1
+        )
+    except Exception as e:
+        serve["int8_error"] = str(e)[:120]
     print(
         json.dumps(
             {
