@@ -41,7 +41,8 @@ def quantize_int4(
 ) -> tuple[jax.Array, jax.Array]:
     """w [K, N] -> (packed uint8 [K/2, N], scales f32 [K/group, N]).
 
-    Values in [-8, 7]; rows 2k and 2k+1 share byte (low/high nibble).
+    Values in [-8, 7]; within each group, byte row r packs rows r
+    (low nibble) and r + group/2 (high nibble) so dequant is a concat.
     """
     k, n = w.shape
     assert k % group_size == 0 and k % 2 == 0
@@ -50,11 +51,15 @@ def quantize_int4(
     scales = jnp.where(amax == 0, 1.0, amax / 7.0)
     q = jnp.clip(
         jnp.round(wf / scales[:, None, :]), -8, 7
-    ).astype(jnp.int32).reshape(k, n)
-    u = (q + 8).astype(jnp.uint8)  # [0, 15]
-    lo = u[0::2]
-    hi = u[1::2]
-    packed = (lo | (hi << 4)).astype(jnp.uint8)  # [K/2, N]
+    ).astype(jnp.int32)
+    u = (q + 8).astype(jnp.uint8)  # [G, gs, N] in [0, 15]
+    # per-group HALF-SPLIT packing: byte row r of group g holds
+    # (row r, row r + gs/2) — the kernel unpacks with one sublane
+    # concat instead of a row interleave (a large VPU shuffle)
+    half = group_size // 2
+    lo = u[:, :half]
+    hi = u[:, half:]
+    packed = (lo | (hi << 4)).reshape(k // 2, n).astype(jnp.uint8)
     return packed, scales
 
 
@@ -116,9 +121,12 @@ def quantize_awq_int4(
     zeros = jnp.clip(jnp.round(-wmin / scales), 0, 15)
     q = jnp.clip(
         jnp.round(wf / scales[:, None, :]) + zeros[:, None, :], 0, 15
-    ).astype(jnp.int32).reshape(k, n)
-    u = q.astype(jnp.uint8)
-    packed = (u[0::2] | (u[1::2] << 4)).astype(jnp.uint8)
+    ).astype(jnp.int32)
+    u = q.astype(jnp.uint8)  # [G, gs, N]
+    half = group_size // 2
+    packed = (
+        u[:, :half] | (u[:, half:] << 4)
+    ).reshape(k // 2, n).astype(jnp.uint8)
     return packed, scales, zeros
 
 
@@ -151,7 +159,13 @@ def unpack_awq_checkpoint(
 
     wq = unpack(qweight)  # [K, N] values 0..15
     z = unpack(qzeros).astype(np.float32)  # [K/G, N]
-    packed = (wq[0::2] | (wq[1::2] << 4)).astype(np.uint8)
+    k = wq.shape[0]
+    group = k // z.shape[0]
+    half = group // 2
+    wg = wq.reshape(k // group, group, -1)
+    packed = (
+        wg[:, :half] | (wg[:, half:] << 4)
+    ).reshape(k // 2, -1).astype(np.uint8)
     return packed, np.asarray(scales, np.float32), z
 
 
@@ -256,6 +270,16 @@ def _int4_kernel(
     group_size: int,
     block_k: int,
 ):
+    """One K block == one quant group (the wrapper pins
+    block_k = group_size), which buys two structural wins over the naive
+    dequant-then-dot:
+
+    - scales apply to the PARTIAL DOT OUTPUT ([BM, BN]) instead of
+      elementwise on the [BK, BN] weight block — for decode (BM ~ 8)
+      that is a ~group_size/BM reduction in VPU multiply work, and the
+      unpacked ints go to the MXU as bf16 with no scaled-f32 round trip.
+    """
+    del group_size
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -264,23 +288,14 @@ def _int4_kernel(
 
     # unpack in int32: Mosaic has no uint8 vector shift (arith.shrui)
     packed = w_ref[...].astype(jnp.int32)
-    lo = (packed & 0xF) - 8  # rows 0,2,4,... of the block
-    hi = ((packed >> 4) & 0xF) - 8  # rows 1,3,5,...
-    bk2, bn = packed.shape
-    # interleave back to [BK, BN]: stack on a new minor-of-sublane axis
-    w = jnp.stack(
-        [lo, hi], axis=1
-    ).reshape(block_k, bn).astype(jnp.float32)
-    # apply this block's group scales (static rows of the band)
-    groups = block_k // group_size
-    s_blk = s_ref[:groups, :]
-    w = w.reshape(groups, group_size, bn) * s_blk.reshape(groups, 1, bn)
-    # bf16 operands keep the MXU at full rate (f32 accumulate below)
-    w = w.reshape(block_k, bn).astype(jnp.bfloat16)
-    x = x_ref[...].astype(jnp.bfloat16)
-    acc_ref[...] += jax.lax.dot_general(
-        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    lo = (packed & 0xF) - 8  # group rows [0, gs/2)
+    hi = ((packed >> 4) & 0xF) - 8  # group rows [gs/2, gs)
+    w = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)
+    part = jax.lax.dot_general(
+        x_ref[...].astype(jnp.bfloat16), w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
+    acc_ref[...] += part * s_ref[0, :]
 
     @pl.when(ki == pl.num_programs(2) - 1)
     def _():
@@ -298,8 +313,13 @@ def _int4_zp_kernel(
     group_size: int,
     block_k: int,
 ):
-    """AWQ-style asymmetric int4: dequant = (q - zero) * scale, all in
-    VMEM right before the MXU dot (same tiling as _int4_kernel)."""
+    """AWQ-style asymmetric int4, dequant = (q - zero) * scale.
+
+    With one group per K block the affine dequant factors OUT of the
+    dot entirely:  x_g @ ((q - z) s) = (x_g @ q) * s  -  rowsum(x_g) ⊗
+    (z * s) — a raw int dot plus two rank-1 corrections on the [BM, BN]
+    partial, no per-element weight math."""
+    del group_size
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -307,19 +327,18 @@ def _int4_zp_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     packed = w_ref[...].astype(jnp.int32)
-    lo = packed & 0xF
-    hi = (packed >> 4) & 0xF
-    bk2, bn = packed.shape
-    w = jnp.stack([lo, hi], axis=1).reshape(block_k, bn).astype(jnp.float32)
-    groups = block_k // group_size
-    s_blk = s_ref[:groups, :].reshape(groups, 1, bn)
-    z_blk = z_ref[:groups, :].reshape(groups, 1, bn)
-    w = (w.reshape(groups, group_size, bn) - z_blk) * s_blk
-    w = w.reshape(block_k, bn).astype(jnp.bfloat16)
-    x = x_ref[...].astype(jnp.bfloat16)
-    acc_ref[...] += jax.lax.dot_general(
-        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    lo = packed & 0xF  # group rows [0, gs/2)
+    hi = (packed >> 4) & 0xF  # group rows [gs/2, gs)
+    w = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)
+    x = x_ref[...]
+    part = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
+    xsum = jnp.sum(x.astype(jnp.float32), axis=1)  # [BM]
+    s_row = s_ref[0, :]
+    z_row = z_ref[0, :]
+    acc_ref[...] += part * s_row - xsum[:, None] * (z_row * s_row)
 
     @pl.when(ki == pl.num_programs(2) - 1)
     def _():
@@ -365,9 +384,7 @@ def matmul_int4_zp(
     out_dtype = out_dtype or x.dtype
     block_m = min(block_m, m)
     block_n = min(block_n, n)
-    block_k = min(block_k, k)
-    if block_k % group_size != 0:
-        block_k = group_size * max(1, block_k // group_size)
+    block_k = group_size  # one group per K block (see _int4_zp_kernel)
     grid = (cdiv(m, block_m), cdiv(n, block_n), cdiv(k, block_k))
     kernel = functools.partial(
         _int4_zp_kernel, group_size=group_size, block_k=block_k
@@ -419,10 +436,10 @@ def matmul_int4(
     out_dtype = out_dtype or x.dtype
     block_m = min(block_m, m)
     block_n = min(block_n, n)
-    block_k = min(block_k, k)
-    assert block_k % group_size == 0 or block_k == k
-    if block_k % group_size != 0:
-        block_k = group_size * max(1, block_k // group_size)
+    # one quant group per K block: scales then fold into the partial-dot
+    # output (see _int4_kernel) — the extra grid steps cost ~0.5us each,
+    # far below the per-element weight scaling they remove
+    block_k = group_size
     grid = (cdiv(m, block_m), cdiv(n, block_n), cdiv(k, block_k))
     kernel = functools.partial(
         _int4_kernel, group_size=group_size, block_k=block_k

@@ -45,6 +45,21 @@ def test_int8_quantize_roundtrip():
     assert w_q.dtype == jnp.int8 and int(jnp.abs(w_q).max()) <= 127
 
 
+def _unpack_halfsplit(packed, k, n, group_size, signed=True):
+    """Undo the per-group half-split packing (quant_matmul.quantize_*):
+    byte row r of group g holds rows (r, r + gs/2)."""
+    lo = (packed & 0xF).astype(jnp.int32)
+    hi = ((packed >> 4) & 0xF).astype(jnp.int32)
+    if signed:
+        lo, hi = lo - 8, hi - 8
+    half = group_size // 2
+    lo = lo.reshape(k // group_size, half, n)
+    hi = hi.reshape(k // group_size, half, n)
+    return jnp.concatenate([lo, hi], axis=1).reshape(k, n).astype(
+        jnp.float32
+    )
+
+
 @pytest.mark.parametrize("m,k,n", [(8, 256, 512), (64, 512, 256)])
 def test_int4_matmul_matches_dequant_reference(m, k, n):
     x, w = _mats(m, k, n, seed=1)
@@ -54,9 +69,7 @@ def test_int4_matmul_matches_dequant_reference(m, k, n):
     )
     # exact reference: dequantize then matmul (the intrinsic ~10% int4
     # noise vs fp belongs to the quantizer, not the kernel)
-    lo = (packed & 0xF).astype(jnp.int32) - 8
-    hi = (packed >> 4).astype(jnp.int32) - 8
-    unpacked = jnp.stack([lo, hi], axis=1).reshape(k, n).astype(jnp.float32)
+    unpacked = _unpack_halfsplit(packed, k, n, 128)
     deq = (
         unpacked.reshape(k // 128, 128, n) * s[:, None, :]
     ).reshape(k, n)
@@ -77,10 +90,8 @@ def test_int4_pack_unpack_exact():
     ) / 7.0
     w = jnp.tile(w, (8, 8))  # [128, 128]
     packed, s = quantize_int4(w, group_size=128)
-    lo = (packed & 0xF).astype(jnp.int32) - 8
-    hi = (packed >> 4).astype(jnp.int32) - 8
-    unpacked = jnp.stack([lo, hi], axis=1).reshape(128, 128)
-    deq = unpacked.astype(jnp.float32).reshape(1, 128, 128) * s[:, None, :]
+    unpacked = _unpack_halfsplit(packed, 128, 128, 128)
+    deq = unpacked.reshape(1, 128, 128) * s[:, None, :]
     np.testing.assert_allclose(
         np.asarray(deq[0]), np.asarray(w), atol=float(s.max()) / 2 + 1e-6
     )
@@ -141,9 +152,7 @@ def test_awq_kernel_matches_dequant_reference():
         x, packed, s, z, group_size=128,
         block_m=128, block_n=256, block_k=256,
     )
-    lo = (packed & 0xF).astype(jnp.int32)
-    hi = (packed >> 4).astype(jnp.int32)
-    q = jnp.stack([lo, hi], axis=1).reshape(256, 256).astype(jnp.float32)
+    q = _unpack_halfsplit(packed, 256, 256, 128, signed=False)
     deq = (
         (q.reshape(2, 128, 256) - z[:, None, :]) * s[:, None, :]
     ).reshape(256, 256)
@@ -172,8 +181,14 @@ def test_awq_checkpoint_unpack_order():
     packed, s_out, z_out = unpack_awq_checkpoint(
         pack(wq), pack(zq), scales
     )
-    np.testing.assert_array_equal(packed & 0xF, wq[0::2])
-    np.testing.assert_array_equal(packed >> 4, wq[1::2])
+    # half-split layout: byte row r of group g = rows (r, r + g/2)
+    wg = wq.reshape(k // g, g, n)
+    np.testing.assert_array_equal(
+        packed & 0xF, wg[:, : g // 2].reshape(k // 2, n)
+    )
+    np.testing.assert_array_equal(
+        packed >> 4, wg[:, g // 2 :].reshape(k // 2, n)
+    )
     np.testing.assert_array_equal(z_out, zq.astype(np.float32))
     np.testing.assert_array_equal(s_out, scales)
 
