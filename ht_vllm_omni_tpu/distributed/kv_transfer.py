@@ -133,26 +133,55 @@ class OmniKVTransferManager:
 
     def put(
         self, from_stage: int, to_stage: int, request_id: str,
-        payload: KVPayload,
+        payload: KVPayload, *, max_attempts: int = 3,
+        backoff_s: float = 0.05,
     ) -> None:
-        self.connector.put(
-            from_stage, to_stage, self.kv_key(request_id, from_stage),
-            {"token_ids": payload.token_ids, "kv_rows": payload.kv_rows,
-             "extra": payload.extra},
-        )
+        """Store with retry + exponential backoff (reference
+        kv_transfer_manager.py:325-361 — transient connector failures,
+        e.g. a TCP store hiccup, must not kill the request)."""
+        import time as _time
+
+        last: Exception | None = None
+        for attempt in range(max_attempts):
+            try:
+                self.connector.put(
+                    from_stage, to_stage,
+                    self.kv_key(request_id, from_stage),
+                    {"token_ids": payload.token_ids,
+                     "kv_rows": payload.kv_rows,
+                     "extra": payload.extra},
+                )
+                return
+            except Exception as e:  # noqa: BLE001 — retried, re-raised
+                last = e
+                if attempt + 1 < max_attempts:
+                    _time.sleep(backoff_s * (2 ** attempt))
+        raise KVLoadError(
+            f"kv put failed after {max_attempts} attempts: {last}"
+        ) from last
 
     def get(
-        self, from_stage: int, to_stage: int, request_id: str
+        self, from_stage: int, to_stage: int, request_id: str,
+        *, timeout_s: float = 0.0, poll_s: float = 0.01,
     ) -> KVPayload | None:
-        data, _ = self.connector.get(
-            from_stage, to_stage, self.kv_key(request_id, from_stage)
-        )
-        if data is None:
-            return None
-        return KVPayload(
-            token_ids=data["token_ids"], kv_rows=data["kv_rows"],
-            extra=data.get("extra"),
-        )
+        """Fetch; with ``timeout_s`` > 0, poll until the payload lands
+        (reference receive_kv_cache_for_request :363-436)."""
+        import time as _time
+
+        deadline = _time.time() + timeout_s
+        while True:
+            data, _ = self.connector.get(
+                from_stage, to_stage, self.kv_key(request_id, from_stage)
+            )
+            if data is not None:
+                return KVPayload(
+                    token_ids=data["token_ids"],
+                    kv_rows=data["kv_rows"],
+                    extra=data.get("extra"),
+                )
+            if _time.time() >= deadline:
+                return None
+            _time.sleep(poll_s)
 
     # ---------------------------------------------------------- recovery
     @staticmethod

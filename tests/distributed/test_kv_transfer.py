@@ -131,3 +131,63 @@ def test_int8_kv_transfer_dequantizes_once():
     src = np.asarray(prefill_engine.runner.kv_cache)[:, :n]  # pages 0.. dense
     dst = np.asarray(decode_engine.runner.kv_cache)[:, slots]
     np.testing.assert_array_equal(src, dst)
+
+
+def test_put_retries_with_backoff_and_get_polls():
+    """put() retries transient connector failures with backoff
+    (reference kv_transfer_manager.py:325-361); get() polls until the
+    payload lands when given a timeout (:363-436)."""
+    import threading
+    import time as _time
+
+    import numpy as np
+    import pytest
+
+    from ht_vllm_omni_tpu.distributed.kv_transfer import (
+        KVLoadError,
+        KVPayload,
+        OmniKVTransferManager,
+    )
+
+    class Flaky:
+        def __init__(self, fail_times):
+            self.fail_times = fail_times
+            self.calls = 0
+            self.store = {}
+
+        def put(self, f, t, key, data):
+            self.calls += 1
+            if self.calls <= self.fail_times:
+                raise OSError("transient")
+            self.store[key] = data
+
+        def get(self, f, t, key):
+            return self.store.get(key), 0
+
+    payload = KVPayload(
+        token_ids=[1, 2, 3], kv_rows=np.zeros((1, 3, 4), np.float32)
+    )
+    conn = Flaky(fail_times=2)
+    mgr = OmniKVTransferManager(conn)
+    mgr.put(0, 1, "r1", payload, backoff_s=0.001)
+    assert conn.calls == 3
+    assert mgr.get(0, 1, "r1").token_ids == [1, 2, 3]
+
+    # permanent failure surfaces as KVLoadError after max attempts
+    conn2 = Flaky(fail_times=99)
+    mgr2 = OmniKVTransferManager(conn2)
+    with pytest.raises(KVLoadError):
+        mgr2.put(0, 1, "r2", payload, max_attempts=2, backoff_s=0.001)
+
+    # polling get: payload arrives 30ms in
+    conn3 = Flaky(fail_times=0)
+    mgr3 = OmniKVTransferManager(conn3)
+
+    def later():
+        _time.sleep(0.03)
+        mgr3.put(0, 1, "r3", payload)
+
+    threading.Thread(target=later).start()
+    assert mgr3.get(0, 1, "r3", timeout_s=0.0) is None
+    got = mgr3.get(0, 1, "r3", timeout_s=2.0)
+    assert got is not None and got.token_ids == [1, 2, 3]
