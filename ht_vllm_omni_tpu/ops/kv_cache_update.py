@@ -145,10 +145,10 @@ def flush_kv_rows(
             num_scalar_prefetch=1,
             grid=(num_layers,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA((_INFLIGHT,))],
         ),
         out_shape=jax.ShapeDtypeStruct(
