@@ -70,15 +70,18 @@ def _flash_kernel(
 
     @pl.when(relevant)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
+        # keep MXU operands in the model dtype (bf16 runs the MXU at
+        # full rate; f32 operands would quarter it) — the accumulate is
+        # f32 via preferred_element_type
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q,
             k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = s * sm_scale  # [BQ, BK]
+        s = s * sm_scale  # [BQ, BK] f32
 
         k_pos = k_start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
@@ -108,11 +111,11 @@ def _flash_kernel(
         # Out-of-bounds rows of a ragged trailing block may contain garbage
         # (NaN in interpret mode); even with p == 0 there, 0 * NaN = NaN, so
         # zero those V rows explicitly.
-        v = v_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0]
         v_row = k_start + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-        v = jnp.where(v_row < kv_len, v, 0.0)
+        v = jnp.where(v_row < kv_len, v, jnp.zeros_like(v))
         pv = jax.lax.dot_general(
-            p,
+            p.astype(v.dtype),
             v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
