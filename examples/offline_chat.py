@@ -21,9 +21,16 @@ from ht_vllm_omni_tpu.sampling_params import SamplingParams
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else None
     prompt = sys.argv[2] if len(sys.argv) > 2 else "Hello!"
-    engine = LLMEngine(
-        EngineConfig(model=ModelArchConfig(), model_path=path)
-    )
+    if os.environ.get("HT_OMNI_EXAMPLE_TINY"):  # example tests / smoke
+        arch = ModelArchConfig(
+            vocab_size=1024, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, dtype="float32",
+            tie_word_embeddings=True,
+        )
+    else:
+        arch = ModelArchConfig()
+    engine = LLMEngine(EngineConfig(model=arch, model_path=path))
     if engine.tokenizer is None:
         prompt = [ord(c) % 1000 for c in prompt]
     out = engine.generate(

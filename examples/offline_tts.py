@@ -37,11 +37,19 @@ def main():
     )
     cfg.stage(0).engine_args["num_pages"] = 128
     cfg.stage(0).default_sampling_params["max_tokens"] = 200
+    max_tokens = 200
+    if os.environ.get("HT_OMNI_EXAMPLE_TINY"):  # example tests / smoke
+        cfg.stage(0).engine_args["model_arch_config"].update(
+            vocab_size=512, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8,
+        )
+        max_tokens = 24
     omni = Omni(pipeline=cfg, stages=build_stages(cfg))
     out = omni.generate(
         [[10, 42, 99]],
-        SamplingParams(temperature=0.9, top_k=50, max_tokens=200,
-                       ignore_eos=True, seed=0,
+        SamplingParams(temperature=0.9, top_k=50,
+                       max_tokens=max_tokens, ignore_eos=True, seed=0,
                        return_hidden_states=True),
     )[0]
     audio = out.consolidated_multimodal("audio")

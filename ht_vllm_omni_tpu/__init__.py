@@ -18,3 +18,19 @@ __version__ = "0.1.0"
 __all__ = [
     "__version__",
 ]
+
+import os as _os
+
+if _os.environ.get("HT_OMNI_PLATFORM"):
+    # Subprocess-level platform pin.  TPU plugin environments override
+    # the JAX_PLATFORMS env var at import time, so child processes
+    # (example tests, server subprocesses, CLI tools) cannot opt out of
+    # the device through the environment alone; setting
+    # HT_OMNI_PLATFORM=cpu routes them through jax.config before any
+    # backend initialises — also keeps parallel test runners from
+    # fighting over the single TPU.
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_platforms", _os.environ["HT_OMNI_PLATFORM"]
+    )

@@ -59,10 +59,13 @@ def test_cli_runs(tmp_path):
     base = rng.random((32, 32, 3)).astype(np.float32)
     np.save(tmp_path / "z_bf16.npy", base)
     np.save(tmp_path / "z_fp8.npy", base)
+    import os
+
     out = subprocess.run(
         [sys.executable, "benchmarks/accuracy.py", "--image-dir",
          str(tmp_path)],
         capture_output=True, text=True,
+        env=dict(os.environ, HT_OMNI_PLATFORM="cpu"),
     )
     assert out.returncode == 0, out.stderr
     assert "| z |" in out.stdout and "PASS" in out.stdout
