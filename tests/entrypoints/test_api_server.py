@@ -480,3 +480,54 @@ async def _test_video_job_native_path():
     finally:
         await client.close()
         engine.shutdown()
+
+
+def _mk_family_image_engine(family):
+    from ht_vllm_omni_tpu.config.stage_config import StageType
+    from ht_vllm_omni_tpu.diffusion.data import OmniDiffusionConfig
+    from ht_vllm_omni_tpu.diffusion.diffusion_engine import DiffusionEngine
+
+    eng = DiffusionEngine(OmniDiffusionConfig(family=family))
+    s0 = StageConfig(
+        stage_id=0, model_stage="dit", stage_type=StageType.DIFFUSION,
+        worker_type="generation", final_output=True,
+        final_output_type="image",
+    )
+    pipeline = PipelineConfig(f"img_{family}", [s0])
+    pipeline.validate()
+    return AsyncOmniEngine(pipeline, [StageHandle(s0, eng)])
+
+
+def test_images_endpoint_round2_families():
+    """/v1/images/generations serves the round-2 AR-style families
+    (NextStep-1.1 continuous-token AR, MammothModa2 Lumina2 DiT)."""
+    _run(_test_images_endpoint_round2_families())
+
+
+async def _test_images_endpoint_round2_families():
+    for family, size in [("nextstep-1.1", "8x8"), ("mammoth-moda2", "32x32")]:
+        engine = _mk_family_image_engine(family)
+        server = OmniAPIServer(engine, FakeTokenizer())
+        client = TestClient(TestServer(server.build_app()))
+        await client.start_server()
+        try:
+            r = await client.post(
+                "/v1/images/generations",
+                json={
+                    "prompt": "a lighthouse",
+                    "size": size,
+                    "num_inference_steps": 2,
+                    "guidance_scale": 1.0,
+                    "seed": 3,
+                },
+            )
+            assert r.status == 200, (family, await r.text())
+            data = await r.json()
+            assert data["data"], (family, "no image returned")
+            import base64 as _b64
+
+            raw = _b64.b64decode(data["data"][0]["b64_json"])
+            assert len(raw) > 0, family
+        finally:
+            await client.close()
+            engine.shutdown()
