@@ -120,6 +120,30 @@ def main() -> None:
     except Exception as e:  # serving metrics are best-effort extras
         serve = {"tts_error": str(e)[:120]}
     try:
+        # prefill throughput (TTFT side): 8 x 512-token prompts, whole
+        # prompts in one batched dispatch; a short decode horizon so the
+        # timing is not dominated by the trailing decode chunk
+        eng_p = LLMEngine(
+            EngineConfig(
+                model=cfg,
+                cache=CacheConfig(page_size=128, num_pages=1024),
+                scheduler=SchedulerConfig(
+                    max_num_seqs=batch, max_model_len=2048
+                ),
+            ),
+            decode_horizon=4,
+        )
+        p512 = [list(rng.integers(0, 1000, size=512)) for _ in range(8)]
+        sp2 = SamplingParams(
+            temperature=0.0, max_tokens=2, ignore_eos=True
+        )
+        eng_p.generate(p512, sp2)  # warm the 512 bucket
+        t0 = time.time()
+        eng_p.generate(p512, sp2)
+        serve["prefill_toks_per_s"] = round(8 * 512 / (time.time() - t0))
+    except Exception as e:
+        serve["prefill_error"] = str(e)[:120]
+    try:
         import dataclasses
 
         eng8 = LLMEngine(
