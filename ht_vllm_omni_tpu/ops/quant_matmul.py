@@ -373,7 +373,7 @@ def matmul_int4_zp(
     *,
     group_size: int = 128,
     block_m: int = 256,
-    block_n: int = 512,
+    block_n: int = 0,  # 0 = adaptive (see matmul_int4)
     block_k: int = 512,
     out_dtype=None,
 ) -> jax.Array:
@@ -383,6 +383,8 @@ def matmul_int4_zp(
     assert x.shape[1] == k
     out_dtype = out_dtype or x.dtype
     block_m = min(block_m, m)
+    if block_n == 0:
+        block_n = 8192 if n >= 65536 else 2048
     block_n = min(block_n, n)
     block_k = group_size  # one group per K block (see _int4_zp_kernel)
     grid = (cdiv(m, block_m), cdiv(n, block_n), cdiv(k, block_k))
@@ -425,7 +427,7 @@ def matmul_int4(
     *,
     group_size: int = 128,
     block_m: int = 256,
-    block_n: int = 512,
+    block_n: int = 0,  # 0 = adaptive (wide blocks cut grid overhead)
     block_k: int = 512,
     out_dtype=None,
 ) -> jax.Array:
@@ -435,6 +437,10 @@ def matmul_int4(
     assert x.shape[1] == k
     out_dtype = out_dtype or x.dtype
     block_m = min(block_m, m)
+    if block_n == 0:
+        # wide N blocks amortize per-program overhead (measured 3x on
+        # the 152k-vocab LM head); huge-N weights go wider still
+        block_n = 8192 if n >= 65536 else 2048
     block_n = min(block_n, n)
     # one quant group per K block: scales then fold into the partial-dot
     # output (see _int4_kernel) — the extra grid steps cost ~0.5us each,
