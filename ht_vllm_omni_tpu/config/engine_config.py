@@ -170,6 +170,12 @@ class EngineConfig:
     # verification forward (0 = off).  Greedy-only; the engine falls back
     # to normal decode when a batch wants sampling or hidden states.
     spec_num_draft: int = 0
+    # draft proposer: "medusa" (trained heads in params["spec_heads"],
+    # random heads otherwise) or "ngram" (prompt-lookup: propose the
+    # tokens that followed the last occurrence of the current bigram in
+    # the sequence's own history — no extra weights, the reference's
+    # vLLM ngram spec mode)
+    spec_method: str = "medusa"
     # per-step decode adapter spec, e.g. {"name": "voxtral_tts", ...} —
     # resolved by worker/step_adapter.py.  Replaces the decode loop's
     # token embedding + logits sampling with model-specific hooks (the

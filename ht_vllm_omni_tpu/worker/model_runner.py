@@ -89,10 +89,22 @@ class SpecDecodeMixin:
     outer iteration runs ONE target forward over the current token plus
     the D proposals (queries folded into the attention kernel's batch
     dim, q_per_seq=D+1) and accepts the longest proposal prefix matching
-    the target argmax — emitting 1..D+1 tokens per forward.  Greedy
-    output is exactly equal to normal decode by construction (the
-    emitted tokens ARE target argmaxes).  Greedy-only: spec mode is used
-    when every active request has temperature 0.
+    the target argmax — emitting 1..D+1 tokens per forward.  Emitted
+    tokens are target argmaxes by construction, so greedy output equals
+    normal decode up to floating-point tie-breaking: the verify forward
+    runs the same math through a multi-query attention path, and under
+    bf16 a near-tie can argmax differently (f32 runs are exact; trained
+    checkpoints rarely tie).  Greedy-only: spec mode is used when every
+    active request has temperature 0.
+
+    Proposers (EngineConfig.spec_method): "medusa" draft heads, or
+    "ngram" prompt-lookup — a per-slot device token ring is searched
+    for the latest prior occurrence of the trailing bigram and the
+    tokens that followed it become the proposal (the reference's vLLM
+    ngram mode; zero extra weights).  A verify iteration costs ~1.5x a
+    plain decode step, so speculation pays when the workload's
+    acceptance rate is high (repetitive/code/text with trained
+    weights), not on random-weight benchmarks.
     """
 
     def _spec_heads(self, num_draft: int):
@@ -111,12 +123,40 @@ class SpecDecodeMixin:
             self.params["spec_heads"] = heads
         return heads
 
-    def _reset_spec(self, slot: int) -> None:
-        """Invalidate a slot's draft proposals (new/changed sequence)."""
+    SPEC_HIST_LEN = 128  # ngram proposer's per-slot token ring
+
+    def _reset_spec(self, slot: int, req=None) -> None:
+        """Invalidate a slot's draft proposals (new/changed sequence)
+        and, for the ngram proposer, prime the history ring with the
+        request's tokens so prompt-lookup works from the first step."""
         if getattr(self, "spec_proposals", None) is not None:
             self.spec_proposals = self.spec_proposals.at[slot].set(
                 _NO_TOKEN
             )
+        if self.config.spec_method != "ngram" or (
+            self.config.spec_num_draft <= 0
+        ):
+            return
+        hl = self.SPEC_HIST_LEN
+        if getattr(self, "spec_history", None) is None:
+            self.spec_history = jnp.full(
+                (self.max_slots, hl), _NO_TOKEN, jnp.int32
+            )
+            self.spec_hist_len = jnp.zeros(
+                (self.max_slots,), jnp.int32
+            )
+        tail = []
+        if req is not None:
+            tail = list(req.prompt_token_ids) + list(
+                req.output_token_ids
+            )
+            tail = tail[-hl:]
+        row = np.full((hl,), _NO_TOKEN, np.int32)
+        row[: len(tail)] = tail
+        self.spec_history = self.spec_history.at[slot].set(
+            jnp.asarray(row)
+        )
+        self.spec_hist_len = self.spec_hist_len.at[slot].set(len(tail))
 
     def spec_decode_chunk(
         self, num_iters: int, num_draft: int
@@ -131,6 +171,7 @@ class SpecDecodeMixin:
         assert self.mesh is None, "spec decode is single-mesh (v1)"
         q = num_draft + 1
         s = self.max_slots
+        use_ngram = self.config.spec_method == "ngram"
         if (
             getattr(self, "spec_proposals", None) is None
             or self.spec_proposals.shape != (s, num_draft)
@@ -138,8 +179,19 @@ class SpecDecodeMixin:
             self.spec_proposals = jnp.full(
                 (s, num_draft), _NO_TOKEN, jnp.int32
             )
-        heads = self._spec_heads(num_draft)
-        key = ("spec", num_iters, num_draft)
+        if use_ngram and getattr(self, "spec_history", None) is None:
+            self.spec_history = jnp.full(
+                (s, self.SPEC_HIST_LEN), _NO_TOKEN, jnp.int32
+            )
+            self.spec_hist_len = jnp.zeros((s,), jnp.int32)
+        if use_ngram:
+            heads = jnp.zeros((1, 1, 1), jnp.float32)  # unused
+            history, hist_len = self.spec_history, self.spec_hist_len
+        else:
+            heads = self._spec_heads(num_draft)
+            history = jnp.zeros((s, 1), jnp.int32)  # unused
+            hist_len = jnp.zeros((s,), jnp.int32)
+        key = ("spec", num_iters, num_draft, use_ngram)
         fn = self._decode_fns.get(key)
         if fn is None:
             prog = functools.partial(
@@ -149,8 +201,9 @@ class SpecDecodeMixin:
                 num_draft,
                 self.page_size,
                 self.kv_scales,
+                use_ngram,
             )
-            fn = jax.jit(prog, donate_argnums=(2, 3, 4))
+            fn = jax.jit(prog, donate_argnums=(2, 3, 4, 5, 6))
             self._decode_fns[key] = fn
 
         if self.h_active.any():
@@ -181,6 +234,8 @@ class SpecDecodeMixin:
             self.kv_cache,
             self.token_state,
             self.spec_proposals,
+            new_history,
+            new_hist_len,
             packed,
         ) = fn(
             self.params,
@@ -188,9 +243,14 @@ class SpecDecodeMixin:
             self.kv_cache,
             self.token_state,
             self.spec_proposals,
+            history,
+            hist_len,
             int_state,
             np.ascontiguousarray(self.h_tables[:, :width]),
         )
+        if use_ngram:
+            self.spec_history = new_history
+            self.spec_hist_len = new_hist_len
         host = np.asarray(packed)  # single sync
         rows = 1 + num_iters * q
         raw = host[:rows]
@@ -215,11 +275,14 @@ class SpecDecodeMixin:
         num_draft: int,
         page_size: int,
         kv_scales,
+        use_ngram: bool,
         params,
-        spec_heads,  # [D, H, V]
+        spec_heads,  # [D, H, V] (medusa) or dummy (ngram)
         kv_cache,  # donated
         token_state,  # [S]
         proposals,  # [S, D] draft tokens for the upcoming positions
+        history,  # [S, HLEN] int32 token ring (ngram) or dummy
+        hist_len,  # [S] int32 absolute token count in the ring
         int_state,  # packed host mirrors (see _decode_program)
         block_tables,  # [S, P]
     ):
@@ -252,8 +315,23 @@ class SpecDecodeMixin:
         )
         sl = jnp.arange(s)
 
+        hlen_ring = history.shape[1]
+        if use_ngram:
+            # fresh slots carry a prefill-sampled entry token the scan
+            # never re-emits — append it so the ring tracks the full
+            # stream (non-fresh entries were appended by their own
+            # emitting chunk / the reset priming)
+            add = jnp.logical_and(fresh, active)
+            sl0 = jnp.arange(s)
+            idx0 = hist_len % hlen_ring
+            history = history.at[sl0, idx0].set(
+                jnp.where(add, token_state, history[sl0, idx0])
+            )
+            hist_len = hist_len + add.astype(jnp.int32)
+
         def iter_step(carry, _):
-            token_state, proposals, pos, act, emit, cnt, fresh_buf = carry
+            (token_state, proposals, history, hist_len, pos, act, emit,
+             cnt, fresh_buf) = carry
             q_tokens = jnp.concatenate(
                 [token_state[:, None], proposals], axis=1
             )  # [S, Q]
@@ -314,32 +392,82 @@ class SpecDecodeMixin:
             last = jnp.clip(n_new - 1, 0, q - 1)
             y_last = y_out[sl, last]
             token_state = jnp.where(n_new > 0, y_last, token_state)
-            h_sel = hidden.reshape(s, q, -1)[sl, last]
-            new_props = jnp.argmax(
-                jnp.einsum(
-                    "sh,dhv->sdv",
-                    h_sel.astype(jnp.float32),
-                    spec_heads.astype(jnp.float32),
-                ),
-                axis=-1,
-            ).astype(jnp.int32)
+            if use_ngram:
+                # append this iteration's accepted tokens to the ring
+                wrote = jnp.zeros((s,), jnp.int32)
+                for k in range(q):
+                    ok = y_out[:, k] >= 0
+                    idxk = (hist_len + wrote) % hlen_ring
+                    cur = history[sl, idxk]
+                    history = history.at[sl, idxk].set(
+                        jnp.where(ok, y_out[:, k], cur)
+                    )
+                    wrote = wrote + ok.astype(jnp.int32)
+                hist_len = hist_len + wrote
+                # prompt-lookup proposal: find the LATEST prior
+                # occurrence of the trailing bigram (prev, cur) in the
+                # ring and propose the tokens that followed it
+                idxs = jnp.arange(hlen_ring, dtype=jnp.int32)[None]
+                hl1 = hist_len[:, None] - 1
+                abs_j = hl1 - jnp.where(
+                    hist_len[:, None] > 0,
+                    (hl1 - idxs) % hlen_ring,
+                    0,
+                )  # absolute index stored in ring slot j
+                lo = jnp.maximum(hist_len[:, None] - hlen_ring, 0)
+                valid = (abs_j >= lo) & (abs_j <= hist_len[:, None] - 3)
+                prev = history[
+                    sl, jnp.maximum(hist_len - 2, 0) % hlen_ring
+                ]
+                has_hist = hist_len >= 3
+                tok_j1 = history[:, (idxs[0] + 1) % hlen_ring]
+                match = (
+                    valid
+                    & (history == prev[:, None])
+                    & (tok_j1 == token_state[:, None])
+                    & has_hist[:, None]
+                )
+                best = jnp.max(jnp.where(match, abs_j, -1), axis=1)
+                found = best >= 0
+                props = []
+                for d in range(num_draft):
+                    src_idx = (best + 2 + d) % hlen_ring
+                    in_range = (best + 2 + d) <= hist_len - 1
+                    tok_d = history[sl, src_idx]
+                    props.append(
+                        jnp.where(
+                            found & in_range, tok_d, _NO_TOKEN
+                        )
+                    )
+                new_props = jnp.stack(props, axis=1).astype(jnp.int32)
+            else:
+                h_sel = hidden.reshape(s, q, -1)[sl, last]
+                new_props = jnp.argmax(
+                    jnp.einsum(
+                        "sh,dhv->sdv",
+                        h_sel.astype(jnp.float32),
+                        spec_heads.astype(jnp.float32),
+                    ),
+                    axis=-1,
+                ).astype(jnp.int32)
             proposals = jnp.where((n_new > 0)[:, None], new_props, proposals)
             pos = pos + n_new
             emit = emit + n_new
             cnt = cnt + n_new
             return (
-                token_state, proposals, pos, new_act, emit, cnt, fresh_buf
+                token_state, proposals, history, hist_len, pos, new_act,
+                emit, cnt, fresh_buf
             ), y_out
 
         entry_tokens = token_state
         cnt0 = jnp.zeros((s,), jnp.int32)
-        init = (token_state, proposals, positions, active, emitted, cnt0,
-                fresh_buf)
+        init = (token_state, proposals, history, hist_len, positions,
+                active, emitted, cnt0, fresh_buf)
         carry, ys = jax.lax.scan(
             iter_step, init, jnp.arange(num_iters, dtype=jnp.int32)
         )
-        (token_state, proposals, positions, active, emitted, cnt,
-         fresh_buf) = carry
+        (token_state, proposals, history, hist_len, positions, active,
+         emitted, cnt, fresh_buf) = carry
 
         # flush accepted rows (row r of slot s holds position pos0 + r)
         rows_r = jnp.arange(rows_per_slot, dtype=jnp.int32)[None, :]
@@ -368,7 +496,7 @@ class SpecDecodeMixin:
             ],
             axis=0,
         )
-        return kv_cache, token_state, proposals, packed
+        return kv_cache, token_state, proposals, history, hist_len, packed
 
 
 class ARModelRunner(SpecDecodeMixin):
@@ -921,7 +1049,7 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_positions[slot] = s  # position of the next (sampled) token
         self.h_active[slot] = True
         self.h_fresh[slot] = True
-        self._reset_spec(slot)
+        self._reset_spec(slot, req)
         self.h_emitted[slot] = req.num_output_tokens + 1
         self.h_limit[slot] = sp.max_tokens
         self.h_min_tokens[slot] = sp.min_tokens
@@ -1059,7 +1187,7 @@ class ARModelRunner(SpecDecodeMixin):
             self.h_positions[slot] = s
             self.h_active[slot] = True
             self.h_fresh[slot] = True
-            self._reset_spec(slot)
+            self._reset_spec(slot, req)
             self.h_emitted[slot] = req.num_output_tokens + 1
             self.h_limit[slot] = sp.max_tokens
             self.h_min_tokens[slot] = sp.min_tokens
@@ -1255,7 +1383,7 @@ class ARModelRunner(SpecDecodeMixin):
             self.h_positions[slot] = s
             self.h_active[slot] = True
             self.h_fresh[slot] = True
-            self._reset_spec(slot)
+            self._reset_spec(slot, req)
             self.h_emitted[slot] = req.num_output_tokens + 1
             self.h_limit[slot] = sp.max_tokens
             self.h_min_tokens[slot] = sp.min_tokens
@@ -1317,7 +1445,7 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_positions[slot] = n
         self.h_active[slot] = True
         self.h_fresh[slot] = False
-        self._reset_spec(slot)
+        self._reset_spec(slot, req)
         self.h_emitted[slot] = req.num_output_tokens
         self.h_limit[slot] = sp.max_tokens
         self.h_min_tokens[slot] = sp.min_tokens

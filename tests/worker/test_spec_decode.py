@@ -92,3 +92,78 @@ def test_spec_falls_back_when_sampling():
         [PROMPTS[0]], sp
     )[0].outputs[0].token_ids
     assert got == want
+
+
+def _engine_method(params, method, spec_draft=3, horizon=6):
+    return LLMEngine(
+        EngineConfig(
+            model=_cfg(),
+            cache=CacheConfig(page_size=16, num_pages=64),
+            scheduler=SchedulerConfig(max_num_seqs=4, max_model_len=128),
+            spec_num_draft=spec_draft,
+            spec_method=method,
+        ),
+        params=dict(params),
+        decode_horizon=horizon,
+    )
+
+
+def test_ngram_spec_greedy_equals_normal():
+    """Prompt-lookup (ngram) proposals never change greedy output —
+    emitted tokens are target argmaxes regardless of proposal quality."""
+    params = qwen2.init_params(_cfg(), jax.random.PRNGKey(5))
+    sp = SamplingParams(temperature=0.0, max_tokens=23, ignore_eos=True)
+    want = [
+        o.outputs[0].token_ids
+        for o in _engine(params).generate(PROMPTS, sp)
+    ]
+    got = [
+        o.outputs[0].token_ids
+        for o in _engine_method(params, "ngram").generate(PROMPTS, sp)
+    ]
+    assert got == want
+
+
+def test_ngram_spec_across_requests_and_lengths():
+    """Slot reuse across requests must not leak one sequence's history
+    ring into the next (priming resets per request)."""
+    params = qwen2.init_params(_cfg(), jax.random.PRNGKey(7))
+    sp = SamplingParams(temperature=0.0, max_tokens=17, ignore_eos=True)
+    eng = _engine_method(params, "ngram")
+    first = [
+        o.outputs[0].token_ids for o in eng.generate(PROMPTS, sp)
+    ]
+    # different prompts through the SAME engine (slots reused)
+    prompts2 = [[7, 7, 7, 7], [1, 2], [40, 41, 42, 43, 44, 45]]
+    got2 = [
+        o.outputs[0].token_ids for o in eng.generate(prompts2, sp)
+    ]
+    want2 = [
+        o.outputs[0].token_ids
+        for o in _engine(params).generate(prompts2, sp)
+    ]
+    assert got2 == want2
+    # and rerunning the first batch still matches
+    again = [
+        o.outputs[0].token_ids for o in eng.generate(PROMPTS, sp)
+    ]
+    assert again == first
+
+
+def test_ngram_history_ring_bookkeeping():
+    """The ngram history ring primes with the prompt and appends every
+    emitted token (absolute count keeps growing past the ring size)."""
+    import numpy as np
+
+    params = qwen2.init_params(_cfg(), jax.random.PRNGKey(5))
+    sp = SamplingParams(temperature=0.0, max_tokens=40, ignore_eos=True)
+    eng = _engine_method(params, "ngram", horizon=8)
+    out = eng.generate([[2, 3, 4]], sp)[0]
+    toks = out.outputs[0].token_ids
+    assert len(toks) == 40
+    hist_len = int(np.asarray(eng.runner.spec_hist_len)[0])
+    assert hist_len == 3 + 40, hist_len
+    hist = np.asarray(eng.runner.spec_history)[0]
+    # the ring holds the emitted stream: token i sits at slot i % HLEN
+    for i, t in enumerate([2, 3, 4] + toks):
+        assert hist[i % eng.runner.SPEC_HIST_LEN] == t, i
