@@ -13,10 +13,13 @@ aligned data section) and the common block-quant codecs:
 
   F32 / F16 / BF16, Q8_0 (f16 scale + 32 int8),
   Q4_0 / Q4_1 (f16 scale [+ min] + 32 nibbles),
-  Q5_0 / Q5_1 (+ 32 high bits).
+  Q5_0 / Q5_1 (+ 32 high bits),
+  and the 256-element K-quant super-blocks Q2_K..Q6_K
+  (per-16/32 sub-block 4/6-bit scales under an f16 super scale,
+  llama.cpp ggml-quants layout).
 
-K-quants (Q*_K) are intentionally not supported — loading raises with
-a clear message.
+Q8_K is an intermediate (dot-product) format that never appears in
+checkpoint files — loading it raises with a clear message.
 """
 
 from __future__ import annotations
@@ -39,9 +42,13 @@ GGML_Q4_1 = 3
 GGML_Q5_0 = 6
 GGML_Q5_1 = 7
 GGML_Q8_0 = 8
+GGML_Q2_K = 10
+GGML_Q3_K = 11
+GGML_Q4_K = 12
+GGML_Q5_K = 13
+GGML_Q6_K = 14
+GGML_Q8_K = 15
 GGML_BF16 = 30
-
-_K_QUANTS = {10, 11, 12, 13, 14, 15}
 
 
 class _Reader:
@@ -154,14 +161,129 @@ def _dequant_q5_1(raw: np.ndarray, n: int) -> np.ndarray:
     return (d * q + m).reshape(-1)[:n]
 
 
+# ------------------------------------------------- K-quant super-blocks
+# 256-element super-blocks; llama.cpp ggml-quants.c layouts. All index
+# math below is expressed per element e in [0, 256) so the whole tensor
+# dequantizes as one vectorized gather.
+
+_E = np.arange(256)
+
+
+def _k4_scale_min(sb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unpack the 12-byte Q4_K/Q5_K scale block -> 8 six-bit
+    (scale, min) pairs (llama.cpp get_scale_min_k4)."""
+    sb = sb.astype(np.int32)
+    sc = np.empty(sb.shape[:-1] + (8,), np.int32)
+    mn = np.empty_like(sc)
+    sc[..., :4] = sb[..., 0:4] & 63
+    mn[..., :4] = sb[..., 4:8] & 63
+    sc[..., 4:] = (sb[..., 8:12] & 0x0F) | ((sb[..., 0:4] >> 6) << 4)
+    mn[..., 4:] = (sb[..., 8:12] >> 4) | ((sb[..., 4:8] >> 6) << 4)
+    return sc, mn
+
+
+def _dequant_q2_k(raw: np.ndarray, n: int) -> np.ndarray:
+    blk = raw.reshape(-1, 84)
+    scales = blk[:, :16].astype(np.int32)   # per-16 4-bit scale | min<<4
+    qs = blk[:, 16:80]
+    d = _f16(blk[:, 80:82]).reshape(-1, 1)
+    dmin = _f16(blk[:, 82:84]).reshape(-1, 1)
+    byte_idx = (_E // 128) * 32 + (_E % 32)
+    shift = 2 * ((_E % 128) // 32)
+    q = ((qs[:, byte_idx] >> shift) & 3).astype(np.float32)
+    sc = scales[:, _E // 16]
+    dl = d * (sc & 0x0F).astype(np.float32)
+    ml = dmin * (sc >> 4).astype(np.float32)
+    return (dl * q - ml).reshape(-1)[:n]
+
+
+def _dequant_q3_k(raw: np.ndarray, n: int) -> np.ndarray:
+    blk = raw.reshape(-1, 110)
+    hmask = blk[:, :32]
+    qs = blk[:, 32:96]
+    sb = blk[:, 96:108].astype(np.int32)
+    d = _f16(blk[:, 108:110]).reshape(-1, 1)
+    # 12 bytes -> 16 six-bit scales: low 4 bits from byte k%8's
+    # low/high nibble, high 2 bits from bytes 8..11
+    k = np.arange(16)
+    low = np.where(k < 8, sb[:, k % 8] & 0x0F, sb[:, k % 8] >> 4)
+    hi = (sb[:, 8 + (k % 4)] >> (2 * (k // 4))) & 3
+    scales = ((hi << 4) | low) - 32          # [B, 16]
+    byte_idx = (_E // 128) * 32 + (_E % 32)
+    shift = 2 * ((_E % 128) // 32)
+    q = ((qs[:, byte_idx] >> shift) & 3).astype(np.int32)
+    hbit = (hmask[:, _E % 32] >> (_E // 32)) & 1
+    q = q - np.where(hbit == 0, 4, 0)
+    sc = scales[:, _E // 16].astype(np.float32)
+    return (d * sc * q.astype(np.float32)).reshape(-1)[:n]
+
+
+def _dequant_q4_k(raw: np.ndarray, n: int) -> np.ndarray:
+    blk = raw.reshape(-1, 144)
+    d = _f16(blk[:, 0:2]).reshape(-1, 1)
+    dmin = _f16(blk[:, 2:4]).reshape(-1, 1)
+    sc, mn = _k4_scale_min(blk[:, 4:16])
+    qs = blk[:, 16:144]
+    byte_idx = (_E // 64) * 32 + (_E % 32)
+    q = np.where(
+        (_E % 64) < 32, qs[:, byte_idx] & 0x0F, qs[:, byte_idx] >> 4
+    ).astype(np.float32)
+    sub = _E // 32
+    return (
+        d * sc[:, sub].astype(np.float32) * q
+        - dmin * mn[:, sub].astype(np.float32)
+    ).reshape(-1)[:n]
+
+
+def _dequant_q5_k(raw: np.ndarray, n: int) -> np.ndarray:
+    blk = raw.reshape(-1, 176)
+    d = _f16(blk[:, 0:2]).reshape(-1, 1)
+    dmin = _f16(blk[:, 2:4]).reshape(-1, 1)
+    sc, mn = _k4_scale_min(blk[:, 4:16])
+    qh = blk[:, 16:48]
+    qs = blk[:, 48:176]
+    byte_idx = (_E // 64) * 32 + (_E % 32)
+    low = np.where(
+        (_E % 64) < 32, qs[:, byte_idx] & 0x0F, qs[:, byte_idx] >> 4
+    ).astype(np.int32)
+    hbit = ((qh[:, _E % 32] >> (_E // 32)) & 1).astype(np.int32)
+    q = (low + 16 * hbit).astype(np.float32)
+    sub = _E // 32
+    return (
+        d * sc[:, sub].astype(np.float32) * q
+        - dmin * mn[:, sub].astype(np.float32)
+    ).reshape(-1)[:n]
+
+
+def _dequant_q6_k(raw: np.ndarray, n: int) -> np.ndarray:
+    blk = raw.reshape(-1, 210)
+    ql = blk[:, :128]
+    qh = blk[:, 128:192]
+    scales = np.ascontiguousarray(blk[:, 192:208]).view(np.int8)
+    d = _f16(blk[:, 208:210]).reshape(-1, 1)
+    g, eg = _E // 128, _E % 128
+    sub, l = eg // 32, eg % 32
+    lowraw = ql[:, g * 64 + l + 32 * (sub % 2)]
+    low = np.where(sub < 2, lowraw & 0x0F, lowraw >> 4).astype(np.int32)
+    hi = ((qh[:, g * 32 + l] >> (2 * sub)) & 3).astype(np.int32)
+    q = ((low | (hi << 4)) - 32).astype(np.float32)
+    sc = scales[:, g * 8 + sub * 2 + l // 16].astype(np.float32)
+    return (d * sc * q).reshape(-1)[:n]
+
+
 _BLOCK_BYTES = {
     GGML_Q8_0: (32, 34), GGML_Q4_0: (32, 18), GGML_Q4_1: (32, 20),
     GGML_Q5_0: (32, 22), GGML_Q5_1: (32, 24),
+    GGML_Q2_K: (256, 84), GGML_Q3_K: (256, 110), GGML_Q4_K: (256, 144),
+    GGML_Q5_K: (256, 176), GGML_Q6_K: (256, 210),
 }
 _DEQUANT = {
     GGML_Q8_0: _dequant_q8_0, GGML_Q4_0: _dequant_q4_0,
     GGML_Q4_1: _dequant_q4_1, GGML_Q5_0: _dequant_q5_0,
     GGML_Q5_1: _dequant_q5_1,
+    GGML_Q2_K: _dequant_q2_k, GGML_Q3_K: _dequant_q3_k,
+    GGML_Q4_K: _dequant_q4_k, GGML_Q5_K: _dequant_q5_k,
+    GGML_Q6_K: _dequant_q6_k,
 }
 
 
@@ -183,11 +305,13 @@ def _decode(gtype: int, raw: np.ndarray, n: int) -> np.ndarray:
         return (
             raw.view(np.uint16)[:n].astype(np.uint32) << 16
         ).view(np.float32)
-    if gtype in _K_QUANTS:
+    if gtype == GGML_Q8_K:
         raise NotImplementedError(
-            f"GGUF K-quant type {gtype} is not supported; re-export the "
-            "checkpoint as Q8_0/Q4_0/Q4_1/Q5_0/Q5_1 or f16"
+            "GGUF Q8_K is a dot-product intermediate format, not a "
+            "checkpoint storage type; re-export as Q8_0 or a K-quant"
         )
+    if gtype not in _DEQUANT:
+        raise NotImplementedError(f"GGUF tensor type {gtype} unsupported")
     return _DEQUANT[gtype](raw, n)
 
 

@@ -132,9 +132,195 @@ def test_q8_dequant_matches_manual():
     np.testing.assert_allclose(ours, np.concatenate(ref), rtol=1e-6)
 
 
-def test_k_quant_raises(tmp_path):
+def test_q8_k_raises():
     with pytest.raises(NotImplementedError):
-        G._decode(14, np.zeros(210, np.uint8), 256)
+        G._decode(G.GGML_Q8_K, np.zeros(292, np.uint8), 256)
+
+
+# ------------------------------------------------- K-quant scalar oracles
+# Literal per-element transcriptions of llama.cpp's dequantize_row_q*_K
+# loops (ggml-quants.c), kept deliberately scalar/loopy so they share no
+# index math with the vectorized implementations under test.
+def _f16_at(b, o):
+    return np.float32(np.frombuffer(b[o : o + 2].tobytes(), np.float16)[0])
+
+
+def _oracle_q2_k(raw):
+    out = []
+    for blk in raw.reshape(-1, 84):
+        sc8, qs = blk[:16], blk[16:80]
+        d, dmin = _f16_at(blk, 80), _f16_at(blk, 82)
+        is_ = 0
+        qoff = 0
+        for n in range(0, 256, 128):
+            shift = 0
+            for _j in range(4):
+                for half in range(2):
+                    s = int(sc8[is_]); is_ += 1
+                    dl, ml = d * (s & 0xF), dmin * (s >> 4)
+                    for l in range(16):
+                        q = (int(qs[qoff + l + 16 * half]) >> shift) & 3
+                        out.append(dl * q - ml)
+                shift += 2
+            qoff += 32
+    return np.array(out, np.float32)
+
+
+def _oracle_q3_k(raw):
+    out = []
+    for blk in raw.reshape(-1, 110):
+        hm, qs, sb = blk[:32], blk[32:96], blk[96:108]
+        d_all = _f16_at(blk, 108)
+        # 6-bit scales via the aux-word trick
+        aux = np.frombuffer(sb.tobytes(), np.uint32).copy()
+        km1, km2 = 0x03030303, 0x0F0F0F0F
+        tmp = int(aux[2])
+        a = [0] * 4
+        a[0] = (int(aux[0]) & km2) | (((tmp >> 0) & km1) << 4)
+        a[1] = (int(aux[1]) & km2) | (((tmp >> 2) & km1) << 4)
+        a[2] = ((int(aux[0]) >> 4) & km2) | (((tmp >> 4) & km1) << 4)
+        a[3] = ((int(aux[1]) >> 4) & km2) | (((tmp >> 6) & km1) << 4)
+        scales = np.frombuffer(
+            np.array(a, dtype=np.uint32).tobytes(), np.int8
+        )
+        is_, m, qoff = 0, 1, 0
+        for n in range(0, 256, 128):
+            shift = 0
+            for _j in range(4):
+                for half in range(2):
+                    dl = d_all * (int(scales[is_]) - 32); is_ += 1
+                    for l in range(16):
+                        q = (int(qs[qoff + l + 16 * half]) >> shift) & 3
+                        if not (int(hm[l + 16 * half]) & m):
+                            q -= 4
+                        out.append(dl * q)
+                shift += 2
+                m <<= 1
+            qoff += 32
+    return np.array(out, np.float32)
+
+
+def _gsm4(j, q):
+    if j < 4:
+        return int(q[j]) & 63, int(q[j + 4]) & 63
+    d = (int(q[j + 4]) & 0xF) | ((int(q[j - 4]) >> 6) << 4)
+    m = (int(q[j + 4]) >> 4) | ((int(q[j]) >> 6) << 4)
+    return d, m
+
+
+def _oracle_q4_k(raw):
+    out = []
+    for blk in raw.reshape(-1, 144):
+        d, dmin = _f16_at(blk, 0), _f16_at(blk, 2)
+        sc8, qs = blk[4:16], blk[16:144]
+        is_, qoff = 0, 0
+        for j in range(0, 256, 64):
+            s1, m1 = _gsm4(is_, sc8)
+            s2, m2 = _gsm4(is_ + 1, sc8)
+            for l in range(32):
+                out.append(d * s1 * (int(qs[qoff + l]) & 0xF) - dmin * m1)
+            for l in range(32):
+                out.append(d * s2 * (int(qs[qoff + l]) >> 4) - dmin * m2)
+            qoff += 32
+            is_ += 2
+    return np.array(out, np.float32)
+
+
+def _oracle_q5_k(raw):
+    out = []
+    for blk in raw.reshape(-1, 176):
+        d, dmin = _f16_at(blk, 0), _f16_at(blk, 2)
+        sc8, qh, ql = blk[4:16], blk[16:48], blk[48:176]
+        is_, qoff, u1, u2 = 0, 0, 1, 2
+        for j in range(0, 256, 64):
+            s1, m1 = _gsm4(is_, sc8)
+            s2, m2 = _gsm4(is_ + 1, sc8)
+            for l in range(32):
+                q = (int(ql[qoff + l]) & 0xF) + (
+                    16 if int(qh[l]) & u1 else 0
+                )
+                out.append(d * s1 * q - dmin * m1)
+            for l in range(32):
+                q = (int(ql[qoff + l]) >> 4) + (
+                    16 if int(qh[l]) & u2 else 0
+                )
+                out.append(d * s2 * q - dmin * m2)
+            qoff += 32
+            is_ += 2
+            u1 <<= 2
+            u2 <<= 2
+    return np.array(out, np.float32)
+
+
+def _oracle_q6_k(raw):
+    out = []
+    for blk in raw.reshape(-1, 210):
+        ql, qh = blk[:128], blk[128:192]
+        sc = np.frombuffer(blk[192:208].tobytes(), np.int8)
+        d = _f16_at(blk, 208)
+        y = np.zeros(256, np.float32)
+        lo, ho, so, yo = 0, 0, 0, 0
+        for n in range(0, 256, 128):
+            for l in range(32):
+                is_ = l // 16
+                q1 = ((int(ql[lo + l]) & 0xF)
+                      | (((int(qh[ho + l]) >> 0) & 3) << 4)) - 32
+                q2 = ((int(ql[lo + l + 32]) & 0xF)
+                      | (((int(qh[ho + l]) >> 2) & 3) << 4)) - 32
+                q3 = ((int(ql[lo + l]) >> 4)
+                      | (((int(qh[ho + l]) >> 4) & 3) << 4)) - 32
+                q4 = ((int(ql[lo + l + 32]) >> 4)
+                      | (((int(qh[ho + l]) >> 6) & 3) << 4)) - 32
+                y[yo + l] = d * int(sc[so + is_]) * q1
+                y[yo + l + 32] = d * int(sc[so + is_ + 2]) * q2
+                y[yo + l + 64] = d * int(sc[so + is_ + 4]) * q3
+                y[yo + l + 96] = d * int(sc[so + is_ + 6]) * q4
+            lo += 64
+            ho += 32
+            so += 8
+            yo += 128
+        out.append(y)
+    return np.concatenate(out)
+
+
+_K_CASES = [
+    (G.GGML_Q2_K, 84, _oracle_q2_k),
+    (G.GGML_Q3_K, 110, _oracle_q3_k),
+    (G.GGML_Q4_K, 144, _oracle_q4_k),
+    (G.GGML_Q5_K, 176, _oracle_q5_k),
+    (G.GGML_Q6_K, 210, _oracle_q6_k),
+]
+
+
+@pytest.mark.parametrize("gtype,bsz,oracle", _K_CASES)
+def test_k_quant_dequant_matches_scalar_oracle(gtype, bsz, oracle):
+    rng = np.random.default_rng(gtype)
+    nblocks = 3
+    raw = rng.integers(0, 256, size=nblocks * bsz, dtype=np.uint8)
+    # keep the f16 super-scales finite
+    for b in range(nblocks):
+        off = {G.GGML_Q2_K: 80, G.GGML_Q3_K: 108, G.GGML_Q4_K: 0,
+               G.GGML_Q5_K: 0, G.GGML_Q6_K: 208}[gtype]
+        scale_bytes = np.float16(rng.normal() * 0.01).tobytes()
+        raw[b * bsz + off : b * bsz + off + 2] = np.frombuffer(
+            scale_bytes, np.uint8
+        )
+        if gtype in (G.GGML_Q2_K, G.GGML_Q4_K, G.GGML_Q5_K):
+            off2 = off + 2 if gtype != G.GGML_Q2_K else 82
+            min_bytes = np.float16(rng.normal() * 0.01).tobytes()
+            raw[b * bsz + off2 : b * bsz + off2 + 2] = np.frombuffer(
+                min_bytes, np.uint8
+            )
+    got = G._decode(gtype, raw, nblocks * 256)
+    want = oracle(raw)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_k_quant_nbytes_and_partial_tail():
+    # _tensor_nbytes handles 256-wide blocks, and trailing n < capacity
+    assert G._tensor_nbytes(G.GGML_Q4_K, 512) == 2 * 144
+    raw = np.zeros(144, np.uint8)
+    assert G._decode(G.GGML_Q4_K, raw, 200).shape == (200,)
 
 
 def test_config_kwargs_from_metadata():
