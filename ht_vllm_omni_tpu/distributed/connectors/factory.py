@@ -40,8 +40,32 @@ def _register_builtins() -> None:
     from ht_vllm_omni_tpu.distributed.connectors.tcp import TcpConnector
 
     OmniConnectorFactory.register("TcpConnector", TcpConnector)
-    # drop-in name for reference configs written for Mooncake
-    OmniConnectorFactory.register("MooncakeStoreConnector", TcpConnector)
+
+    # Native C++ data plane (Mooncake-TransferEngine-equivalent); falls
+    # back to the Python TCP connector when no toolchain is available.
+    from ht_vllm_omni_tpu.native.transfer import native_available
+
+    if native_available():
+        from ht_vllm_omni_tpu.distributed.connectors.native_tcp import (
+            NativeTcpConnector,
+        )
+
+        OmniConnectorFactory.register(
+            "NativeTcpConnector", NativeTcpConnector
+        )
+        # drop-in names for reference configs written for Mooncake
+        OmniConnectorFactory.register(
+            "MooncakeStoreConnector", NativeTcpConnector
+        )
+        OmniConnectorFactory.register(
+            "MooncakeTransferEngineConnector", NativeTcpConnector
+        )
+    else:  # pragma: no cover - toolchain-less host
+        OmniConnectorFactory.register("NativeTcpConnector", TcpConnector)
+        OmniConnectorFactory.register("MooncakeStoreConnector", TcpConnector)
+        OmniConnectorFactory.register(
+            "MooncakeTransferEngineConnector", TcpConnector
+        )
 
 
 _register_builtins()

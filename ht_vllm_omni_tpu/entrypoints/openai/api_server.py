@@ -78,7 +78,9 @@ class OmniAPIServer:
                 web.post("/v1/images/generations", self.images),
                 web.post("/v1/images/edits", self.image_edits),
                 web.post("/v1/videos", self.create_video),
+                web.get("/v1/videos", self.list_videos),
                 web.get("/v1/videos/{video_id}", self.video_status),
+                web.delete("/v1/videos/{video_id}", self.delete_video),
                 web.get(
                     "/v1/videos/{video_id}/content", self.video_content
                 ),
@@ -765,6 +767,62 @@ class OmniAPIServer:
         if job is None:
             raise web.HTTPNotFound(reason=f"unknown video {video_id}")
         return video_id, job
+
+    async def list_videos(self, request: web.Request) -> web.Response:
+        """Paginated job listing (reference api_server.py:2108-2142:
+        cursor `after`, `limit` 0..100, `order` asc/desc by created_at)."""
+        order = request.query.get("order", "desc")
+        if order not in ("asc", "desc"):
+            raise web.HTTPBadRequest(reason="order must be asc|desc")
+        limit_s = request.query.get("limit")
+        limit = None
+        if limit_s is not None:
+            limit = int(limit_s)
+            if not 0 <= limit <= 100:
+                raise web.HTTPBadRequest(reason="limit must be in [0,100]")
+        jobs = sorted(
+            self.video_jobs.items(),
+            key=lambda kv: kv[1]["created"],
+            reverse=order == "desc",
+        )
+        after = request.query.get("after")
+        if after is not None:
+            idx = next(
+                (i for i, (vid, _) in enumerate(jobs) if vid == after), None
+            )
+            jobs = [] if idx is None else jobs[idx + 1 :]
+        has_more = False
+        if limit is not None:
+            has_more = len(jobs) > limit
+            jobs = jobs[:limit]
+        data = [
+            {
+                "id": vid,
+                "object": "video",
+                "status": job["status"],
+                "created_at": int(job["created"]),
+                "frames_done": len(job["frames"]),
+                "error": job["error"],
+            }
+            for vid, job in jobs
+        ]
+        return web.json_response(
+            {
+                "object": "list",
+                "data": data,
+                "has_more": has_more,
+                "first_id": data[0]["id"] if data else None,
+                "last_id": data[-1]["id"] if data else None,
+            }
+        )
+
+    async def delete_video(self, request: web.Request) -> web.Response:
+        """Delete a stored job + artifact (reference api_server.py:2164)."""
+        video_id, job = self._job_or_404(request)
+        if job["status"] == "running":
+            raise web.HTTPConflict(reason="job still running")
+        del self.video_jobs[video_id]
+        return web.json_response({"id": video_id, "deleted": True})
 
     async def video_status(self, request: web.Request) -> web.Response:
         video_id, job = self._job_or_404(request)

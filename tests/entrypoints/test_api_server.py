@@ -531,3 +531,57 @@ async def _test_images_endpoint_round2_families():
         finally:
             await client.close()
             engine.shutdown()
+
+
+def test_video_list_and_delete():
+    _run(_test_video_list_and_delete())
+
+
+async def _test_video_list_and_delete():
+    """GET /v1/videos pagination + DELETE (reference api_server.py:2108,
+    :2164): order/after/limit cursor semantics over the job store."""
+    engine = _mk_video_engine()
+    server = OmniAPIServer(engine, FakeTokenizer())
+    client = TestClient(TestServer(server.build_app()))
+    await client.start_server()
+    try:
+        for i, vid in enumerate(["video-a", "video-b", "video-c"]):
+            server.video_jobs[vid] = {
+                "status": "completed", "frames": [], "error": None,
+                "created": 100.0 + i,
+            }
+        r = await client.get("/v1/videos")
+        body = await r.json()
+        assert [j["id"] for j in body["data"]] == [
+            "video-c", "video-b", "video-a"
+        ]
+        assert body["first_id"] == "video-c" and body["last_id"] == "video-a"
+
+        r = await client.get("/v1/videos?order=asc&limit=2")
+        body = await r.json()
+        assert [j["id"] for j in body["data"]] == ["video-a", "video-b"]
+        assert body["has_more"] is True
+
+        r = await client.get("/v1/videos?order=asc&after=video-b")
+        body = await r.json()
+        assert [j["id"] for j in body["data"]] == ["video-c"]
+        assert body["has_more"] is False
+
+        r = await client.delete("/v1/videos/video-b")
+        assert r.status == 200
+        assert (await r.json()) == {"id": "video-b", "deleted": True}
+        r = await client.get("/v1/videos/video-b")
+        assert r.status == 404
+
+        server.video_jobs["video-r"] = {
+            "status": "running", "frames": [], "error": None,
+            "created": 200.0,
+        }
+        r = await client.delete("/v1/videos/video-r")
+        assert r.status == 409
+
+        r = await client.get("/v1/videos?limit=200")
+        assert r.status == 400
+    finally:
+        await client.close()
+        engine.shutdown()
