@@ -41,31 +41,25 @@ def _register_builtins() -> None:
 
     OmniConnectorFactory.register("TcpConnector", TcpConnector)
 
-    # Native C++ data plane (Mooncake-TransferEngine-equivalent); falls
-    # back to the Python TCP connector when no toolchain is available.
-    from ht_vllm_omni_tpu.native.transfer import native_available
+    # Mooncake drop-in names stay pinned to the Python TCP wire: the two
+    # protocols are wire-incompatible, so the choice must be an explicit
+    # config decision on BOTH ends, never per-host toolchain autodetect
+    # (a native client against a Python server silently hangs the data
+    # plane).  Opt into the C++ engine by naming NativeTcpConnector.
+    OmniConnectorFactory.register("MooncakeStoreConnector", TcpConnector)
+    OmniConnectorFactory.register(
+        "MooncakeTransferEngineConnector", TcpConnector
+    )
 
-    if native_available():
-        from ht_vllm_omni_tpu.distributed.connectors.native_tcp import (
-            NativeTcpConnector,
-        )
+    # Native C++ data plane (Mooncake-TransferEngine-equivalent).  The
+    # class import is cheap; the g++ build is deferred to first
+    # instantiation (NativeTcpConnector.__init__ -> transfer._load), so
+    # importing the connectors package never shells out to a compiler.
+    from ht_vllm_omni_tpu.distributed.connectors.native_tcp import (
+        NativeTcpConnector,
+    )
 
-        OmniConnectorFactory.register(
-            "NativeTcpConnector", NativeTcpConnector
-        )
-        # drop-in names for reference configs written for Mooncake
-        OmniConnectorFactory.register(
-            "MooncakeStoreConnector", NativeTcpConnector
-        )
-        OmniConnectorFactory.register(
-            "MooncakeTransferEngineConnector", NativeTcpConnector
-        )
-    else:  # pragma: no cover - toolchain-less host
-        OmniConnectorFactory.register("NativeTcpConnector", TcpConnector)
-        OmniConnectorFactory.register("MooncakeStoreConnector", TcpConnector)
-        OmniConnectorFactory.register(
-            "MooncakeTransferEngineConnector", TcpConnector
-        )
+    OmniConnectorFactory.register("NativeTcpConnector", NativeTcpConnector)
 
 
 _register_builtins()

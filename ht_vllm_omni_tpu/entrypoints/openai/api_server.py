@@ -756,7 +756,7 @@ class OmniAPIServer:
                 job["status"] = "failed"
                 job["error"] = str(e)
 
-        asyncio.get_running_loop().create_task(run())
+        job["task"] = asyncio.get_running_loop().create_task(run())
         return web.json_response(
             {"id": video_id, "status": "queued"}, status=202
         )
@@ -777,7 +777,10 @@ class OmniAPIServer:
         limit_s = request.query.get("limit")
         limit = None
         if limit_s is not None:
-            limit = int(limit_s)
+            try:
+                limit = int(limit_s)
+            except ValueError:
+                raise web.HTTPBadRequest(reason="limit must be an integer")
             if not 0 <= limit <= 100:
                 raise web.HTTPBadRequest(reason="limit must be in [0,100]")
         jobs = sorted(
@@ -817,10 +820,12 @@ class OmniAPIServer:
         )
 
     async def delete_video(self, request: web.Request) -> web.Response:
-        """Delete a stored job + artifact (reference api_server.py:2164)."""
+        """Delete a stored job + artifact (reference api_server.py:2164;
+        the reference cancels queued/running jobs on delete)."""
         video_id, job = self._job_or_404(request)
-        if job["status"] == "running":
-            raise web.HTTPConflict(reason="job still running")
+        task = job.get("task")
+        if job["status"] in ("queued", "running") and task is not None:
+            task.cancel()
         del self.video_jobs[video_id]
         return web.json_response({"id": video_id, "deleted": True})
 

@@ -52,6 +52,13 @@ constexpr uint8_t ST_OK = 0;
 constexpr uint8_t ST_MISSING = 1;
 constexpr uint8_t ST_ERROR = 2;
 
+// Network trust boundary: frames come from untrusted peers, so lengths
+// must be validated before any allocation (a desynced or malicious
+// stream can claim arbitrary u64 sizes).  4 GiB covers the largest KV
+// payloads the connectors ship while bounding a single allocation.
+constexpr uint64_t kMaxValLen = 4ull << 30;
+constexpr uint16_t kMaxKeyLen = 4096;
+
 #pragma pack(push, 1)
 struct ReqHeader {
   uint8_t op;
@@ -122,6 +129,7 @@ struct Server {
 
   std::thread accept_thread;
   std::vector<std::thread> conn_threads;
+  std::vector<int> conn_fds;  // live accepted sockets (severed on stop)
   std::mutex threads_mu;
 
   // stats (for metrics/observability parity with Mooncake's counters)
@@ -144,10 +152,30 @@ struct Server {
   void handle_conn(int fd) {
     int one = 1;
     ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    try {
+      handle_conn_loop(fd);
+    } catch (...) {
+      // Never let a bad frame (e.g. bad_alloc from a hostile length we
+      // somehow still failed to reject) escape the thread: that would
+      // std::terminate the whole serving process.
+    }
+    drop_conn_fd(fd);
+    ::close(fd);
+  }
+
+  void handle_conn_loop(int fd) {
     std::string key;
     while (running.load()) {
       ReqHeader h;
       if (!read_exact(fd, &h, sizeof(h))) break;
+      if (h.key_len > kMaxKeyLen || h.val_len > kMaxValLen) {
+        // Oversized/desynced frame: we cannot resync a byte stream, so
+        // reply ST_ERROR and drop the connection.
+        RespHeader resp{ST_ERROR, 0};
+        struct iovec iov[1] = {{&resp, sizeof(resp)}};
+        write_all(fd, iov, 1);
+        break;
+      }
       key.resize(h.key_len);
       if (h.key_len && !read_exact(fd, key.data(), h.key_len)) break;
 
@@ -201,7 +229,16 @@ struct Server {
       bytes_out += out.size();
       if (!write_all(fd, iov, out.empty() ? 1 : 2)) break;
     }
-    ::close(fd);
+  }
+
+  void drop_conn_fd(int fd) {
+    std::lock_guard<std::mutex> lk(threads_mu);
+    for (auto it = conn_fds.begin(); it != conn_fds.end(); ++it) {
+      if (*it == fd) {
+        conn_fds.erase(it);
+        break;
+      }
+    }
   }
 
   void accept_loop() {
@@ -212,6 +249,7 @@ struct Server {
         break;  // listen socket closed on shutdown
       }
       std::lock_guard<std::mutex> lk(threads_mu);
+      conn_fds.push_back(fd);
       conn_threads.emplace_back([this, fd] { handle_conn(fd); });
     }
   }
@@ -286,8 +324,20 @@ void te_server_stop(void* handle) {
   s->cv.notify_all();
   if (s->accept_thread.joinable()) s->accept_thread.join();
   {
+    // Sever live client connections: handler threads sit blocked in
+    // read() on persistent idle sockets (the connector's normal state),
+    // so without a shutdown() the join below would deadlock forever.
     std::lock_guard<std::mutex> lk(s->threads_mu);
-    for (auto& t : s->conn_threads)
+    for (int fd : s->conn_fds) ::shutdown(fd, SHUT_RDWR);
+  }
+  for (;;) {
+    std::vector<std::thread> threads;
+    {
+      std::lock_guard<std::mutex> lk(s->threads_mu);
+      threads.swap(s->conn_threads);
+    }
+    if (threads.empty()) break;
+    for (auto& t : threads)
       if (t.joinable()) t.join();
   }
   delete s;
@@ -354,7 +404,9 @@ int te_get(void* handle, const char* key, uint16_t key_len,
   *out = nullptr;
   *out_len = 0;
   if (resp.status != ST_OK) return resp.status;
+  if (resp.val_len > kMaxValLen) return ST_ERROR;  // desynced/hostile server
   auto* buf = static_cast<uint8_t*>(::malloc(resp.val_len ? resp.val_len : 1));
+  if (buf == nullptr) return ST_ERROR;
   if (resp.val_len && !read_exact(c->fd, buf, resp.val_len)) {
     ::free(buf);
     return ST_ERROR;

@@ -573,14 +573,28 @@ async def _test_video_list_and_delete():
         r = await client.get("/v1/videos/video-b")
         assert r.status == 404
 
+        # deleting a queued/running job cancels its background task
+        # (reference attempts cancellation rather than 409ing)
+        import asyncio
+
+        async def _never():
+            await asyncio.sleep(3600)
+
+        task = asyncio.get_running_loop().create_task(_never())
         server.video_jobs["video-r"] = {
             "status": "running", "frames": [], "error": None,
-            "created": 200.0,
+            "created": 200.0, "task": task,
         }
         r = await client.delete("/v1/videos/video-r")
-        assert r.status == 409
+        assert r.status == 200
+        await asyncio.sleep(0)
+        assert task.cancelled() or task.cancelling()
+        r = await client.get("/v1/videos/video-r")
+        assert r.status == 404
 
         r = await client.get("/v1/videos?limit=200")
+        assert r.status == 400
+        r = await client.get("/v1/videos?limit=abc")
         assert r.status == 400
     finally:
         await client.close()
