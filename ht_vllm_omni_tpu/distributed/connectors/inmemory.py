@@ -9,11 +9,36 @@ doubles as the MockConnector used pervasively by the reference's tests
 
 from __future__ import annotations
 
-import pickle
+import sys
 import threading
 from typing import Any
 
+import numpy as np
+
 from ht_vllm_omni_tpu.distributed.connectors.base import OmniConnectorBase
+
+
+def _approx_nbytes(o: Any) -> int:
+    """Metrics-only size estimate. The payload never leaves the process
+    (passed by reference), so no serialization — and no pickle — is
+    involved; this just feeds the bytes counters."""
+    if isinstance(o, np.ndarray):
+        return o.nbytes
+    if hasattr(o, "nbytes"):  # jax arrays and friends
+        try:
+            return int(o.nbytes)
+        except Exception:
+            return 0
+    if isinstance(o, (bytes, bytearray, memoryview)):
+        return len(o)
+    if isinstance(o, dict):
+        return sum(_approx_nbytes(v) for v in o.values())
+    if isinstance(o, (list, tuple)):
+        return sum(_approx_nbytes(v) for v in o)
+    try:
+        return sys.getsizeof(o)
+    except Exception:
+        return 0
 
 
 class InMemoryConnector(OmniConnectorBase):
@@ -28,11 +53,7 @@ class InMemoryConnector(OmniConnectorBase):
     def put(self, from_stage, to_stage, key, data):
         with self._lock:
             self._store[self._key(from_stage, to_stage, key)] = data
-        try:
-            size = len(pickle.dumps(data, protocol=pickle.HIGHEST_PROTOCOL))
-        except Exception:
-            size = 0
-        return True, size
+        return True, _approx_nbytes(data)
 
     def get(self, from_stage, to_stage, key):
         with self._lock:

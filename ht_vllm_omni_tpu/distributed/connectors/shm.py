@@ -2,21 +2,29 @@
 
 Rebuild of the reference's SharedMemoryConnector (reference
 vllm_omni/distributed/omni_connectors/connectors/shm_connector.py:17-151):
-pickle the payload into a named multiprocessing.shared_memory segment; a
+encode the payload into a named multiprocessing.shared_memory segment; a
 small named side-channel (a filesystem directory of key files) advertises
 segment names; the consumer unlinks the segment after reading.
+
+Payloads use the data-only codec (codec.py) rather than pickle: shm
+segments and the registry dir are same-host but still a process trust
+boundary (any local process can publish a segment name), and the codec
+is also zero-copy-friendlier for large arrays.
 """
 
 from __future__ import annotations
 
 import os
-import pickle
 import tempfile
 import uuid
 from multiprocessing import shared_memory
 from typing import Any
 
 from ht_vllm_omni_tpu.distributed.connectors.base import OmniConnectorBase
+from ht_vllm_omni_tpu.distributed.connectors.codec import (
+    decode_payload,
+    encode_payload,
+)
 
 
 class SharedMemoryConnector(OmniConnectorBase):
@@ -32,7 +40,7 @@ class SharedMemoryConnector(OmniConnectorBase):
         return os.path.join(self.registry_dir, safe)
 
     def put(self, from_stage, to_stage, key, data):
-        blob = pickle.dumps(data, protocol=pickle.HIGHEST_PROTOCOL)
+        blob = encode_payload(data)
         seg_name = f"htomni_{uuid.uuid4().hex[:16]}"
         seg = shared_memory.SharedMemory(
             create=True, size=max(len(blob), 1), name=seg_name
@@ -60,7 +68,7 @@ class SharedMemoryConnector(OmniConnectorBase):
         except FileNotFoundError:
             return None, 0
         try:
-            data = pickle.loads(bytes(seg.buf[: int(size)]))
+            data = decode_payload(bytes(seg.buf[: int(size)]))
         finally:
             seg.close()
             try:

@@ -59,13 +59,23 @@ class Omni:
         sampling_params_list: (
             SamplingParams | Sequence[SamplingParams] | None
         ) = None,
-    ) -> list[OmniRequestOutput]:
-        """Run prompts through the whole pipeline; returns one final output
-        per prompt (multimodal tensors consolidated)."""
+        py_generator: bool = False,
+    ):
+        """Run prompts through the whole pipeline.
+
+        Default: returns one final output per prompt (multimodal tensors
+        consolidated).  With ``py_generator=True`` (reference
+        vllm_omni/entrypoints/omni.py:61,144-172) returns an iterator
+        that yields every final-stage OmniRequestOutput as it is
+        produced — incremental token/audio chunks included — so offline
+        callers can stream without the async engine.
+        """
         order = [
             self.orchestrator.add_request(p, sampling_params_list)
             for p in prompts
         ]
+        if py_generator:
+            return self._generate_stream()
         finals: dict[str, OmniRequestOutput] = {}
         while self.orchestrator.has_unfinished():
             for out in self.orchestrator.step():
@@ -74,6 +84,12 @@ class Omni:
                 if out.final_output and out.finished:
                     finals[out.request_id] = out
         return [finals[rid] for rid in order]
+
+    def _generate_stream(self):
+        while self.orchestrator.has_unfinished():
+            for out in self.orchestrator.step():
+                if out.final_output:
+                    yield out
 
     def abort(self, request_id: str) -> None:
         self.orchestrator.abort_request(request_id)

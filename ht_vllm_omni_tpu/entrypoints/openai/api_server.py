@@ -192,6 +192,15 @@ class OmniAPIServer:
             flat.append({"role": m.get("role", "user"), "content": content})
         return flat, images, audios
 
+    def _encode_text(self, text: str) -> list[int]:
+        """Tokenize a fragment without auto-added special tokens (the
+        surrounding chat template already placed them; encode() adding a
+        BOS mid-prompt would corrupt real checkpoints)."""
+        try:
+            return list(self.tokenizer.encode(text, add_special_tokens=False))
+        except TypeError:  # test tokenizers without the kwarg
+            return list(self.tokenizer.encode(text))
+
     def _encode_chat(self, messages: list) -> OmniPrompt:
         if self.tokenizer is None:
             raise web.HTTPBadRequest(reason="no tokenizer loaded")
@@ -209,6 +218,20 @@ class OmniAPIServer:
         # token per media item (input_processing expands each placeholder
         # to its patch/frame grid and overlays the encoder embeddings)
         arch = self._stage0_arch()
+        # Multimodal (or template-less) path: still prefer the checkpoint's
+        # chat template for the surrounding special tokens — render it to a
+        # STRING (our <|mm_image|>/<|mm_audio|> markers survive as literal
+        # text), then splice placeholder ids below.  Only if the tokenizer
+        # has no template at all do we fall back to bare "role: content"
+        # lines (test tokenizers).
+        templated: str | None = None
+        if hasattr(self.tokenizer, "apply_chat_template"):
+            try:
+                templated = self.tokenizer.apply_chat_template(
+                    dicts, add_generation_prompt=True, tokenize=False
+                )
+            except Exception:
+                templated = None
         img_tok = getattr(arch, "image_token_id", None) if arch else None
         aud_tok = getattr(arch, "audio_token_id", None) if arch else None
         if images and img_tok is None:
@@ -223,16 +246,19 @@ class OmniAPIServer:
             )
         import re
 
+        if templated is not None:
+            segments = [templated]
+        else:
+            segments = [f"{m['role']}: {m['content']}\n" for m in dicts]
         token_ids: list[int] = []
-        for m in dicts:
-            text = f"{m['role']}: {m['content']}\n"
+        for text in segments:
             for piece in re.split(r"(<\|mm_image\|>|<\|mm_audio\|>)", text):
                 if piece == "<|mm_image|>":
                     token_ids.append(img_tok)
                 elif piece == "<|mm_audio|>":
                     token_ids.append(aud_tok)
                 elif piece:
-                    token_ids.extend(self.tokenizer.encode(piece))
+                    token_ids.extend(self._encode_text(piece))
         mm: dict[str, Any] = {}
         if images:
             mm["image"] = images

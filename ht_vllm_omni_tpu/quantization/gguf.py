@@ -14,12 +14,9 @@ aligned data section) and the common block-quant codecs:
   F32 / F16 / BF16, Q8_0 (f16 scale + 32 int8),
   Q4_0 / Q4_1 (f16 scale [+ min] + 32 nibbles),
   Q5_0 / Q5_1 (+ 32 high bits),
-  and the 256-element K-quant super-blocks Q2_K..Q6_K
+  and the 256-element K-quant super-blocks Q2_K..Q8_K
   (per-16/32 sub-block 4/6-bit scales under an f16 super scale,
-  llama.cpp ggml-quants layout).
-
-Q8_K is an intermediate (dot-product) format that never appears in
-checkpoint files — loading it raises with a clear message.
+  llama.cpp ggml-quants layout; Q8_K is f32 scale + int8 + bsums).
 """
 
 from __future__ import annotations
@@ -271,11 +268,21 @@ def _dequant_q6_k(raw: np.ndarray, n: int) -> np.ndarray:
     return (d * sc * q).reshape(-1)[:n]
 
 
+def _dequant_q8_k(raw: np.ndarray, n: int) -> np.ndarray:
+    """block_q8_K (llama.cpp ggml-quants.h): f32 d | int8 qs[256] |
+    int16 bsums[16].  Normally a dot-product intermediate, but files in
+    the wild do store it, and dequantization ignores the bsums."""
+    blk = raw.reshape(-1, 292)
+    d = np.ascontiguousarray(blk[:, 0:4]).view(np.float32)  # [B, 1]
+    q = np.ascontiguousarray(blk[:, 4:260]).view(np.int8)
+    return (d * q.astype(np.float32)).reshape(-1)[:n]
+
+
 _BLOCK_BYTES = {
     GGML_Q8_0: (32, 34), GGML_Q4_0: (32, 18), GGML_Q4_1: (32, 20),
     GGML_Q5_0: (32, 22), GGML_Q5_1: (32, 24),
     GGML_Q2_K: (256, 84), GGML_Q3_K: (256, 110), GGML_Q4_K: (256, 144),
-    GGML_Q5_K: (256, 176), GGML_Q6_K: (256, 210),
+    GGML_Q5_K: (256, 176), GGML_Q6_K: (256, 210), GGML_Q8_K: (256, 292),
 }
 _DEQUANT = {
     GGML_Q8_0: _dequant_q8_0, GGML_Q4_0: _dequant_q4_0,
@@ -283,7 +290,7 @@ _DEQUANT = {
     GGML_Q5_1: _dequant_q5_1,
     GGML_Q2_K: _dequant_q2_k, GGML_Q3_K: _dequant_q3_k,
     GGML_Q4_K: _dequant_q4_k, GGML_Q5_K: _dequant_q5_k,
-    GGML_Q6_K: _dequant_q6_k,
+    GGML_Q6_K: _dequant_q6_k, GGML_Q8_K: _dequant_q8_k,
 }
 
 
@@ -305,11 +312,6 @@ def _decode(gtype: int, raw: np.ndarray, n: int) -> np.ndarray:
         return (
             raw.view(np.uint16)[:n].astype(np.uint32) << 16
         ).view(np.float32)
-    if gtype == GGML_Q8_K:
-        raise NotImplementedError(
-            "GGUF Q8_K is a dot-product intermediate format, not a "
-            "checkpoint storage type; re-export as Q8_0 or a K-quant"
-        )
     if gtype not in _DEQUANT:
         raise NotImplementedError(f"GGUF tensor type {gtype} unsupported")
     return _DEQUANT[gtype](raw, n)

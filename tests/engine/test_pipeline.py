@@ -113,6 +113,28 @@ def test_two_stage_pipeline_end_to_end():
     )
 
 
+def test_offline_streaming_generator():
+    """Omni.generate(py_generator=True) streams final-stage outputs as
+    they are produced (reference omni.py:61,144-172) instead of waiting
+    for the whole batch."""
+    pipeline, handles = _mk_pipeline()
+    omni = Omni(pipeline=pipeline, stages=handles)
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    gen = omni.generate([[5, 9, 12], [30, 31]], sp, py_generator=True)
+    import types
+
+    assert isinstance(gen, types.GeneratorType)
+    finals = {}
+    for out in gen:
+        assert out.final_output
+        if out.finished:
+            finals[out.request_id] = out
+    assert len(finals) == 2
+    for out in finals.values():
+        audio = out.consolidated_multimodal("audio")
+        assert audio is not None and audio.shape == (24,)
+
+
 def test_pipeline_error_propagates():
     def broken_model(token_ids, prompt_embeds, info, state):
         raise RuntimeError("vocoder exploded")

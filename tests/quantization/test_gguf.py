@@ -132,9 +132,31 @@ def test_q8_dequant_matches_manual():
     np.testing.assert_allclose(ours, np.concatenate(ref), rtol=1e-6)
 
 
-def test_q8_k_raises():
-    with pytest.raises(NotImplementedError):
-        G._decode(G.GGML_Q8_K, np.zeros(292, np.uint8), 256)
+def test_q8_k_roundtrip():
+    """block_q8_K: f32 d | int8 qs[256] | i16 bsums[16] (ggml-quants.h);
+    quantize manually, dequant must invert exactly."""
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(256 * 2,)).astype(np.float32)
+    blobs = []
+    for blk in a.reshape(-1, 256):
+        d = np.abs(blk).max() / 127.0
+        q = np.clip(np.round(blk / d), -127, 127).astype(np.int8)
+        bsums = q.reshape(16, 16).sum(-1).astype(np.int16)
+        blobs.append(
+            np.float32(d).tobytes() + q.tobytes() + bsums.tobytes()
+        )
+        blk_ref = np.float32(d) * q.astype(np.float32)
+        assert np.abs(blk - blk_ref).max() <= d * 0.51
+    raw = np.frombuffer(b"".join(blobs), np.uint8)
+    out = G._decode(G.GGML_Q8_K, raw, a.size)
+    ref = np.concatenate(
+        [
+            np.frombuffer(b[:4], np.float32)
+            * np.frombuffer(b[4:260], np.int8).astype(np.float32)
+            for b in blobs
+        ]
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
 
 
 # ------------------------------------------------- K-quant scalar oracles
