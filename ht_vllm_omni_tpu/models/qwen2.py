@@ -323,6 +323,14 @@ def _mlp(
     shard * local_E) and the caller's existing per-layer psum sums the
     expert partials — no extra collectives (reference EP via
     vllm_parallel_state._EP, parallel_state.py:854-864).
+
+    ep_axis may also be a TUPLE of axis names, e.g. ("ep", "tp") for a
+    dedicated expert-parallel mesh axis (reference RankGenerator ep
+    group excludes pp, parallel_state.py:256-263): the expert dim is
+    sharded over the flattened axes (first axis major), the routed
+    partial is psum'd over all but the LAST axis here (the caller still
+    psums the last — its normal tp reduce), and the shared expert —
+    tp-sharded, ep-replicated — is added after that inner psum.
     """
     if "dgate" in lp:
         # MammothModa2 dual-expert FFN: deterministic 2-way routing by
@@ -370,7 +378,12 @@ def _mlp(
         top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
 
     num_local = lp["egate"].shape[0]
-    if ep_axis is not None:
+    if isinstance(ep_axis, (tuple, list)):
+        idx = jnp.zeros((), jnp.int32)
+        for ax in ep_axis:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+        offset = idx * num_local
+    elif ep_axis is not None:
         offset = jax.lax.axis_index(ep_axis) * num_local
     else:
         offset = 0
@@ -404,6 +417,11 @@ def _mlp(
     w_sorted = w_flat[order]
     acc = jnp.zeros((t, x.shape[-1]), jnp.float32)
     acc = acc.at[tok_sorted].add(rows * w_sorted[:, None])
+    if isinstance(ep_axis, (tuple, list)) and len(ep_axis) > 1:
+        # sum routed partials over the dedicated ep axes now; the
+        # caller's psum covers only the last (tp) axis, over which the
+        # shared expert below is sharded but ep-replicated.
+        acc = jax.lax.psum(acc, tuple(ep_axis[:-1]))
     if "sgate" in lp:
         # Qwen2MoE-style shared expert, sigmoid-gated (HF Qwen3-Omni
         # talker Qwen3OmniMoeTalkerTextSparseMoeBlock).  Sharded like a
@@ -430,6 +448,7 @@ def prefill(
     prompt_len: jax.Array,  # scalar int32: valid tokens
     *,
     tp_axis: str | None = None,
+    ep_axis: str | tuple | None = None,
     fsdp_axis: str | None = None,
     gen_mask: jax.Array | None = None,
     final_norm: bool = True,
@@ -461,6 +480,8 @@ def prefill(
         cos, sin = rope_cos_sin(positions, cfg.rotary_dim, cfg.rope_theta)
     lens = prompt_len[None].astype(jnp.int32)
 
+    eax = ep_axis if ep_axis is not None else tp_axis
+
     def layer(h, lp):
         lp = _gather_fsdp(lp, fsdp_axis)
         x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
@@ -480,7 +501,7 @@ def prefill(
         delta = _maybe_post_norm(cfg, lp, "post_ln1", delta)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        delta = _mlp(cfg, lp, x, ep_axis=tp_axis, gen_mask=gen_mask)
+        delta = _mlp(cfg, lp, x, ep_axis=eax, gen_mask=gen_mask)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         delta = _maybe_post_norm(cfg, lp, "post_ln2", delta)
@@ -501,6 +522,7 @@ def prefill_batch(
     prompt_lens: jax.Array,  # [B] valid tokens per row
     *,
     tp_axis: str | None = None,
+    ep_axis: str | tuple | None = None,
     fsdp_axis: str | None = None,
     gen_mask: jax.Array | None = None,
     final_norm: bool = True,
@@ -518,6 +540,8 @@ def prefill_batch(
         positions.reshape(-1), cfg.rotary_dim, cfg.rope_theta
     )
     lens = prompt_lens.astype(jnp.int32)
+
+    eax = ep_axis if ep_axis is not None else tp_axis
 
     def layer(h, lp):
         lp = _gather_fsdp(lp, fsdp_axis)
@@ -544,7 +568,7 @@ def prefill_batch(
         delta = _maybe_post_norm(cfg, lp, "post_ln1", delta)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        delta = _mlp_batched(cfg, lp, x, tp_axis)
+        delta = _mlp_batched(cfg, lp, x, eax)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         delta = _maybe_post_norm(cfg, lp, "post_ln2", delta)
@@ -584,6 +608,7 @@ def decode(
     page_size: int,
     chunk_steps: int,
     tp_axis: str | None = None,
+    ep_axis: str | tuple | None = None,
     fsdp_axis: str | None = None,
     gen_mask: jax.Array | None = None,
     final_norm: bool = True,
@@ -605,6 +630,8 @@ def decode(
     )
     cos, sin = rope_cos_sin(rope_pos, cfg.rotary_dim, cfg.rope_theta)
     row_idx = jnp.arange(s_slots) * chunk_steps + step  # this step's rows
+
+    eax = ep_axis if ep_axis is not None else tp_axis
 
     def layer(h, xs):
         lp, li, fresh_l = xs
@@ -634,7 +661,7 @@ def decode(
         delta = _maybe_post_norm(cfg, lp, "post_ln1", delta)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        delta = _mlp(cfg, lp, x, ep_axis=tp_axis, gen_mask=gen_mask)
+        delta = _mlp(cfg, lp, x, ep_axis=eax, gen_mask=gen_mask)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         delta = _maybe_post_norm(cfg, lp, "post_ln2", delta)
@@ -671,6 +698,7 @@ def spec_verify_forward(
     q_per_seq: int,
     rows_per_slot: int,
     tp_axis: str | None = None,
+    ep_axis: str | tuple | None = None,
     fsdp_axis: str | None = None,
     gen_mask: jax.Array | None = None,
     kv_scales: tuple | None = None,
@@ -701,6 +729,8 @@ def spec_verify_forward(
     tables_rep = block_tables[slot_of]
     lens_rep = seq_lens0[slot_of]
 
+    eax = ep_axis if ep_axis is not None else tp_axis
+
     def layer(h, xs):
         lp, li, fresh_l = xs
         lp = _gather_fsdp(lp, fsdp_axis)
@@ -724,7 +754,7 @@ def spec_verify_forward(
         delta = _maybe_post_norm(cfg, lp, "post_ln1", delta)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        delta = _mlp(cfg, lp, x, ep_axis=tp_axis, gen_mask=gen_mask)
+        delta = _mlp(cfg, lp, x, ep_axis=eax, gen_mask=gen_mask)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         delta = _maybe_post_norm(cfg, lp, "post_ln2", delta)
@@ -757,6 +787,7 @@ def prefill_chunk(
     *,
     page_size: int,
     tp_axis: str | None = None,
+    ep_axis: str | tuple | None = None,
     fsdp_axis: str | None = None,
     gen_mask: jax.Array | None = None,
     kv_scales: tuple | None = None,
@@ -779,6 +810,8 @@ def prefill_chunk(
     f = kvh * d
     group = cfg.num_attention_heads // kvh
     cos, sin = rope_cos_sin(positions, cfg.rotary_dim, cfg.rope_theta)
+
+    eax = ep_axis if ep_axis is not None else tp_axis
 
     def layer(h, xs):
         lp, li = xs
@@ -807,7 +840,7 @@ def prefill_chunk(
         delta = _maybe_post_norm(cfg, lp, "post_ln1", delta)
         h = h + delta.astype(h.dtype)
         x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
-        delta = _mlp(cfg, lp, x, ep_axis=tp_axis, gen_mask=gen_mask)
+        delta = _mlp(cfg, lp, x, ep_axis=eax, gen_mask=gen_mask)
         if tp_axis is not None:
             delta = jax.lax.psum(delta, tp_axis)
         delta = _maybe_post_norm(cfg, lp, "post_ln2", delta)

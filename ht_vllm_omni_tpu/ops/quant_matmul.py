@@ -259,104 +259,107 @@ def matmul_int8_pallas(
 
 
 # ------------------------------------------------------------ int4 kernel
-def _int4_kernel(
+def _int4_body(
     x_ref,  # [BM, BK]
-    w_ref,  # [BK//2, BN] uint8 (packed K pairs)
-    s_ref,  # [BAND, BN] f32: this K-block's group scales padded to an
-    #         8-row band (Mosaic sublane rule; no dynamic_slice on TPU)
+    w_ref,  # [BK//2, BN] uint8 (packed K pairs, excess-8 values 0..15)
+    s_ref,  # [G_pad, BN] f32: ALL group scales, resident across ki
+    z_ref,  # [G_pad, BN] f32 zeros (zp variant) or None
     o_ref,  # [BM, BN]
     acc_ref,  # [BM, BN] f32
     *,
     group_size: int,
-    block_k: int,
+    gpb: int,  # groups per K block (static)
+    zp: bool,  # asymmetric (AWQ) variant
 ):
-    """One K block == one quant group (the wrapper pins
-    block_k = group_size), which buys two structural wins over the naive
-    dequant-then-dot:
+    """Dequant+matmul at the weight-stream roofline.  Three structural
+    choices (each measured on v5e):
 
-    - scales apply to the PARTIAL DOT OUTPUT ([BM, BN]) instead of
-      elementwise on the [BK, BN] weight block — for decode (BM ~ 8)
-      that is a ~group_size/BM reduction in VPU multiply work, and the
-      unpacked ints go to the MXU as bf16 with no scaled-f32 round trip.
+    - Scales (and zeros) ride ONE resident VMEM block whose index_map
+      ignores ki — Pallas skips the re-fetch when the block index is
+      unchanged, so HBM sees the [K/G, N] scale array once per (i, j)
+      tile instead of an 8-sublane band per K block (the old banding
+      cost +50% traffic at group_size=128: 4 bytes of f32 band per
+      packed byte pair).
+    - Values are stored excess-8 (0..15) and the -8 (or AWQ zero) folds
+      into a rank-1 correction on the partial dot:  x_g @ (q - z) s =
+      (x_g @ q) s - rowsum(x_g) (z s) — the unpack keeps only the two
+      shifts + converts (~4 VPU ops/byte vs ~9 for subtract-and-concat),
+      which is what sets the ceiling once DMA is at the roofline.
+    - No concat: the half-split packing means byte row r of a group
+      holds K rows r and r + gs/2, so the group dot is TWO dots on the
+      nibble planes against the matching x column halves.
     """
-    del group_size
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # unpack in int32: Mosaic has no uint8 vector shift (arith.shrui)
-    packed = w_ref[...].astype(jnp.int32)
-    lo = (packed & 0xF) - 8  # group rows [0, gs/2)
-    hi = ((packed >> 4) & 0xF) - 8  # group rows [gs/2, gs)
-    w = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)
-    part = jax.lax.dot_general(
-        x_ref[...].astype(jnp.bfloat16), w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_ref[...] += part * s_ref[0, :]
+    h = group_size // 2
+    acc = acc_ref[...]
+    for g in range(gpb):  # static unroll
+        b = w_ref[g * h : (g + 1) * h, :].astype(jnp.int32)
+        lo = (b & 0xF).astype(jnp.bfloat16)  # K rows [0, gs/2)
+        hi = (b >> 4).astype(jnp.bfloat16)  # K rows [gs/2, gs)
+        xg = x_ref[:, g * group_size : (g + 1) * group_size].astype(
+            jnp.bfloat16
+        )
+        part = jax.lax.dot_general(
+            xg[:, :h], lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            xg[:, h:], hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        grow = ki * gpb + g
+        s_row = s_ref[grow, :]
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=1)  # [BM]
+        if zp:
+            z_row = z_ref[grow, :]
+            acc = acc + part * s_row - xsum[:, None] * (z_row * s_row)
+        else:
+            acc = acc + (part - 8.0 * xsum[:, None]) * s_row
+    acc_ref[...] = acc
 
     @pl.when(ki == pl.num_programs(2) - 1)
     def _():
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _int4_zp_kernel(
-    x_ref,  # [BM, BK]
-    w_ref,  # [BK//2, BN] uint8 (packed K pairs, values 0..15)
-    s_ref,  # [BAND, BN] f32 group scales (banded)
-    z_ref,  # [BAND, BN] f32 group zero points (banded)
-    o_ref,  # [BM, BN]
-    acc_ref,  # [BM, BN] f32
-    *,
-    group_size: int,
-    block_k: int,
-):
-    """AWQ-style asymmetric int4, dequant = (q - zero) * scale.
-
-    With one group per K block the affine dequant factors OUT of the
-    dot entirely:  x_g @ ((q - z) s) = (x_g @ q) * s  -  rowsum(x_g) ⊗
-    (z * s) — a raw int dot plus two rank-1 corrections on the [BM, BN]
-    partial, no per-element weight math."""
-    del group_size
-    ki = pl.program_id(2)
-
-    @pl.when(ki == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    packed = w_ref[...].astype(jnp.int32)
-    lo = packed & 0xF  # group rows [0, gs/2)
-    hi = (packed >> 4) & 0xF  # group rows [gs/2, gs)
-    w = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)
-    x = x_ref[...]
-    part = jax.lax.dot_general(
-        x.astype(jnp.bfloat16), w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    xsum = jnp.sum(x.astype(jnp.float32), axis=1)  # [BM]
-    s_row = s_ref[0, :]
-    z_row = z_ref[0, :]
-    acc_ref[...] += part * s_row - xsum[:, None] * (z_row * s_row)
-
-    @pl.when(ki == pl.num_programs(2) - 1)
-    def _():
-        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+def _int4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, **kw):
+    _int4_body(x_ref, w_ref, s_ref, None, o_ref, acc_ref, zp=False, **kw)
 
 
-def _band_groups(scales, k, block_k, group_size, n):
-    """Pad/reshape [K/G, N] group rows into sublane-aligned per-K-block
-    bands (shared by the int4 and int4-zp kernels)."""
-    groups_per_block = block_k // group_size
-    band = max(8, groups_per_block)
-    nkb = cdiv(k, block_k)
+def _int4_zp_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, **kw):
+    _int4_body(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, zp=True, **kw)
+
+
+def _pad_groups(scales: jax.Array) -> jax.Array:
+    """Pad [K/G, N] group rows up to a sublane multiple of 8."""
+    g = scales.shape[0]
+    pad = (-g) % 8
     sc = scales.astype(jnp.float32)
-    sc = jnp.pad(sc, ((0, nkb * groups_per_block - sc.shape[0]), (0, 0)))
-    sc = sc.reshape(nkb, groups_per_block, n)
-    if band != groups_per_block:
-        sc = jnp.pad(sc, ((0, 0), (0, band - groups_per_block), (0, 0)))
-    return sc.reshape(nkb * band, n), band
+    if pad:
+        sc = jnp.pad(sc, ((0, pad), (0, 0)))
+    return sc
+
+
+def _int4_blocks(m, k, n, group_size, block_m, block_n):
+    """Pick (block_m, block_n, block_k): K blocks span as many whole
+    groups as divide K/G while the packed block stays under ~2 MB (so
+    double buffering fits VMEM beside the resident scales)."""
+    block_m = min(block_m, m)
+    if block_n == 0:
+        block_n = 8192 if n >= 65536 else 2048
+    block_n = min(block_n, n)
+    ngroups = k // group_size
+    budget = max(1, (2 * 1024 * 1024) // (block_n * (group_size // 2)))
+    gpb = 1
+    for cand in range(min(budget, ngroups), 0, -1):
+        if ngroups % cand == 0:
+            gpb = cand
+            break
+    return block_m, block_n, group_size * gpb, gpb
 
 
 @functools.partial(
@@ -382,17 +385,16 @@ def matmul_int4_zp(
     n = w_packed.shape[1]
     assert x.shape[1] == k
     out_dtype = out_dtype or x.dtype
-    block_m = min(block_m, m)
-    if block_n == 0:
-        block_n = 8192 if n >= 65536 else 2048
-    block_n = min(block_n, n)
-    block_k = group_size  # one group per K block (see _int4_zp_kernel)
+    block_m, block_n, block_k, gpb = _int4_blocks(
+        m, k, n, group_size, block_m, block_n
+    )
     grid = (cdiv(m, block_m), cdiv(n, block_n), cdiv(k, block_k))
     kernel = functools.partial(
-        _int4_zp_kernel, group_size=group_size, block_k=block_k
+        _int4_zp_kernel, group_size=group_size, gpb=gpb
     )
-    banded_s, band = _band_groups(scales, k, block_k, group_size, n)
-    banded_z, _ = _band_groups(zeros, k, block_k, group_size, n)
+    sc = _pad_groups(scales)
+    zc = _pad_groups(zeros)
+    g_pad = sc.shape[0]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -401,8 +403,9 @@ def matmul_int4_zp(
             pl.BlockSpec(
                 (block_k // 2, block_n), lambda i, j, ki: (ki, j)
             ),
-            pl.BlockSpec((band, block_n), lambda i, j, ki: (ki, j)),
-            pl.BlockSpec((band, block_n), lambda i, j, ki: (ki, j)),
+            # resident: same block for every ki -> fetched once per (i, j)
+            pl.BlockSpec((g_pad, block_n), lambda i, j, ki: (0, j)),
+            pl.BlockSpec((g_pad, block_n), lambda i, j, ki: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, ki: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
@@ -411,7 +414,7 @@ def matmul_int4_zp(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=pallas_interpret_mode(),
-    )(x, w_packed, banded_s, banded_z)
+    )(x, w_packed, sc, zc)
 
 
 @functools.partial(
@@ -436,30 +439,15 @@ def matmul_int4(
     n = w_packed.shape[1]
     assert x.shape[1] == k
     out_dtype = out_dtype or x.dtype
-    block_m = min(block_m, m)
-    if block_n == 0:
-        # wide N blocks amortize per-program overhead (measured 3x on
-        # the 152k-vocab LM head); huge-N weights go wider still
-        block_n = 8192 if n >= 65536 else 2048
-    block_n = min(block_n, n)
-    # one quant group per K block: scales then fold into the partial-dot
-    # output (see _int4_kernel) — the extra grid steps cost ~0.5us each,
-    # far below the per-element weight scaling they remove
-    block_k = group_size
+    block_m, block_n, block_k, gpb = _int4_blocks(
+        m, k, n, group_size, block_m, block_n
+    )
     grid = (cdiv(m, block_m), cdiv(n, block_n), cdiv(k, block_k))
     kernel = functools.partial(
-        _int4_kernel, group_size=group_size, block_k=block_k
+        _int4_kernel, group_size=group_size, gpb=gpb
     )
-    # re-band scales: one 8-row (sublane-aligned) band per K block
-    groups_per_block = block_k // group_size
-    band = max(8, groups_per_block)
-    nkb = cdiv(k, block_k)
-    sc = scales.astype(jnp.float32)
-    sc = jnp.pad(sc, ((0, nkb * groups_per_block - sc.shape[0]), (0, 0)))
-    sc = sc.reshape(nkb, groups_per_block, n)
-    if band != groups_per_block:
-        sc = jnp.pad(sc, ((0, 0), (0, band - groups_per_block), (0, 0)))
-    banded = sc.reshape(nkb * band, n)
+    sc = _pad_groups(scales)
+    g_pad = sc.shape[0]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -468,7 +456,8 @@ def matmul_int4(
             pl.BlockSpec(
                 (block_k // 2, block_n), lambda i, j, ki: (ki, j)
             ),
-            pl.BlockSpec((band, block_n), lambda i, j, ki: (ki, j)),
+            # resident: same block for every ki -> fetched once per (i, j)
+            pl.BlockSpec((g_pad, block_n), lambda i, j, ki: (0, j)),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, ki: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
@@ -477,4 +466,4 @@ def matmul_int4(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=pallas_interpret_mode(),
-    )(x, w_packed, banded)
+    )(x, w_packed, sc)

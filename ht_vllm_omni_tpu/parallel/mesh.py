@@ -21,6 +21,7 @@ from ht_vllm_omni_tpu.config import ModelArchConfig
 
 DP_AXIS = "dp"
 PP_AXIS = "pp"
+EP_AXIS = "ep"
 TP_AXIS = "tp"
 
 
@@ -29,6 +30,12 @@ class MeshConfig:
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
     pipeline_parallel_size: int = 1
+    # Dedicated expert-parallel axis (reference carves EP out of
+    # world \ pp via RankGenerator, parallel_state.py:256-263,854-864):
+    # experts shard over ep x tp jointly while dense layers stay
+    # tp-sharded / ep-replicated, so a 30B-A3B can run e.g. ep4 x tp2
+    # where attention wants tp=2 but 128 experts want 8-way spread.
+    expert_parallel_size: int = 1
 
     @property
     def world_size(self) -> int:
@@ -36,6 +43,7 @@ class MeshConfig:
             self.tensor_parallel_size
             * self.data_parallel_size
             * self.pipeline_parallel_size
+            * self.expert_parallel_size
         )
 
 
@@ -51,13 +59,15 @@ def make_mesh(
     arr = np.asarray(devices[:n]).reshape(
         cfg.data_parallel_size,
         cfg.pipeline_parallel_size,
+        cfg.expert_parallel_size,
         cfg.tensor_parallel_size,
     )
-    return Mesh(arr, (DP_AXIS, PP_AXIS, TP_AXIS))
+    return Mesh(arr, (DP_AXIS, PP_AXIS, EP_AXIS, TP_AXIS))
 
 
 def param_pspecs(
-    cfg: ModelArchConfig, fsdp: bool = False, pp: bool = False
+    cfg: ModelArchConfig, fsdp: bool = False, pp: bool = False,
+    ep: bool = False,
 ) -> dict[str, P]:
     """Megatron-style layout: qkv column-parallel, o row-parallel,
     gate/up column-parallel, down row-parallel; norms + embeddings
@@ -69,6 +79,11 @@ def param_pspecs(
     over the pp mesh axis (each pipeline stage owns L/pp layers)."""
     dpx = DP_AXIS if fsdp else None
     ppx = PP_AXIS if pp else None
+    # Expert dim over ep (major) x tp (minor) when the mesh carries a
+    # dedicated ep axis — each (ep, tp) pair owns E/(ep*tp) whole
+    # experts; dense layers never mention ep, so they replicate across
+    # it and the MoE partial is psum'd over ep inside qwen2._mlp.
+    epx = (EP_AXIS, TP_AXIS) if ep else TP_AXIS
     specs = {
         "embed": P(),
         "ln1": P(ppx),
@@ -89,12 +104,13 @@ def param_pspecs(
         "bv": P(ppx, TP_AXIS),
         "q_norm": P(ppx),
         "k_norm": P(ppx),
-        # MoE: router replicated over tp, experts sharded over tp
-        # (expert parallel); fsdp shards the expert hidden dim
+        # MoE: router replicated, experts sharded over the expert axes
+        # (tp, or ep x tp with a dedicated ep axis); fsdp shards the
+        # expert hidden dim
         "router": P(ppx),
-        "egate": P(ppx, TP_AXIS, dpx, None),
-        "eup": P(ppx, TP_AXIS, dpx, None),
-        "edown": P(ppx, TP_AXIS, None, dpx),
+        "egate": P(ppx, epx, dpx, None),
+        "eup": P(ppx, epx, dpx, None),
+        "edown": P(ppx, epx, None, dpx),
         # shared expert: dense Megatron layout; its sigmoid gate replicated
         "sgate": P(ppx, dpx, TP_AXIS),
         "sup": P(ppx, dpx, TP_AXIS),
@@ -148,11 +164,14 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
     }
 
 
-def validate_tp(cfg: ModelArchConfig, tp: int) -> None:
-    if cfg.num_experts and cfg.num_experts % tp != 0:
+def validate_tp(cfg: ModelArchConfig, tp: int, ep: int = 1) -> None:
+    if cfg.num_experts and cfg.num_experts % (ep * tp) != 0:
         raise ValueError(
-            f"experts {cfg.num_experts} not divisible by tp={tp}"
+            f"experts {cfg.num_experts} not divisible by "
+            f"ep*tp={ep}*{tp}"
         )
+    if ep > 1 and not cfg.num_experts:
+        raise ValueError("expert_parallel_size > 1 on a dense model")
     if cfg.num_attention_heads % tp != 0:
         raise ValueError(
             f"q heads {cfg.num_attention_heads} not divisible by tp={tp}"

@@ -38,6 +38,7 @@ from ht_vllm_omni_tpu.config import EngineConfig
 from ht_vllm_omni_tpu.models import qwen2
 from ht_vllm_omni_tpu.parallel.mesh import (
     DP_AXIS,
+    EP_AXIS,
     PP_AXIS,
     TP_AXIS,
     MeshConfig,
@@ -519,17 +520,25 @@ class ARModelRunner(SpecDecodeMixin):
         tp = par.tensor_parallel_size
         dp = par.data_parallel_size
         pp = par.pipeline_parallel_size
-        if mesh is None and tp * dp * pp > 1:
-            mesh = make_mesh(MeshConfig(tp, dp, pp))
+        ep = getattr(par, "expert_parallel_size", 1)
+        if mesh is None and tp * dp * pp * ep > 1:
+            mesh = make_mesh(MeshConfig(tp, dp, pp, ep))
         self.mesh = mesh
         if mesh is not None:
             tp = mesh.shape[TP_AXIS]
             dp = mesh.shape[DP_AXIS]
             pp = mesh.shape.get(PP_AXIS, 1)
-            validate_tp(cfg, tp)
+            ep = mesh.shape.get(EP_AXIS, 1)
+            validate_tp(cfg, tp, ep)
         self.tp = tp
         self.dp = dp
         self.pp = pp
+        self.ep = ep
+        # Expert leaves shard over (ep, tp) whenever the mesh carries a
+        # dedicated ep axis (even size 1 — the flattened index reduces
+        # to the tp index); dense layers stay ep-replicated.
+        self.has_ep = mesh is not None and EP_AXIS in mesh.axis_names
+        self.ep_axes = (EP_AXIS, TP_AXIS) if self.has_ep else None
         if pp > 1:
             if cfg.num_hidden_layers % pp:
                 raise ValueError(
@@ -619,7 +628,9 @@ class ARModelRunner(SpecDecodeMixin):
             two_f,
         )
         if self.mesh is not None:
-            specs = param_pspecs(cfg, fsdp=self.fsdp, pp=self.pp > 1)
+            specs = param_pspecs(
+                cfg, fsdp=self.fsdp, pp=self.pp > 1, ep=self.has_ep
+            )
             self.params = {
                 k: jax.device_put(
                     v, NamedSharding(self.mesh, specs[k])
@@ -761,6 +772,7 @@ class ARModelRunner(SpecDecodeMixin):
         cfg,
         collect_hidden: bool,
         tp_axis,
+        ep_axis,
         dp_axis,
         fsdp_axis,
         use_embeds: bool,
@@ -801,7 +813,7 @@ class ARModelRunner(SpecDecodeMixin):
                 gen_mask = ids >= cfg.gen_vocab_start
         hidden, kv_rows = qwen2.prefill(
             cfg, params, x, positions, prompt_len, tp_axis=tp_axis,
-            fsdp_axis=fsdp_axis, gen_mask=gen_mask,
+            ep_axis=ep_axis, fsdp_axis=fsdp_axis, gen_mask=gen_mask,
         )
         if dp_axis is not None:
             # every dp shard computes the (replicated) forward; only the
@@ -867,7 +879,7 @@ class ARModelRunner(SpecDecodeMixin):
         if self.mesh is None:
             prog = functools.partial(
                 self._prefill_program, self.arch, collect_hidden, None, None,
-                None, use_embeds, self.kv_scales, self.step_adapter,
+                None, None, use_embeds, self.kv_scales, self.step_adapter,
             )
         else:
             is_pp = self.pp > 1
@@ -882,6 +894,7 @@ class ARModelRunner(SpecDecodeMixin):
                     self.pp,
                     collect_hidden,
                     TP_AXIS,
+                    self.ep_axes,
                     DP_AXIS,
                     PP_AXIS,
                     DP_AXIS if self.fsdp else None,
@@ -894,6 +907,7 @@ class ARModelRunner(SpecDecodeMixin):
                     self.local_arch,
                     collect_hidden,
                     TP_AXIS,
+                    self.ep_axes,
                     DP_AXIS,
                     DP_AXIS if self.fsdp else None,
                     use_embeds,
@@ -949,7 +963,7 @@ class ARModelRunner(SpecDecodeMixin):
         pspec = {
             k: v
             for k, v in param_pspecs(
-                self.arch, fsdp=self.fsdp, pp=is_pp
+                self.arch, fsdp=self.fsdp, pp=is_pp, ep=self.has_ep
             ).items()
             if k in self.params
         }
@@ -1235,6 +1249,7 @@ class ARModelRunner(SpecDecodeMixin):
     def _prefill_chunk_program(
         cfg,
         tp_axis,
+        ep_axis,
         page_size: int,
         kv_scales,
         adapter,
@@ -1268,7 +1283,7 @@ class ARModelRunner(SpecDecodeMixin):
         hidden, kv_rows = qwen2.prefill_chunk(
             cfg, params, kv_cache, x, positions, ctx_len, page_table,
             valid_len, page_size=page_size, tp_axis=tp_axis,
-            kv_scales=kv_scales, gen_mask=gen_mask,
+            ep_axis=ep_axis, kv_scales=kv_scales, gen_mask=gen_mask,
         )
         ksc, vsc = kv_scales if kv_scales is not None else (1.0, 1.0)
         kv_cache = flush_kv_rows(
@@ -1316,7 +1331,7 @@ class ARModelRunner(SpecDecodeMixin):
         if fn is None:
             fn = jax.jit(
                 functools.partial(
-                    self._prefill_chunk_program, self.arch, None,
+                    self._prefill_chunk_program, self.arch, None, None,
                     self.page_size, self.kv_scales, self.step_adapter,
                 ),
                 donate_argnums=(1, 2, 3, 4),
@@ -1529,6 +1544,7 @@ class ARModelRunner(SpecDecodeMixin):
         page_size: int,
         collect_hidden: bool,
         tp_axis,
+        ep_axis,
         fsdp_axis,
         kv_scales,
         adapter,
@@ -1596,7 +1612,7 @@ class ARModelRunner(SpecDecodeMixin):
                 cfg, params, kv_cache, fresh_buf, x, pos, j, written,
                 block_tables, seq_lens0,
                 page_size=page_size, chunk_steps=num_steps,
-                tp_axis=tp_axis, fsdp_axis=fsdp_axis,
+                tp_axis=tp_axis, ep_axis=ep_axis, fsdp_axis=fsdp_axis,
                 rope_delta=rope_delta,
                 kv_scales=kv_scales, gen_mask=gen_mask,
             )
@@ -1681,6 +1697,7 @@ class ARModelRunner(SpecDecodeMixin):
                 collect_hidden,
                 None,
                 None,
+                None,
                 self.kv_scales,
                 self.step_adapter,
             )
@@ -1703,6 +1720,7 @@ class ARModelRunner(SpecDecodeMixin):
                     self.page_size,
                     self.pp,
                     TP_AXIS,
+                    self.ep_axes,
                     PP_AXIS,
                     DP_AXIS if self.fsdp else None,
                     self.kv_scales,
@@ -1716,6 +1734,7 @@ class ARModelRunner(SpecDecodeMixin):
                     self.page_size,
                     collect_hidden,
                     TP_AXIS,
+                    self.ep_axes,
                     DP_AXIS if self.fsdp else None,
                     self.kv_scales,
                     self.step_adapter,

@@ -53,6 +53,7 @@ def decode_program_pp(
     page_size: int,
     pp: int,
     tp_axis,
+    ep_axis,
     pp_axis,
     fsdp_axis,
     kv_scales,
@@ -147,7 +148,8 @@ def decode_program_pp(
             cfg, params, kv_cache, fb_m, h_in, pos_in, t, w_m,
             tables_m, lens_m,
             page_size=page_size, chunk_steps=k_steps,
-            tp_axis=tp_axis, fsdp_axis=fsdp_axis, final_norm=False,
+            tp_axis=tp_axis, ep_axis=ep_axis, fsdp_axis=fsdp_axis,
+            final_norm=False,
             rope_delta=rdelta_m, kv_scales=kv_scales,
         )
         # warm-up/drain rounds run off-schedule (t clipped): never let
@@ -267,6 +269,7 @@ def prefill_program_pp(
     pp: int,
     collect_hidden: bool,
     tp_axis,
+    ep_axis,
     dp_axis,
     pp_axis,
     fsdp_axis,
@@ -318,7 +321,8 @@ def prefill_program_pp(
         h, rows_keep = carry
         h_out, kv_rows = qwen2.prefill(
             cfg, params, h, positions, prompt_len,
-            tp_axis=tp_axis, fsdp_axis=fsdp_axis, final_norm=False,
+            tp_axis=tp_axis, ep_axis=ep_axis, fsdp_axis=fsdp_axis,
+            final_norm=False,
         )
         my_turn = (p == rr)[None, None, None]
         rows_keep = jnp.where(my_turn, kv_rows, rows_keep)
