@@ -1704,11 +1704,6 @@ class ARModelRunner(SpecDecodeMixin):
         else:
             is_pp = self.pp > 1
             if is_pp:
-                if collect_hidden:
-                    raise NotImplementedError(
-                        "collect_hidden under pipeline parallelism: the "
-                        "hidden stream lives on the last pp stage only"
-                    )
                 from ht_vllm_omni_tpu.worker.pp_programs import (
                     decode_program_pp,
                 )
@@ -1725,6 +1720,7 @@ class ARModelRunner(SpecDecodeMixin):
                     DP_AXIS if self.fsdp else None,
                     self.kv_scales,
                     ARModelRunner,
+                    collect_hidden,
                 ))
             else:
                 body = functools.partial(

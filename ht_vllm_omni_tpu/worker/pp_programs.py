@@ -58,6 +58,7 @@ def decode_program_pp(
     fsdp_axis,
     kv_scales,
     runner_cls,
+    collect_hidden,
     params,
     kv_cache,  # [L/pp, NSLOTS_local, 2F_local] donated
     keys,  # [S_l, 2]
@@ -67,7 +68,11 @@ def decode_program_pp(
     block_tables,  # [S_l, P]
 ):
     """Per-shard body (shard_map over (dp, pp, tp)); same in/out
-    signature as ARModelRunner._decode_program minus collect_hidden."""
+    signature as ARModelRunner._decode_program.  With collect_hidden the
+    per-step hidden states exist only on the LAST pp stage (it owns the
+    final layers + norm), so they are gathered there per round and
+    broadcast to all pp shards at the end — this is what lets
+    thinker->talker pipelines (return_hidden_states) run under pp>1."""
     R = runner_cls
     p = jax.lax.axis_index(pp_axis)
     positions = int_state[R._ROW_POS]
@@ -109,8 +114,8 @@ def decode_program_pp(
     rounds = k_steps * pp + pp - 1
 
     def round_body(r, carry):
-        (keys, written, fresh_buf, tokens_out, fin_tok, fin_pos, fin_act,
-         fin_emit, bh, btok, bpos, bact, bemit) = carry
+        (keys, written, fresh_buf, tokens_out, hidden_out, fin_tok,
+         fin_pos, fin_act, fin_emit, bh, btok, bpos, bact, bemit) = carry
         m = jnp.mod(r - p, pp)
         t_raw = (r - p) // pp
         valid = jnp.logical_and(r >= p, t_raw < k_steps)
@@ -189,6 +194,14 @@ def decode_program_pp(
         row = jax.lax.dynamic_slice(tokens_out, (t, off), (1, s_mb))
         row = jnp.where(do, sampled[None, :], row)
         tokens_out = jax.lax.dynamic_update_slice(tokens_out, row, (t, off))
+        if collect_hidden:
+            hrow = jax.lax.dynamic_slice(
+                hidden_out, (t, off, 0), (1, s_mb, h_dim)
+            )
+            hrow = jnp.where(do, hn[None], hrow)
+            hidden_out = jax.lax.dynamic_update_slice(
+                hidden_out, hrow, (t, off, 0)
+            )
         fin = jnp.logical_and(do, t == k_steps - 1)
         fin_tok = jnp.where(fin, up1(fin_tok, sampled, off), fin_tok)
         fin_pos = jnp.where(fin, up1(fin_pos, pos_new, off), fin_pos)
@@ -204,14 +217,16 @@ def decode_program_pp(
         bh, btok, bpos, bact, bemit = _ring(
             pp_axis, pp, bh_o, btok_o, bpos_o, bact_o, bemit_o
         )
-        return (keys, written, fresh_buf, tokens_out, fin_tok, fin_pos,
-                fin_act, fin_emit, bh, btok, bpos, bact, bemit)
+        return (keys, written, fresh_buf, tokens_out, hidden_out,
+                fin_tok, fin_pos, fin_act, fin_emit, bh, btok, bpos,
+                bact, bemit)
 
     init = (
         keys,
         jnp.zeros((s_l, k_steps), bool),
         jnp.zeros((l_local, s_l * k_steps, 2 * true_f), dt),
         jnp.full((k_steps, s_l), _NO_TOKEN, jnp.int32),
+        jnp.zeros((k_steps, s_l, h_dim) if collect_hidden else (1,), dt),
         token_state,
         pos0,
         active0,
@@ -222,14 +237,16 @@ def decode_program_pp(
         jnp.zeros((s_mb,), bool),
         jnp.zeros((s_mb,), jnp.int32),
     )
-    (keys, written, fresh_buf, tokens_out, fin_tok, fin_pos, fin_act,
-     fin_emit, *_) = jax.lax.fori_loop(0, rounds, round_body, init)
+    (keys, written, fresh_buf, tokens_out, hidden_out, fin_tok, fin_pos,
+     fin_act, fin_emit, *_) = jax.lax.fori_loop(0, rounds, round_body, init)
 
     # broadcast the last stage's bookkeeping to every pp shard so the
     # returned (pp-replicated) state agrees everywhere
     is_last = p == pp - 1
     keys = _bcast_from(keys, pp_axis, is_last)
     tokens_out = _bcast_from(tokens_out, pp_axis, is_last)
+    if collect_hidden:
+        hidden_out = _bcast_from(hidden_out, pp_axis, is_last)
     fin_tok = _bcast_from(fin_tok, pp_axis, is_last)
     fin_pos = _bcast_from(fin_pos, pp_axis, is_last)
     fin_act = _bcast_from(fin_act.astype(jnp.int32), pp_axis, is_last)
@@ -261,6 +278,8 @@ def decode_program_pp(
         ],
         axis=0,
     )
+    if collect_hidden:
+        return kv_cache, keys, fin_tok, packed, hidden_out
     return kv_cache, keys, fin_tok, packed
 
 

@@ -95,6 +95,29 @@ def test_pp_x_tp_x_dp_matches():
     )
 
 
+def test_pp_hidden_states_match():
+    """return_hidden_states under pp>1: hidden rows live only on the
+    last pp stage and are gathered/broadcast per decode round
+    (pp_programs.decode_program_pp) — thinker->talker pipelines depend
+    on this path."""
+    import numpy as np
+
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=10, ignore_eos=True,
+        return_hidden_states=True,
+    )
+    ref = _engine().generate(PROMPTS, sp)
+    got = _engine(pp=2).generate(PROMPTS, sp)
+    for r, g in zip(ref, got):
+        assert r.outputs[0].token_ids == g.outputs[0].token_ids
+        assert g.outputs[0].hidden_states is not None
+        np.testing.assert_allclose(
+            r.outputs[0].hidden_states,
+            g.outputs[0].hidden_states,
+            rtol=2e-5, atol=2e-5,
+        )
+
+
 def test_pp_rejects_indivisible_layers():
     cfg = _cfg(layers=3)
     with pytest.raises(ValueError):
