@@ -26,6 +26,26 @@ _U32 = struct.Struct("<I")
 _U64 = struct.Struct("<Q")
 # allowlist of dtype kinds we will reconstruct (no object dtypes)
 _OK_KINDS = set("biufc")
+# ml_dtypes extension dtypes (kind 'V') that engines actually ship —
+# bf16 hidden states / fp8 KV rows.  Indexed by NAME, never by the raw
+# descriptor, so decode stays an allowlist.
+_EXT_DTYPES: dict[str, np.dtype] = {}
+try:  # ml_dtypes ships with jax; gate anyway
+    import ml_dtypes
+
+    for _name in (
+        "bfloat16",
+        "float8_e4m3fn",
+        "float8_e5m2",
+        "float8_e4m3b11fnuz",
+        "int4",
+        "uint4",
+    ):
+        _dt = getattr(ml_dtypes, _name, None)
+        if _dt is not None:
+            _EXT_DTYPES[_name] = np.dtype(_dt)
+except ImportError:  # pragma: no cover
+    pass
 
 
 def encode_payload(obj: Any) -> bytes:
@@ -34,7 +54,15 @@ def encode_payload(obj: Any) -> bytes:
     def conv(o):
         if isinstance(o, np.ndarray):
             if o.dtype.kind not in _OK_KINDS:
-                raise TypeError(f"non-numeric ndarray dtype {o.dtype}")
+                name = o.dtype.name
+                if name not in _EXT_DTYPES:
+                    raise TypeError(f"non-numeric ndarray dtype {o.dtype}")
+                buffers.append(np.ascontiguousarray(o).tobytes())
+                return {
+                    "__nd__": len(buffers) - 1,
+                    "xdtype": name,
+                    "shape": list(o.shape),
+                }
             buffers.append(np.ascontiguousarray(o).tobytes())
             return {
                 "__nd__": len(buffers) - 1,
@@ -82,9 +110,16 @@ def decode_payload(blob: bytes) -> Any:
     def back(o):
         if isinstance(o, dict):
             if "__nd__" in o:
-                dt = np.dtype(o["dtype"])
-                if dt.kind not in _OK_KINDS:
-                    raise ValueError(f"refusing dtype {dt}")
+                if "xdtype" in o:
+                    dt = _EXT_DTYPES.get(o["xdtype"])
+                    if dt is None:
+                        raise ValueError(
+                            f"refusing extension dtype {o['xdtype']!r}"
+                        )
+                else:
+                    dt = np.dtype(o["dtype"])
+                    if dt.kind not in _OK_KINDS:
+                        raise ValueError(f"refusing dtype {dt}")
                 return np.frombuffer(
                     buffers[o["__nd__"]], dtype=dt
                 ).reshape(o["shape"])

@@ -40,3 +40,25 @@ def test_rejects_arbitrary_objects():
 
 def test_tuple_decodes_as_list():
     assert decode_payload(encode_payload((1, 2))) == [1, 2]
+
+
+def test_extension_dtypes_roundtrip():
+    """bf16 hidden states / fp8 KV rows ride the wire as named
+    allowlisted ml_dtypes (kind 'V' would otherwise be rejected)."""
+    import ml_dtypes
+
+    h = np.arange(12, dtype=np.float32).astype(ml_dtypes.bfloat16)
+    k = np.ones((2, 2), np.float32).astype(ml_dtypes.float8_e4m3fn)
+    out = decode_payload(encode_payload({"h": h.reshape(3, 4), "k": k}))
+    assert out["h"].dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(
+        out["h"].astype(np.float32).ravel(), h.astype(np.float32)
+    )
+    assert out["k"].dtype == np.dtype(ml_dtypes.float8_e4m3fn)
+
+
+def test_decode_refuses_unknown_extension_name():
+    blob = encode_payload({"x": np.zeros(2, np.float32)})
+    evil = blob.replace(b'"dtype":"<f4"', b'"xdtype":"f4x"')
+    with pytest.raises(ValueError):
+        decode_payload(evil)
