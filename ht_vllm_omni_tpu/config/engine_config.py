@@ -43,6 +43,13 @@ class ModelArchConfig:
     bos_token_id: int | None = None
     # weight-only quantization: None | "int8" | "int4"
     quantization: str | None = None
+    # also quantize the output head (tied embeddings get a separate
+    # quantized head copy; the gather-side embedding stays fp).  At
+    # decode the head is the single largest weight stream — on a 0.5B
+    # model it is ~28% of all bytes/step — so this defaults ON;
+    # per-channel int8 logits are accuracy-safe, flip off for
+    # logprob-sensitive serving.
+    quantize_lm_head: bool = True
     # M-RoPE half-dim section sizes (t, h, w); None = standard RoPE
     mrope_sections: tuple | None = None
     # GPT-J interleaved rotation (HF is_neox_style=False); Fish-Speech

@@ -24,7 +24,10 @@ from ht_vllm_omni_tpu.models.layers import (
     rope_cos_sin,
 )
 from ht_vllm_omni_tpu.ops.flash_attention import flash_attention
-from ht_vllm_omni_tpu.ops.paged_attention import paged_attention_fresh
+from ht_vllm_omni_tpu.ops.paged_attention import (
+    paged_attention_fresh,
+    paged_decode_attention,
+)
 
 
 def _dtype(cfg: ModelArchConfig):
@@ -300,6 +303,12 @@ def compute_logits(
     cfg: ModelArchConfig, params: dict, hidden: jax.Array
 ) -> jax.Array:
     """hidden [..., H] -> logits [..., V] in fp32."""
+    if any(
+        "lm_head" + suf in params for suf in (":q8", ":q4", ":f8", ":q4z")
+    ):
+        # quantized output head (quantization/weight_quant.py — present
+        # for tied embeddings too, as a dedicated [H, V] copy)
+        return _linear_base(params, "lm_head", hidden)
     if cfg.tie_word_embeddings:
         return jnp.dot(
             hidden, params["embed"].T, preferred_element_type=jnp.float32
@@ -681,6 +690,106 @@ def decode(
     if final_norm:
         h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
     return h, fresh
+
+
+def decode_direct(
+    cfg: ModelArchConfig,
+    params: dict,
+    kv_cache: jax.Array,  # [L, NSLOTS, 2F] — scan-carried, written HERE
+    inputs_embeds: jax.Array,  # [S, H] one token per sequence slot
+    positions: jax.Array,  # [S] position of the input token
+    active: jax.Array,  # [S] bool — inactive slots write nothing
+    block_tables: jax.Array,  # [S, P]
+    *,
+    page_size: int,
+    tp_axis: str | None = None,
+    ep_axis: str | tuple | None = None,
+    fsdp_axis: str | None = None,
+    gen_mask: jax.Array | None = None,
+    final_norm: bool = True,
+    rope_delta: jax.Array | None = None,
+    kv_scales: tuple | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """One batched decode step with DIRECT paged-cache writes.
+
+    Each layer scatters this token's [K‖V] row into the (donated,
+    scan-carried) cache before attending, so attention is a single
+    paged read (ops/paged_attention.paged_decode_attention) with
+    seq_len = position + 1 — no fresh-row side buffer, no end-of-chunk
+    flush.  The XLA scatter on the loop carry is in-place (~1.2 us
+    measured); only Pallas custom calls with aliased OUTPUTS force
+    cache copies inside scan (ops/kv_cache_update.py top note), and
+    the kernel here only reads.  Replaces decode() in the decode hot
+    loop; equivalent of vLLM's reshape_and_cache + paged attention
+    per layer (SURVEY §2.9).  Returns (hidden [S, H], kv_cache)."""
+    s_slots = inputs_embeds.shape[0]
+    kvh, d = cfg.num_key_value_heads, cfg.head_dim
+    f = kvh * d
+    rope_pos = (
+        positions + rope_delta if rope_delta is not None else positions
+    )
+    cos, sin = rope_cos_sin(rope_pos, cfg.rotary_dim, cfg.rope_theta)
+    eax = ep_axis if ep_axis is not None else tp_axis
+
+    page_col = jnp.clip(
+        positions // page_size, 0, block_tables.shape[1] - 1
+    )
+    page = jnp.take_along_axis(
+        block_tables, page_col[:, None], axis=1
+    )[:, 0]
+    # inactive slots scatter out-of-bounds -> dropped
+    rows = jnp.where(
+        active, page * page_size + positions % page_size, -1
+    )
+    seq_lens = jnp.where(active, positions + 1, 0)
+    ks_, vs_ = kv_scales if kv_scales is not None else (1.0, 1.0)
+    cache_dt = kv_cache.dtype
+
+    def layer(carry, xs):
+        h, kv_cache = carry
+        lp, li = xs
+        lp = _gather_fsdp(lp, fsdp_axis)
+        x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lp, x, cos, sin)
+        row = jnp.concatenate(
+            [k.reshape(s_slots, f), v.reshape(s_slots, f)], axis=-1
+        )
+        if kv_scales is not None:
+            from ht_vllm_omni_tpu.ops.kv_cache_update import quantize_rows
+
+            row = quantize_rows(row, f, ks_, vs_, dtype=cache_dt)
+        else:
+            row = row.astype(cache_dt)
+        kv_cache = kv_cache.at[li, rows].set(row, mode="drop")
+        o = paged_decode_attention(
+            q, kv_cache, li, block_tables, seq_lens,
+            page_size=page_size, kv_heads=kvh,
+            k_scale=ks_, v_scale=vs_,
+        ).astype(h.dtype)
+        o = o.reshape(s_slots, -1)
+
+        delta = _linear(lp, "wo", o)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)
+        delta = _maybe_post_norm(cfg, lp, "post_ln1", delta)
+        h = h + delta.astype(h.dtype)
+        x = rms_norm(h, lp["ln2"], cfg.rms_norm_eps)
+        delta = _mlp(cfg, lp, x, ep_axis=eax, gen_mask=gen_mask)
+        if tp_axis is not None:
+            delta = jax.lax.psum(delta, tp_axis)
+        delta = _maybe_post_norm(cfg, lp, "post_ln2", delta)
+        h = h + delta.astype(h.dtype)
+        return (h, kv_cache), ()
+
+    num_layers = kv_cache.shape[0]
+    (h, kv_cache), _ = jax.lax.scan(
+        layer,
+        (inputs_embeds, kv_cache),
+        (_layer_params(params), jnp.arange(num_layers, dtype=jnp.int32)),
+    )
+    if final_norm:
+        h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)
+    return h, kv_cache
 
 
 def spec_verify_forward(

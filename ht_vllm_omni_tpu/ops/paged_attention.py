@@ -795,3 +795,205 @@ def write_kv_pages(
         flat_k.reshape(k_pages.shape),
         flat_v.reshape(v_pages.shape),
     )
+
+
+def _decode_attn_kernel(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    block_tables_ref,  # [B, P] int32
+    seq_lens_ref,  # [B] int32
+    # inputs
+    q_ref,  # [1, KVH * G_pad, D] VMEM
+    kv_ref,  # [L, num_pages, page_size, 2F] in HBM (pl.ANY)
+    # outputs
+    o_ref,  # [1, KVH * G_pad, D]
+    # scratch
+    buf_ref,  # [NBUF, page_size, 2F] VMEM
+    sem_ref,  # DMA semaphores (NBUF,)
+    *,
+    sm_scale: float,
+    page_size: int,
+    kv_heads: int,
+    group_pad: int,
+    head_dim: int,
+    nbuf: int,
+    k_scale: float,
+    v_scale: float,
+):
+    """Decode attention, one grid step per sequence, manual page DMA.
+
+    The BlockSpec-driven twin (_paged_fresh_kernel) pays ~20us/launch in
+    grid machinery at decode shapes: its grid is (batch, max_pages+1)
+    and every tiny [page_size, 2F] block costs a full grid step.  Here
+    the grid is (batch,) and this body streams only the sequence's LIVE
+    pages HBM->VMEM itself, nbuf-deep double-buffered, folding each page
+    into an online softmax held in vector registers — so per-launch
+    overhead is paid once per sequence, not once per page, and dead
+    table columns are never touched (the reference's CUDA kernel walks
+    live pages the same way, vllm/attention/ops/paged_attn.py)."""
+    b = pl.program_id(0)
+    li = layer_ref[0]
+    seq_len = seq_lens_ref[b]
+    n_pages = jax.lax.div(seq_len + page_size - 1, page_size)
+    f = kv_heads * head_dim
+
+    def dma(slot, p):
+        return pltpu.make_async_copy(
+            kv_ref.at[li, block_tables_ref[b, p]],
+            buf_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    for i in range(nbuf):
+
+        @pl.when(i < n_pages)
+        def _(i=i):
+            dma(i, i).start()
+
+    q = q_ref[0].astype(jnp.float32)  # [KVH*G_pad, D]
+
+    def body(p, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(p, nbuf)
+        dma(slot, p).wait()
+        kv = buf_ref[slot].astype(jnp.float32)  # [page_size, 2F]
+        rows = []
+        for h in range(kv_heads):
+            q_h = q[h * group_pad : (h + 1) * group_pad]
+            k_h = kv[:, h * head_dim : (h + 1) * head_dim]
+            rows.append(
+                jax.lax.dot_general(
+                    q_h, k_h,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        s = jnp.concatenate(rows, axis=0) * (sm_scale * k_scale)
+        pos = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
+        s = jnp.where(pos < seq_len, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        pexp = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = alpha * l + jnp.sum(pexp, axis=1, keepdims=True)
+        outs = []
+        for h in range(kv_heads):
+            p_h = pexp[h * group_pad : (h + 1) * group_pad]
+            v_h = kv[:, f + h * head_dim : f + (h + 1) * head_dim]
+            outs.append(
+                jax.lax.dot_general(
+                    p_h, v_h,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        acc = acc * alpha + jnp.concatenate(outs, axis=0) * v_scale
+
+        @pl.when(p + nbuf < n_pages)
+        def _():
+            dma(slot, p + nbuf).start()
+
+        return m_new, l, acc
+
+    kg = kv_heads * group_pad
+    # seq_len >= 1 always at decode (the row written this step), so the
+    # loop runs and m/l are well-formed
+    m0 = jnp.full((kg, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((kg, 1), jnp.float32)
+    acc0 = jnp.zeros((kg, head_dim), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_pages, body, (m0, l0, acc0))
+    denom = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, ...] = (acc / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "page_size", "kv_heads", "sm_scale", "k_scale", "v_scale",
+    ),
+)
+def paged_decode_attention(
+    q: jax.Array,  # [B, QH, D]
+    kv_cache: jax.Array,  # [L, NSLOTS, 2F] combined [K || V] rows
+    layer: jax.Array,  # scalar int32
+    block_tables: jax.Array,  # [B, P] int32
+    seq_lens: jax.Array,  # [B] int32 — INCLUDES this step's row
+    *,
+    page_size: int,
+    kv_heads: int,
+    sm_scale: float | None = None,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+) -> jax.Array:
+    """Normalized decode attention over the paged cache only.
+
+    Pairs with direct-to-page KV writes (models/qwen2.decode scatters
+    this step's K/V row into the cache BEFORE attending, so seq_lens
+    counts it); replaces paged_attention_fresh + the end-of-chunk flush
+    in the decode hot loop."""
+    batch, q_heads, head_dim = q.shape
+    num_layers, nslots, two_f = kv_cache.shape
+    assert two_f >= 2 * kv_heads * head_dim, (two_f, kv_heads, head_dim)
+    num_pages = nslots // page_size
+    group = q_heads // kv_heads
+    if sm_scale is None:
+        sm_scale = head_dim**-0.5
+
+    group_pad = round_up(group, 8)
+    qg = q.reshape(batch, kv_heads, group, head_dim)
+    if group_pad != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_pad - group), (0, 0)))
+    qg = qg.reshape(batch, kv_heads * group_pad, head_dim)
+
+    nbuf = 4
+    kernel = functools.partial(
+        _decode_attn_kernel,
+        sm_scale=sm_scale,
+        page_size=page_size,
+        kv_heads=kv_heads,
+        group_pad=group_pad,
+        head_dim=head_dim,
+        nbuf=nbuf,
+        k_scale=k_scale,
+        v_scale=v_scale,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, kv_heads * group_pad, head_dim),
+                lambda b, layer_r, tables, lens: (b, 0, 0),
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, kv_heads * group_pad, head_dim),
+            lambda b, layer_r, tables, lens: (b, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, page_size, two_f), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, kv_heads * group_pad, head_dim), q.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=pallas_interpret_mode(),
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        block_tables.astype(jnp.int32),
+        seq_lens.astype(jnp.int32),
+        qg,
+        kv_cache.reshape(num_layers, num_pages, page_size, two_f),
+    )
+    out = out.reshape(batch, kv_heads, group_pad, head_dim)
+    return out[:, :, :group, :].reshape(batch, q_heads, head_dim)

@@ -137,6 +137,11 @@ def param_pspecs(
         specs[name + ":s4"] = P(ppx, None, TP_AXIS)  # [L, K/G, N]
         specs[name + ":s4z"] = P(ppx, None, TP_AXIS)
         specs[name + ":z4"] = P(ppx, None, TP_AXIS)
+    # quantized output head (2-D [H, V] copy, tied or not): replicated
+    # like the tied embedding so every shard samples on full logits
+    for suf in (":q8", ":q4", ":f8", ":q4z", ":s8", ":sf8", ":s4",
+                ":s4z", ":z4"):
+        specs["lm_head" + suf] = P()
     for name in ("wo", "down"):  # row-parallel
         specs[name + ":q8"] = P(ppx, TP_AXIS, None)
         specs[name + ":q4"] = P(ppx, TP_AXIS, None)

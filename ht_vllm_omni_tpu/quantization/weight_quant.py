@@ -40,11 +40,35 @@ def quantize_params(
     method: str,
     targets: tuple[str, ...] = _DEFAULT_TARGETS,
     group_size: int = 128,
+    quantize_lm_head: bool = False,
 ) -> dict:
     method = _ALIASES.get(method, method)
     if method not in ("int8", "int4", "fp8", "awq"):
         raise ValueError(f"unknown quant method {method!r}")
     out = dict(params)
+    if quantize_lm_head:
+        # the head is the largest single weight stream at decode; tied
+        # embeddings get a dedicated quantized [H, V] copy (the fp embed
+        # stays for token gathers)
+        head = params.get("lm_head")
+        if head is None and "embed" in params:
+            head = params["embed"].T
+        if head is not None and not (
+            method in ("int4", "awq")
+            and (head.shape[0] % group_size or head.shape[0] % 2)
+        ):
+            if method == "int8":
+                q, s = quantize_int8(head)
+            elif method == "fp8":
+                q, s = quantize_fp8(head)
+            elif method == "awq":
+                q, s, z = quantize_awq_int4(head, group_size)
+                out["lm_head:z4"] = jnp.asarray(z)
+            else:
+                q, s = quantize_int4(head, group_size)
+            out.pop("lm_head", None)
+            out["lm_head" + QUANT_SUFFIX_PACKED[method]] = q
+            out["lm_head" + QUANT_SUFFIX_SCALE[method]] = jnp.asarray(s)
     for name in targets:
         w = params.get(name)
         if w is None or w.ndim != 3:

@@ -579,7 +579,10 @@ class ARModelRunner(SpecDecodeMixin):
         if cfg.quantization is not None:
             from ht_vllm_omni_tpu.quantization import quantize_params
 
-            self.params = quantize_params(self.params, cfg.quantization)
+            self.params = quantize_params(
+                self.params, cfg.quantization,
+                quantize_lm_head=getattr(cfg, "quantize_lm_head", True),
+            )
         elif mesh is None:
             # single-mesh bf16/f32 path: pack qkv and gate/up into fused
             # GEMMs (no-op when quantized or LoRA'd — fuse_params checks)
@@ -1585,21 +1588,8 @@ class ARModelRunner(SpecDecodeMixin):
             active, jnp.logical_not(jnp.logical_and(fresh, entry_stop))
         )
 
-        # chunk-invariant: pages hold exactly `positions` tokens per slot
-        seq_lens0 = jnp.where(active, positions, 0)
-        pos0 = positions
-        true_f = cfg.num_key_value_heads * cfg.head_dim
-        # fresh rows stay in model precision; quantization (if any)
-        # happens once at the flush
-        fresh_buf = jnp.zeros(
-            (kv_cache.shape[0], s * num_steps, 2 * true_f),
-            params["embed"].dtype,
-        )
-        written0 = jnp.zeros((s, num_steps), bool)
-
         def step(carry, j):
-            keys, tokens, pos, act, emit, written, fresh_buf, aux = carry
-            written = written.at[:, j].set(act)
+            keys, tokens, pos, act, emit, kv_cache, aux = carry
             if adapter is None:
                 x = qwen2.embed_tokens(params, jnp.maximum(tokens, 0))
             else:
@@ -1608,13 +1598,12 @@ class ARModelRunner(SpecDecodeMixin):
                 jnp.maximum(tokens, 0) >= cfg.gen_vocab_start
                 if cfg.use_gen_mlp else None
             )
-            hidden, fresh_buf = qwen2.decode(
-                cfg, params, kv_cache, fresh_buf, x, pos, j, written,
-                block_tables, seq_lens0,
-                page_size=page_size, chunk_steps=num_steps,
+            hidden, kv_cache = qwen2.decode_direct(
+                cfg, params, kv_cache, x, pos, act, block_tables,
+                page_size=page_size,
                 tp_axis=tp_axis, ep_axis=ep_axis, fsdp_axis=fsdp_axis,
-                rope_delta=rope_delta,
-                kv_scales=kv_scales, gen_mask=gen_mask,
+                rope_delta=rope_delta, kv_scales=kv_scales,
+                gen_mask=gen_mask,
             )
             keys, step_keys = _split_keys(keys)
             if adapter is None:
@@ -1638,31 +1627,17 @@ class ARModelRunner(SpecDecodeMixin):
             pos = pos + act.astype(jnp.int32)
             out = (sampled, hidden) if collect_hidden else (sampled,)
             return (
-                keys, sampled, pos, new_act, emit, written, fresh_buf, aux,
+                keys, sampled, pos, new_act, emit, kv_cache, aux,
             ), out
 
         entry_tokens = token_state
-        init = (keys, token_state, positions, active, emitted, written0,
-                fresh_buf, aux_state)
+        init = (keys, token_state, positions, active, emitted, kv_cache,
+                aux_state)
         carry, outs = jax.lax.scan(
             step, init, jnp.arange(num_steps, dtype=jnp.int32)
         )
-        (keys, token_state, positions, active, emitted, written, fresh_buf,
+        (keys, token_state, positions, active, emitted, kv_cache,
          aux_state) = carry
-
-        # flush this chunk's rows into the paged cache (one aliased write)
-        steps_r = jnp.arange(num_steps, dtype=jnp.int32)[None, :]
-        posm = pos0[:, None] + steps_r  # [S, K]
-        page_col = jnp.clip(posm // page_size, 0, block_tables.shape[1] - 1)
-        page = jnp.take_along_axis(block_tables, page_col, axis=1)
-        slots = jnp.where(
-            written, page * page_size + posm % page_size, -1
-        ).reshape(s * num_steps)
-        ksc, vsc = kv_scales if kv_scales is not None else (1.0, 1.0)
-        kv_cache = flush_kv_rows(
-            kv_cache, fresh_buf, slots,
-            true_f=true_f, k_scale=ksc, v_scale=vsc,
-        )
 
         # Pack every host-bound scalar array into ONE int32 matrix so the
         # host pays a single d2h sync (~30 ms on a tunneled TPU) per chunk:

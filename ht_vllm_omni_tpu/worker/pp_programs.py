@@ -114,7 +114,7 @@ def decode_program_pp(
     rounds = k_steps * pp + pp - 1
 
     def round_body(r, carry):
-        (keys, written, fresh_buf, tokens_out, hidden_out, fin_tok,
+        (keys, kv_cache, tokens_out, hidden_out, fin_tok,
          fin_pos, fin_act, fin_emit, bh, btok, bpos, bact, bemit) = carry
         m = jnp.mod(r - p, pp)
         t_raw = (r - p) // pp
@@ -135,34 +135,17 @@ def decode_program_pp(
         tables_m = jax.lax.dynamic_slice(
             block_tables, (off, 0), (s_mb, block_tables.shape[1])
         )
-        lens_m = sl1(seq_lens0, off)
         rdelta_m = sl1(rope_delta, off)
 
-        w_m = jax.lax.dynamic_slice(written, (off, 0), (s_mb, k_steps))
-        w_m = w_m.at[:, t].set(
-            jnp.where(valid, act_eff, w_m[:, t])
-        )
-        written = jax.lax.dynamic_update_slice(written, w_m, (off, 0))
-
-        fb_m = jax.lax.dynamic_slice(
-            fresh_buf,
-            (0, off * k_steps, 0),
-            (l_local, s_mb * k_steps, 2 * true_f),
-        )
-        hidden, fb_upd = qwen2.decode(
-            cfg, params, kv_cache, fb_m, h_in, pos_in, t, w_m,
-            tables_m, lens_m,
-            page_size=page_size, chunk_steps=k_steps,
+        # direct paged-cache writes: act_eff is False on warm-up/drain
+        # rounds, so their rows scatter out-of-bounds (dropped) and never
+        # overwrite a microbatch's valid KV
+        hidden, kv_cache = qwen2.decode_direct(
+            cfg, params, kv_cache, h_in, pos_in, act_eff, tables_m,
+            page_size=page_size,
             tp_axis=tp_axis, ep_axis=ep_axis, fsdp_axis=fsdp_axis,
             final_norm=False,
             rope_delta=rdelta_m, kv_scales=kv_scales,
-        )
-        # warm-up/drain rounds run off-schedule (t clipped): never let
-        # their garbage rows overwrite a microbatch's valid KV
-        fresh_buf = jax.lax.dynamic_update_slice(
-            fresh_buf,
-            jnp.where(valid, fb_upd, fb_m),
-            (0, off * k_steps, 0),
         )
 
         # ---- last stage: norm + logits + sample + bookkeeping
@@ -217,14 +200,13 @@ def decode_program_pp(
         bh, btok, bpos, bact, bemit = _ring(
             pp_axis, pp, bh_o, btok_o, bpos_o, bact_o, bemit_o
         )
-        return (keys, written, fresh_buf, tokens_out, hidden_out,
+        return (keys, kv_cache, tokens_out, hidden_out,
                 fin_tok, fin_pos, fin_act, fin_emit, bh, btok, bpos,
                 bact, bemit)
 
     init = (
         keys,
-        jnp.zeros((s_l, k_steps), bool),
-        jnp.zeros((l_local, s_l * k_steps, 2 * true_f), dt),
+        kv_cache,
         jnp.full((k_steps, s_l), _NO_TOKEN, jnp.int32),
         jnp.zeros((k_steps, s_l, h_dim) if collect_hidden else (1,), dt),
         token_state,
@@ -237,7 +219,7 @@ def decode_program_pp(
         jnp.zeros((s_mb,), bool),
         jnp.zeros((s_mb,), jnp.int32),
     )
-    (keys, written, fresh_buf, tokens_out, hidden_out, fin_tok, fin_pos,
+    (keys, kv_cache, tokens_out, hidden_out, fin_tok, fin_pos,
      fin_act, fin_emit, *_) = jax.lax.fori_loop(0, rounds, round_body, init)
 
     # broadcast the last stage's bookkeeping to every pp shard so the
@@ -251,22 +233,6 @@ def decode_program_pp(
     fin_pos = _bcast_from(fin_pos, pp_axis, is_last)
     fin_act = _bcast_from(fin_act.astype(jnp.int32), pp_axis, is_last)
     fin_emit = _bcast_from(fin_emit, pp_axis, is_last)
-
-    # flush this chunk's fresh rows into the local layer slice (same
-    # derivation as the single-stage program)
-    from ht_vllm_omni_tpu.ops.kv_cache_update import flush_kv_rows
-
-    steps_r = jnp.arange(k_steps, dtype=jnp.int32)[None, :]
-    posm = pos0[:, None] + steps_r
-    page_col = jnp.clip(posm // page_size, 0, block_tables.shape[1] - 1)
-    page = jnp.take_along_axis(block_tables, page_col, axis=1)
-    slots = jnp.where(
-        written, page * page_size + posm % page_size, -1
-    ).reshape(s_l * k_steps)
-    ksc, vsc = kv_scales if kv_scales is not None else (1.0, 1.0)
-    kv_cache = flush_kv_rows(
-        kv_cache, fresh_buf, slots, true_f=true_f, k_scale=ksc, v_scale=vsc
-    )
 
     packed = jnp.concatenate(
         [
