@@ -760,6 +760,10 @@ def decode_direct(
             row = quantize_rows(row, f, ks_, vs_, dtype=cache_dt)
         else:
             row = row.astype(cache_dt)
+        if row.shape[-1] < kv_cache.shape[-1]:  # int8 alignment padding
+            row = jnp.pad(
+                row, ((0, 0), (0, kv_cache.shape[-1] - row.shape[-1]))
+            )
         kv_cache = kv_cache.at[li, rows].set(row, mode="drop")
         o = paged_decode_attention(
             q, kv_cache, li, block_tables, seq_lens,
