@@ -143,6 +143,16 @@ class ParallelConfig:
     # within the replica group, replicate across groups; here the mesh's
     # dp axis IS the shard group and XLA overlaps the gathers)
     weight_sharding: str = "replicated"
+    # --- multi-host (DCN) SPMD: every process runs the same engine over
+    # one global mesh (jax multi-controller).  The dp axis is leading,
+    # so with process-ordered jax.devices() it is the axis that spans
+    # hosts — dp traffic (none at inference steady state) rides DCN
+    # while tp/pp/ep collectives stay on intra-host ICI
+    # (parallel/multihost.py).  The reference reaches multi-node via
+    # Ray + NCCL groups (vllm_omni serving args / mooncake transport).
+    num_processes: int = 1
+    process_id: int = 0
+    coordinator_address: str | None = None  # "host:port" of process 0
 
     @property
     def world_size(self) -> int:

@@ -82,10 +82,20 @@ def engine_config_from_stage(
         kv_cache_dtype=args.get("kv_cache_dtype", "auto"),
         memory_utilization=args.get("gpu_memory_utilization", 0.9),
     )
+    from ht_vllm_omni_tpu.config import ParallelConfig
+
+    par = ParallelConfig(
+        tensor_parallel_size=args.get("tensor_parallel_size", 1),
+        data_parallel_size=args.get("data_parallel_size", 1),
+        pipeline_parallel_size=args.get("pipeline_parallel_size", 1),
+        expert_parallel_size=args.get("expert_parallel_size", 1),
+        weight_sharding=args.get("weight_sharding", "replicated"),
+    )
     return EngineConfig(
         model=model,
         cache=cache,
         scheduler=sched,
+        parallel=par,
         model_path=args.get("model", model_path),
         seed=args.get("seed", 0),
         mm_encoder_spec=args.get("mm_encoder"),

@@ -522,8 +522,17 @@ class ARModelRunner(SpecDecodeMixin):
         pp = par.pipeline_parallel_size
         ep = getattr(par, "expert_parallel_size", 1)
         if mesh is None and tp * dp * pp * ep > 1:
-            mesh = make_mesh(MeshConfig(tp, dp, pp, ep))
+            from ht_vllm_omni_tpu.parallel import multihost
+
+            mcfg = MeshConfig(tp, dp, pp, ep)
+            if multihost.ensure_initialized(par):
+                multihost.validate_host_locality(mcfg)
+            mesh = make_mesh(mcfg)
         self.mesh = mesh
+        # multi-controller SPMD: host-read outputs (the decode pack /
+        # hidden chunk) must be replicated — dp-sharded arrays are not
+        # fully addressable on any single process
+        self.multihost = jax.process_count() > 1
         if mesh is not None:
             tp = mesh.shape[TP_AXIS]
             dp = mesh.shape[DP_AXIS]
@@ -1734,6 +1743,14 @@ class ARModelRunner(SpecDecodeMixin):
             ]
             if collect_hidden:
                 out.append(P(None, DP_AXIS, None))  # hidden [K, S, H]
+            if self.multihost:
+                # host-read outputs must be fully addressable on every
+                # process: gather the (tiny) pack + hidden over dp, the
+                # only axis that crosses DCN (parallel/multihost.py)
+                body = _gather_host_outs(body, collect_hidden)
+                out[4] = P()
+                if collect_hidden:
+                    out[5] = P()
             prog = shard_map(
                 body,
                 mesh=self.mesh,
@@ -1812,6 +1829,25 @@ class ARModelRunner(SpecDecodeMixin):
 def _split_keys(keys):
     splits = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
     return splits[:, 0], splits[:, 1]
+
+
+def _gather_host_outs(body, collect_hidden):
+    """Multi-host decode: all_gather the host-read outputs (packed
+    [K+4, S_local] and optional hidden [K, S_local, H]) over dp so every
+    process holds the full arrays (dp is the cross-DCN axis)."""
+
+    def run(*args):
+        out = body(*args)
+        packed = jax.lax.all_gather(out[4], DP_AXIS, axis=1, tiled=True)
+        out = out[:4] + (packed,) + out[5:]
+        if collect_hidden:
+            hid = jax.lax.all_gather(
+                out[5], DP_AXIS, axis=1, tiled=True
+            )
+            out = out[:5] + (hid,)
+        return out
+
+    return run
 
 
 def _aux_passthrough(body):
