@@ -668,10 +668,6 @@ class ARModelRunner(SpecDecodeMixin):
         # self.params under a reserved prefix (replicated under a mesh)
         self.step_adapter = None
         if config.step_adapter_spec:
-            if self.pp > 1:
-                raise NotImplementedError(
-                    "step adapters under pipeline parallelism"
-                )
             from ht_vllm_omni_tpu.worker.step_adapter import (
                 PARAM_PREFIX,
                 build_step_adapter,
@@ -900,7 +896,7 @@ class ARModelRunner(SpecDecodeMixin):
                     prefill_program_pp,
                 )
 
-                body = _aux_passthrough(functools.partial(
+                body = functools.partial(
                     prefill_program_pp,
                     self.local_arch,
                     self.pp,
@@ -912,7 +908,8 @@ class ARModelRunner(SpecDecodeMixin):
                     DP_AXIS if self.fsdp else None,
                     use_embeds,
                     self.kv_scales,
-                ))
+                    self.step_adapter,
+                )
             else:
                 body = functools.partial(
                     self._prefill_program,
@@ -1692,7 +1689,7 @@ class ARModelRunner(SpecDecodeMixin):
                     decode_program_pp,
                 )
 
-                body = _aux_passthrough(functools.partial(
+                body = functools.partial(
                     decode_program_pp,
                     self.local_arch,
                     num_steps,
@@ -1705,7 +1702,8 @@ class ARModelRunner(SpecDecodeMixin):
                     self.kv_scales,
                     ARModelRunner,
                     collect_hidden,
-                ))
+                    self.step_adapter,
+                )
             else:
                 body = functools.partial(
                     self._decode_program,
@@ -1850,13 +1848,3 @@ def _gather_host_outs(body, collect_hidden):
     return run
 
 
-def _aux_passthrough(body):
-    """Adapt a (params, kv, keys, token_state, *rest) program that does
-    not know about adapter aux state to the aux-threaded calling
-    convention (aux rides through unchanged)."""
-
-    def run(params, kv_cache, keys, token_state, aux_state, *rest):
-        out = body(params, kv_cache, keys, token_state, *rest)
-        return out[:3] + (aux_state,) + out[3:]
-
-    return run

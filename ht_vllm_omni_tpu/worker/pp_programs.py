@@ -59,10 +59,12 @@ def decode_program_pp(
     kv_scales,
     runner_cls,
     collect_hidden,
+    adapter,
     params,
     kv_cache,  # [L/pp, NSLOTS_local, 2F_local] donated
     keys,  # [S_l, 2]
     token_state,  # [S_l]
+    aux_state,  # [S_l, W] int32 step-adapter rows ([S_l, 1] when none)
     int_state,  # [_NUM_INT_ROWS, S_l]
     f32_state,  # [2, S_l]
     block_tables,  # [S_l, P]
@@ -72,7 +74,10 @@ def decode_program_pp(
     per-step hidden states exist only on the LAST pp stage (it owns the
     final layers + norm), so they are gathered there per round and
     broadcast to all pp shards at the end — this is what lets
-    thinker->talker pipelines (return_hidden_states) run under pp>1."""
+    thinker->talker pipelines (return_hidden_states) run under pp>1.
+    Step adapters (worker/step_adapter.py) run their head on the last
+    stage too; the aux row rides the microbatch ring back to stage 0,
+    whose adapter embed consumes it next step."""
     R = runner_cls
     p = jax.lax.axis_index(pp_axis)
     positions = int_state[R._ROW_POS]
@@ -115,7 +120,8 @@ def decode_program_pp(
 
     def round_body(r, carry):
         (keys, kv_cache, tokens_out, hidden_out, fin_tok,
-         fin_pos, fin_act, fin_emit, bh, btok, bpos, bact, bemit) = carry
+         fin_pos, fin_act, fin_emit, fin_aux, bh, btok, bpos, bact,
+         bemit, baux) = carry
         m = jnp.mod(r - p, pp)
         t_raw = (r - p) // pp
         valid = jnp.logical_and(r >= p, t_raw < k_steps)
@@ -127,9 +133,13 @@ def decode_program_pp(
         pos_in = jnp.where(is_entry, sl1(pos0, off), bpos)
         act_in = jnp.where(is_entry, sl1(active0, off), bact)
         emit_in = jnp.where(is_entry, sl1(emitted, off), bemit)
+        aux_in = jnp.where(is_entry, sl1(aux_state, off), baux)
         act_eff = jnp.logical_and(act_in, valid)
 
-        x = qwen2.embed_tokens(params, jnp.maximum(tok_in, 0))
+        if adapter is None:
+            x = qwen2.embed_tokens(params, jnp.maximum(tok_in, 0))
+        else:
+            x = adapter.embed(params, jnp.maximum(tok_in, 0), aux_in)
         h_in = jnp.where(p == 0, x, bh).astype(dt)
 
         tables_m = jax.lax.dynamic_slice(
@@ -148,20 +158,25 @@ def decode_program_pp(
             rope_delta=rdelta_m, kv_scales=kv_scales,
         )
 
-        # ---- last stage: norm + logits + sample + bookkeeping
+        # ---- last stage: norm + head (logits sample or adapter)
         hn = rms_norm(hidden, params["norm_f"], cfg.rms_norm_eps)
-        logits = qwen2.compute_logits(cfg, params, hn)
-        logits = R._window_logits(
-            logits, sl1(allow_lo, off), sl1(allow_hi, off),
-            sl1(stops, off),
-        )
         keys_m = sl1(keys, off)
         splits = jax.vmap(lambda kk: jax.random.split(kk, 2))(keys_m)
         keys_m_new, step_keys = splits[:, 0], splits[:, 1]
-        st = SamplingTensors(
-            sl1(temperature, off), sl1(top_k, off), sl1(top_p, off)
-        )
-        sampled = sample_tokens(logits, st, step_keys)
+        if adapter is None:
+            logits = qwen2.compute_logits(cfg, params, hn)
+            logits = R._window_logits(
+                logits, sl1(allow_lo, off), sl1(allow_hi, off),
+                sl1(stops, off),
+            )
+            st = SamplingTensors(
+                sl1(temperature, off), sl1(top_k, off), sl1(top_p, off)
+            )
+            sampled = sample_tokens(logits, st, step_keys)
+            aux_new = aux_in
+        else:
+            sampled, aux_new = adapter.head(params, hn, pos_in)
+            aux_new = jnp.where(act_eff[:, None], aux_new, aux_in)
         sampled = jnp.where(act_eff, sampled, _NO_TOKEN)
         emit_new = emit_in + act_eff.astype(jnp.int32)
         stop = R._stop_mask(
@@ -190,6 +205,11 @@ def decode_program_pp(
         fin_pos = jnp.where(fin, up1(fin_pos, pos_new, off), fin_pos)
         fin_act = jnp.where(fin, up1(fin_act, act_new, off), fin_act)
         fin_emit = jnp.where(fin, up1(fin_emit, emit_new, off), fin_emit)
+        fin_aux = jnp.where(
+            fin,
+            jax.lax.dynamic_update_slice(fin_aux, aux_new, (off, 0)),
+            fin_aux,
+        )
 
         # ---- ring handoff (stage pp-1 wraps to stage 0 with the token)
         bh_o = hidden
@@ -197,13 +217,15 @@ def decode_program_pp(
         bpos_o = jnp.where(is_last, pos_new, pos_in)
         bact_o = jnp.where(is_last, act_new, act_in)
         bemit_o = jnp.where(is_last, emit_new, emit_in)
-        bh, btok, bpos, bact, bemit = _ring(
-            pp_axis, pp, bh_o, btok_o, bpos_o, bact_o, bemit_o
+        baux_o = jnp.where(is_last, aux_new, aux_in)
+        bh, btok, bpos, bact, bemit, baux = _ring(
+            pp_axis, pp, bh_o, btok_o, bpos_o, bact_o, bemit_o, baux_o
         )
         return (keys, kv_cache, tokens_out, hidden_out,
-                fin_tok, fin_pos, fin_act, fin_emit, bh, btok, bpos,
-                bact, bemit)
+                fin_tok, fin_pos, fin_act, fin_emit, fin_aux, bh, btok,
+                bpos, bact, bemit, baux)
 
+    aux_w = aux_state.shape[1]
     init = (
         keys,
         kv_cache,
@@ -213,14 +235,18 @@ def decode_program_pp(
         pos0,
         active0,
         emitted,
+        aux_state,
         jnp.zeros((s_mb, h_dim), dt),
         jnp.full((s_mb,), _NO_TOKEN, jnp.int32),
         jnp.zeros((s_mb,), jnp.int32),
         jnp.zeros((s_mb,), bool),
         jnp.zeros((s_mb,), jnp.int32),
+        jnp.zeros((s_mb, aux_w), jnp.int32),
     )
     (keys, kv_cache, tokens_out, hidden_out, fin_tok, fin_pos,
-     fin_act, fin_emit, *_) = jax.lax.fori_loop(0, rounds, round_body, init)
+     fin_act, fin_emit, fin_aux, *_) = jax.lax.fori_loop(
+        0, rounds, round_body, init
+    )
 
     # broadcast the last stage's bookkeeping to every pp shard so the
     # returned (pp-replicated) state agrees everywhere
@@ -233,6 +259,7 @@ def decode_program_pp(
     fin_pos = _bcast_from(fin_pos, pp_axis, is_last)
     fin_act = _bcast_from(fin_act.astype(jnp.int32), pp_axis, is_last)
     fin_emit = _bcast_from(fin_emit, pp_axis, is_last)
+    fin_aux = _bcast_from(fin_aux, pp_axis, is_last)
 
     packed = jnp.concatenate(
         [
@@ -245,8 +272,8 @@ def decode_program_pp(
         axis=0,
     )
     if collect_hidden:
-        return kv_cache, keys, fin_tok, packed, hidden_out
-    return kv_cache, keys, fin_tok, packed
+        return kv_cache, keys, fin_tok, fin_aux, packed, hidden_out
+    return kv_cache, keys, fin_tok, fin_aux, packed
 
 
 def prefill_program_pp(
@@ -260,10 +287,12 @@ def prefill_program_pp(
     fsdp_axis,
     use_embeds,
     kv_scales,
+    adapter,
     params,
     kv_cache,
     keys,
     token_state,
+    aux_state,  # [S, W] int32 step-adapter rows
     token_ids,
     positions,
     slot_mapping,
@@ -334,18 +363,29 @@ def prefill_program_pp(
     last = jax.lax.dynamic_index_in_dim(
         h, prompt_len - 1, axis=0, keepdims=True
     )
-    logits = qwen2.compute_logits(cfg, params, last)
-    from ht_vllm_omni_tpu.worker.model_runner import ARModelRunner
-
-    logits = ARModelRunner._window_logits(
-        logits, allow[0:1], allow[1:2], allow[None, 4:]
-    )  # grid constraint (allow[2:4]) is single-mesh-only, like adapters
     slot_key = keys[slot]
     new_key, step_key = jax.random.split(slot_key)
-    token = sample_tokens(
-        logits, SamplingTensors(temperature, top_k, top_p), step_key[None]
-    )[0]
-    # every pp stage computed the same (broadcast) logits with the same
+    if adapter is None:
+        logits = qwen2.compute_logits(cfg, params, last)
+        from ht_vllm_omni_tpu.worker.model_runner import ARModelRunner
+
+        logits = ARModelRunner._window_logits(
+            logits, allow[0:1], allow[1:2], allow[None, 4:]
+        )  # grid constraint (allow[2:4]) is single-mesh-only
+        token = sample_tokens(
+            logits, SamplingTensors(temperature, top_k, top_p),
+            step_key[None],
+        )[0]
+        new_aux = aux_state
+    else:
+        # h is broadcast from stage 0 and adapter params are replicated,
+        # so every pp stage computes the identical head output
+        tok, aux_row = adapter.head(
+            params, last, jnp.reshape(prompt_len - 1, (1,))
+        )
+        token = tok[0]
+        new_aux = aux_state.at[slot].set(aux_row[0])
+    # every pp stage computed the same (broadcast) outputs with the same
     # key, so the updates below agree across pp without further traffic
     new_keys = keys.at[slot].set(new_key)
     new_token_state = token_state.at[slot].set(token)
@@ -354,5 +394,6 @@ def prefill_program_pp(
         lambda new, old: jnp.where(keep, new, old), new_keys, keys
     )
     token_state = jnp.where(keep, new_token_state, token_state)
+    aux_state = jnp.where(keep, new_aux, aux_state)
     out_hidden = h if collect_hidden else last
-    return kv_cache, keys, token_state, out_hidden
+    return kv_cache, keys, token_state, aux_state, out_hidden

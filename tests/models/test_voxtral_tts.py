@@ -216,11 +216,12 @@ def test_codec_windows_follow_reference_construction():
     assert VoxtralCodecConfig().decoder_windows == (2, 4, 8, 16)
 
 
-def _tiny_engine():
+def _tiny_engine(parallel=None):
     from ht_vllm_omni_tpu.config import (
         CacheConfig,
         EngineConfig,
         ModelArchConfig,
+        ParallelConfig,
         SchedulerConfig,
     )
     from ht_vllm_omni_tpu.engine.llm_engine import LLMEngine
@@ -238,6 +239,7 @@ def _tiny_engine():
         scheduler=SchedulerConfig(
             max_num_seqs=2, max_model_len=256,
         ),
+        parallel=parallel or ParallelConfig(),
         step_adapter_spec={
             "name": "voxtral_tts",
             "audio_token_id": 24,
@@ -368,3 +370,30 @@ def test_pipeline_e2e_streaming_audio():
     audio = outs[0].consolidated_multimodal("audio")
     assert audio is not None and len(audio) > 0
     assert np.isfinite(np.asarray(audio, np.float32)).all()
+
+
+def test_step_adapter_under_pipeline_parallelism():
+    """Step adapters under pp>1 (worker/pp_programs.py): the adapter
+    head runs on the last pp stage and its aux row rides the microbatch
+    ring back to stage 0's adapter embedding — greedy codes must match
+    the single-device engine exactly."""
+    import jax
+
+    from ht_vllm_omni_tpu.config import ParallelConfig
+    from ht_vllm_omni_tpu.sampling_params import SamplingParams
+
+    assert len(jax.devices()) >= 2
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=9, ignore_eos=True,
+        return_hidden_states=True,
+    )
+    prompts = [[5, 9, 12], [7, 3]]
+    ref = _tiny_engine().generate(prompts, sp)
+    eng = _tiny_engine(parallel=ParallelConfig(pipeline_parallel_size=2))
+    got = eng.generate(prompts, sp)
+    for r, g in zip(ref, got):
+        assert r.outputs[0].token_ids == g.outputs[0].token_ids
+        np.testing.assert_allclose(
+            r.outputs[0].hidden_states, g.outputs[0].hidden_states,
+            rtol=2e-5, atol=2e-5,
+        )
