@@ -43,16 +43,19 @@ def _gather_rows(cache: jax.Array, slots: jax.Array) -> jax.Array:
     return jnp.take(cache, slots, axis=1)  # [L, T, 2F]
 
 
-def rows_to_canonical(rows: np.ndarray, runner) -> np.ndarray:
-    """Producer-layout rows -> canonical [L, T, 2*true_f] model-dtype.
+def rows_to_canonical(
+    rows: np.ndarray, runner
+) -> tuple[np.ndarray, dict | None]:
+    """Producer-layout rows -> (canonical [L, T, 2*true_f], quant meta).
 
-    The payload that crosses stages is always dequantized, unpadded, and
-    laid out [K_feat || V_feat] globally.  The producer's cache may be
-    (a) int8 with per-tensor scales — dequantize HERE so the consumer's
-    flush quantizes exactly ONCE (a second divide-by-scale would corrupt
-    the transfer), and (b) tp-sharded on the feature axis, in which case
-    the global array interleaves per-shard [K_s || V_s (|| pad_s)]
-    segments — de-interleave to the canonical order.
+    The payload that crosses stages is unpadded and laid out
+    [K_feat || V_feat] globally.  A quantized producer cache ships its
+    RAW int8/fp8 codes plus per-tensor scales in the meta (4x fewer
+    wire bytes than a dequantized f32 wire; the consumer applies the
+    scales exactly once — either by injecting raw on a scale-matched
+    cache, bit-exact, or by dequantizing once on mismatch).  tp-sharded
+    caches interleave per-shard [K_s || V_s (|| pad_s)] segments in the
+    global array — de-interleaved to the canonical order here.
     """
     num_l, t, width = rows.shape
     tp = runner.tp
@@ -62,36 +65,85 @@ def rows_to_canonical(rows: np.ndarray, runner) -> np.ndarray:
     r = rows.reshape(num_l, t, tp, shard_w)
     k = r[..., :local_f]  # [L, T, tp, f/tp]
     v = r[..., local_f : 2 * local_f]
-    if runner.kv_quant:
-        ksc, vsc = runner.kv_scales
-        k = k.astype(np.float32) * ksc
-        v = v.astype(np.float32) * vsc
     out = np.concatenate(
         [k.reshape(num_l, t, f), v.reshape(num_l, t, f)], axis=-1
     )
-    return np.ascontiguousarray(out, dtype=np.float32)
-
-
-def rows_from_canonical(rows: np.ndarray, runner) -> np.ndarray:
-    """Canonical [L, T, 2f] rows -> the consumer runner's global feature
-    layout (inverse of rows_to_canonical, minus quantization — the
-    consumer's flush kernel quantizes if its cache is int8)."""
-    tp = runner.tp
-    if tp == 1:
-        return rows
     if runner.kv_quant:
-        # per-shard 1-byte padding would interleave with features; the
-        # global-semantics flush cannot express that layout
-        raise NotImplementedError(
-            "KV inject into a tp-sharded quantized cache is unsupported; "
-            "use a bf16 cache on the consumer or tp=1"
-        )
+        ksc, vsc = runner.kv_scales
+        return np.ascontiguousarray(out), {
+            "kv_dtype": str(jnp.dtype(runner.kv_cache.dtype).name),
+            "k_scale": float(ksc),
+            "v_scale": float(vsc),
+        }
+    return np.ascontiguousarray(out, dtype=np.float32), None
+
+
+def _dequant_canonical(rows: np.ndarray, meta: dict) -> np.ndarray:
+    f = rows.shape[-1] // 2
+    k = rows[..., :f].astype(np.float32) * meta["k_scale"]
+    v = rows[..., f:].astype(np.float32) * meta["v_scale"]
+    return np.concatenate([k, v], axis=-1)
+
+
+def _interleave_tp(
+    rows: np.ndarray, tp: int, shard_w: int
+) -> np.ndarray:
+    """Canonical [L, T, 2f] -> per-shard [K_s || V_s (|| pad_s)] global
+    layout with shard width ``shard_w`` (pad zero-filled)."""
     num_l, t, two_f = rows.shape
     f = two_f // 2
     local_f = f // tp
     k = rows[..., :f].reshape(num_l, t, tp, local_f)
     v = rows[..., f:].reshape(num_l, t, tp, local_f)
-    return np.concatenate([k, v], axis=-1).reshape(num_l, t, two_f)
+    parts = [k, v]
+    pad = shard_w - 2 * local_f
+    if pad:
+        parts.append(
+            np.zeros((num_l, t, tp, pad), dtype=rows.dtype)
+        )
+    return np.concatenate(parts, axis=-1).reshape(
+        num_l, t, tp * shard_w
+    )
+
+
+def rows_for_consumer(
+    rows: np.ndarray, meta: dict | None, runner
+) -> tuple[np.ndarray, bool]:
+    """Canonical wire rows (+quant meta) -> the consumer's global
+    feature layout.  Returns (rows, prequantized): prequantized rows are
+    already in the cache dtype/scale and must be flushed verbatim —
+    scale-matched int8->int8 transfers are bit-exact and never touch
+    float."""
+    import jax.numpy as _jnp
+
+    tp = runner.tp
+    if runner.kv_quant:
+        cache_dt = runner.kv_cache.dtype
+        ksc, vsc = runner.kv_scales
+        same = (
+            meta is not None
+            and meta.get("kv_dtype") == str(_jnp.dtype(cache_dt).name)
+            and float(meta["k_scale"]) == float(ksc)
+            and float(meta["v_scale"]) == float(vsc)
+        )
+        if same:
+            q = rows
+        else:
+            from ht_vllm_omni_tpu.ops.kv_cache_update import quantize_rows
+
+            x = _dequant_canonical(rows, meta) if meta else rows
+            q = np.asarray(
+                quantize_rows(
+                    _jnp.asarray(x), rows.shape[-1] // 2, ksc, vsc,
+                    dtype=cache_dt,
+                )
+            )
+        shard_w = runner.kv_cache.shape[-1] // tp
+        return _interleave_tp(q, tp, shard_w), True
+    x = _dequant_canonical(rows, meta) if meta else rows
+    if tp == 1:
+        return x, False
+    return _interleave_tp(x, tp, x.shape[-1] // tp), False
 
 
 class OmniKVTransferManager:
@@ -121,11 +173,13 @@ class OmniKVTransferManager:
             idx % runner.page_size
         )
         rows = _gather_rows(runner.kv_cache, jnp.asarray(slots))
+        canon, qmeta = rows_to_canonical(np.asarray(rows), runner)
         payload = KVPayload(
             # includes the pending last token (KV not yet written: it is
             # the first decode input on the importing side)
             token_ids=list(req.all_token_ids[: n + 1]),
-            kv_rows=rows_to_canonical(np.asarray(rows), runner),
+            kv_rows=canon,
+            extra=qmeta,
         )
         if release:
             engine.scheduler.free_transferred(request_id)
@@ -206,7 +260,7 @@ class OmniKVTransferManager:
                 f"{len(payload.token_ids)} tokens vs {rows.shape[1]} "
                 "kv rows (+1 pending expected)"
             )
-        if not np.isfinite(rows).all():
+        if not np.isfinite(rows.astype(np.float32)).all():
             return "non-finite kv values"
         return None
 
@@ -241,12 +295,15 @@ class OmniKVTransferManager:
                     ids, sampling_params, request_id=request_id
                 )
             raise KVLoadError(f"{request_id}: {reason}")
-        rows = rows_from_canonical(
-            np.asarray(payload.kv_rows), engine.runner
+        qmeta = payload.extra if (
+            payload.extra and "kv_dtype" in payload.extra
+        ) else None
+        rows, prequantized = rows_for_consumer(
+            np.asarray(payload.kv_rows), qmeta, engine.runner
         )
         return engine.add_request_with_kv(
             payload.token_ids, rows, sampling_params,
-            request_id=request_id,
+            request_id=request_id, prequantized=prequantized,
         )
 
     def receive_and_inject(

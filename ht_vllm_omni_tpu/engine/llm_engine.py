@@ -136,6 +136,7 @@ class LLMEngine:
         kv_rows,
         sampling_params: SamplingParams | None = None,
         request_id: str | None = None,
+        prequantized: bool = False,
     ) -> str:
         """PD-disaggregation import: ``token_ids`` = prompt + the first
         sampled token; ``kv_rows`` [L, len-1, 2F] are its prompt KV.  The
@@ -154,7 +155,7 @@ class LLMEngine:
         )
         req.output_token_ids = [token_ids[-1]]
         self.scheduler.admit_running_with_kv(req, self.decode_horizon)
-        self.runner.inject_kv(req, kv_rows)
+        self.runner.inject_kv(req, kv_rows, prequantized=prequantized)
         return request_id
 
     def abort_request(self, request_id: str) -> None:

@@ -51,15 +51,20 @@ def flush_kv_rows(
     true_f: int | None = None,
     k_scale: float = 1.0,
     v_scale: float = 1.0,
+    prequantized: bool = False,
 ) -> jax.Array:
     """Write fresh rows into the cache at flat slots, in place.
 
     Call at top level of a jit whose ``cache`` argument is donated (or
     on a loop carry) so the scatter aliases.  For int8/fp8 caches, rows
     are per-tensor quantized here and the feature dim may carry
-    alignment padding (true_f = real KVH*D)."""
+    alignment padding (true_f = real KVH*D) — unless ``prequantized``:
+    rows already carry the cache dtype/scales (scale-matched KV
+    transfers inject bit-exact, distributed/kv_transfer.py)."""
     num_layers, nslots, two_f = cache.shape
-    if cache.dtype in (jnp.int8, jnp.dtype(jnp.float8_e4m3fn)):
+    if not prequantized and cache.dtype in (
+        jnp.int8, jnp.dtype(jnp.float8_e4m3fn)
+    ):
         f = true_f if true_f is not None else fresh.shape[-1] // 2
         fresh = quantize_rows(
             fresh, f, k_scale, v_scale, dtype=cache.dtype
@@ -97,13 +102,15 @@ def flush_kv_rows(
 
 @functools.partial(
     jax.jit, donate_argnums=(0,),
-    static_argnames=("true_f", "k_scale", "v_scale"),
+    static_argnames=("true_f", "k_scale", "v_scale", "prequantized"),
 )
 def flush_kv_rows_donated(
-    cache, fresh, slot_mapping, *, true_f=None, k_scale=1.0, v_scale=1.0
+    cache, fresh, slot_mapping, *, true_f=None, k_scale=1.0,
+    v_scale=1.0, prequantized=False,
 ):
     """Standalone jitted flush (tests / KV-transfer injection)."""
     return flush_kv_rows(
         cache, fresh, slot_mapping,
         true_f=true_f, k_scale=k_scale, v_scale=v_scale,
+        prequantized=prequantized,
     )

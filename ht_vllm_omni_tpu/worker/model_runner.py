@@ -1435,7 +1435,7 @@ class ARModelRunner(SpecDecodeMixin):
             )
         return hidden
 
-    def inject_kv(self, request, kv_rows) -> None:
+    def inject_kv(self, request, kv_rows, prequantized: bool = False) -> None:
         """Populate a slot for a request whose prompt KV was transferred
         from another stage (distributed/kv_transfer.py): flush the rows
         into this cache and prime the decode state — no prefill pass."""
@@ -1457,6 +1457,7 @@ class ARModelRunner(SpecDecodeMixin):
             self.kv_cache, jnp.asarray(kv_rows),
             jnp.asarray(slots, jnp.int32),
             true_f=self.true_f, k_scale=ksc, v_scale=vsc,
+            prequantized=prequantized,
         )
         last = req.output_token_ids[-1] if req.output_token_ids else (
             req.prompt_token_ids[-1]

@@ -111,12 +111,13 @@ def test_int8_kv_transfer_dequantizes_once():
 
     mgr = OmniKVTransferManager(OmniConnectorFactory.create("MockConnector"))
     payload = mgr.extract(prefill_engine, rid)
-    # canonical rows: float, unpadded [L, T, 2*KVH*D]
-    assert payload.kv_rows.dtype == np.float32
+    # quantized producer ships RAW codes + scales (4x fewer wire bytes);
+    # canonical rows stay unpadded [L, T, 2*KVH*D]
+    assert payload.kv_rows.dtype == np.int8
     assert payload.kv_rows.shape[-1] == 2 * 2 * 32 // 4  # 2*KVH*D = 32
-    # values must be de-scaled multiples of the scale, not raw int8 codes
-    nz = payload.kv_rows[np.abs(payload.kv_rows) > 0]
-    assert nz.size and np.all(np.abs(nz) <= 127 * 0.05 + 1e-6)
+    assert payload.extra == {
+        "kv_dtype": "int8", "k_scale": 0.05, "v_scale": 0.05,
+    }
 
     # inject into a fresh int8 engine; its cache rows must equal the
     # producer's rows (quantized once with the same scales)
@@ -191,3 +192,73 @@ def test_put_retries_with_backoff_and_get_polls():
     assert mgr3.get(0, 1, "r3", timeout_s=0.0) is None
     got = mgr3.get(0, 1, "r3", timeout_s=2.0)
     assert got is not None and got.token_ids == [1, 2, 3]
+
+
+def test_quantized_kv_transfer_bit_exact_and_tp_sharded():
+    """Scale-matched int8->int8 transfers inject raw codes (bit-exact,
+    never touching float), including into a tp-sharded quantized cache
+    (the padded per-shard [K_s||V_s||pad_s] layout is built host-side);
+    the injected engine's greedy continuation matches local decode."""
+    import numpy as np
+
+    import jax
+
+    from ht_vllm_omni_tpu.config import ParallelConfig
+
+    params = qwen2.init_params(_cfg(), jax.random.PRNGKey(21))
+
+    def int8_engine(tp=1):
+        return LLMEngine(
+            EngineConfig(
+                model=_cfg(),
+                cache=CacheConfig(
+                    page_size=16, num_pages=64, kv_cache_dtype="int8",
+                    kv_scale_k=0.05, kv_scale_v=0.05,
+                ),
+                scheduler=SchedulerConfig(max_num_seqs=4, max_model_len=128),
+                parallel=ParallelConfig(tensor_parallel_size=tp),
+            ),
+            params=params,
+            decode_horizon=4,
+        )
+
+    prompt = [7, 3, 11, 30, 4]
+    # local reference: same engine decodes the prompt end-to-end
+    sp_full = SamplingParams(temperature=0.0, max_tokens=7, ignore_eos=True)
+    local = int8_engine().generate([prompt], sp_full)[0]
+
+    # producer prefills only, then hands the KV off
+    sp1 = SamplingParams(temperature=0.0, max_tokens=1, ignore_eos=True)
+    prod = int8_engine()
+    rid = prod.add_request(prompt, sp1, request_id="pd-bx")
+    prod.scheduler.requests[rid].needs_kv_transfer = True
+    while prod.has_unfinished_requests():
+        prod.step()
+    mgr = OmniKVTransferManager(OmniConnectorFactory.create("MockConnector"))
+    payload = mgr.extract(prod, rid)
+
+    for tp in (1, 2):
+        cons = int8_engine(tp=tp)
+        sp2 = SamplingParams(
+            temperature=0.0, max_tokens=6, ignore_eos=True
+        )
+        rid2 = mgr.inject(cons, payload, f"pd-bx-{tp}", sp2)
+        if tp == 1:
+            # raw codes land verbatim: cache rows bit-exact vs producer
+            req = cons.scheduler.requests[rid2]
+            n = len(prompt)
+            idx = np.arange(n)
+            pages = np.asarray(req.page_ids)
+            slots = pages[idx // 16] * 16 + idx % 16
+            src = np.asarray(prod.runner.kv_cache)[:, :n]
+            dst = np.asarray(cons.runner.kv_cache)[:, slots]
+            np.testing.assert_array_equal(src, dst)
+        outs = []
+        while cons.has_unfinished_requests():
+            outs.extend(cons.step())
+        final = [o for o in outs if o.finished][0]
+        got = final.outputs[0].token_ids
+        # output stream = producer-sampled token + 5 continuations
+        assert got == local.outputs[0].token_ids[:6], (
+            got, local.outputs[0].token_ids,
+        )
