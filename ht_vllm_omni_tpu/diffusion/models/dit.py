@@ -140,12 +140,19 @@ def forward(
         if sp_axis is not None:
             from ht_vllm_omni_tpu.diffusion.distributed.sp_ulysses import (
                 ulysses_attention,
+                ulysses_attention_uneven,
             )
 
-            o = ulysses_attention(
-                to_heads(q)[0], to_heads(k)[0], to_heads(v)[0],
-                axis=sp_axis, sp_size=sp_size,
-            )[None]
+            if heads % sp_size:  # UAA head-padding mode
+                o = ulysses_attention_uneven(
+                    to_heads(q)[0], to_heads(k)[0], to_heads(v)[0],
+                    axis=sp_axis, sp_size=sp_size,
+                )[None]
+            else:
+                o = ulysses_attention(
+                    to_heads(q)[0], to_heads(k)[0], to_heads(v)[0],
+                    axis=sp_axis, sp_size=sp_size,
+                )[None]
         else:
             o = flash_attention(
                 to_heads(q), to_heads(k), to_heads(v), causal=False
