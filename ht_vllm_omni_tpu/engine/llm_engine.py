@@ -39,9 +39,19 @@ class LLMEngine:
         params: dict | None = None,
         tokenizer=None,
         decode_horizon: int = 16,
+        decode_horizon_max: int | None = None,
     ) -> None:
         self.config = config
         self.decode_horizon = decode_horizon
+        # adaptive chunk widening: consecutive decode-only steps double
+        # the horizon up to decode_horizon_max (power-of-2 buckets, so
+        # at most log2(max/base) extra compiles).  Each decode chunk
+        # costs one host sync — ~30 ms on a tunneled TPU — so long
+        # generations (TTS talkers) want wide chunks, while the FIRST
+        # chunk stays small for time-to-first-audio.  A fresh prefill
+        # resets the ramp (streaming consumers get early tokens fast).
+        self.decode_horizon_max = decode_horizon_max or decode_horizon
+        self._cur_horizon = decode_horizon
         self.runner = ARModelRunner(config, params=params)
         # dp-sharded caches: a request's pages must come from the page
         # partition of the dp group that owns its slot (ids are global;
@@ -211,9 +221,23 @@ class LLMEngine:
         use_spec = spec_d > 0 and self.runner.mesh is None
         spec_iters = max(1, cdiv(self.decode_horizon, spec_d + 1))
         horizon = (
-            spec_iters * (spec_d + 1) if use_spec else self.decode_horizon
+            spec_iters * (spec_d + 1) if use_spec else self._cur_horizon
         )
         prefill_works, decode_reqs = self.scheduler.step_plan(horizon)
+        # shrinking below the reserved horizon is always page-safe;
+        # fresh prompts get a base-width first chunk (fast first tokens)
+        # and decode-only steps ride the ramp
+        if prefill_works:
+            run_horizon = self.decode_horizon
+            self._cur_horizon = min(
+                self.decode_horizon * 2, self.decode_horizon_max
+            )
+        else:
+            run_horizon = self._cur_horizon
+            if decode_reqs:
+                self._cur_horizon = min(
+                    self._cur_horizon * 2, self.decode_horizon_max
+                )
         for req in self.scheduler.newly_preempted:
             self.runner.release_slot(req.request_id)
 
@@ -286,7 +310,7 @@ class LLMEngine:
             )
         else:
             tokens, hidden = self.runner.decode_chunk(
-                self.decode_horizon, collect_hidden=bool(want_hidden)
+                run_horizon, collect_hidden=bool(want_hidden)
             )
 
         outputs: list[OmniRequestOutput] = []

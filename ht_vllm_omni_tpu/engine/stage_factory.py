@@ -409,7 +409,13 @@ def build_stages(
         else:
             from ht_vllm_omni_tpu.engine.llm_engine import LLMEngine
 
-            engine = LLMEngine(engine_config_from_stage(cfg, model_path))
+            engine = LLMEngine(
+                engine_config_from_stage(cfg, model_path),
+                decode_horizon=cfg.engine_args.get("decode_horizon", 16),
+                decode_horizon_max=cfg.engine_args.get(
+                    "decode_horizon_max"
+                ),
+            )
             if "code_predictor" in cfg.engine_args:
                 _attach_code_predictor(cfg, engine)
             if "fast_ar" in cfg.engine_args:

@@ -125,3 +125,47 @@ def test_chunk_call_pattern_includes_left_context():
     # 9 tokens * 2 samples
     # simply ensure nothing crashed and chunk count was > 1
     assert True
+
+
+def test_decode_horizon_ramp():
+    """Adaptive chunk widening: decode-only steps double the horizon up
+    to decode_horizon_max; a fresh prefill resets to the base so first
+    tokens still stream quickly.  Output must be identical to the
+    fixed-horizon engine (chunking is invisible to results)."""
+    import jax
+
+    from ht_vllm_omni_tpu.config import (
+        CacheConfig, EngineConfig, ModelArchConfig, SchedulerConfig,
+    )
+    from ht_vllm_omni_tpu.engine.llm_engine import LLMEngine
+    from ht_vllm_omni_tpu.models import qwen2
+    from ht_vllm_omni_tpu.sampling_params import SamplingParams
+
+    cfg = ModelArchConfig(
+        model_type="qwen2", vocab_size=128, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, dtype="float32",
+        tie_word_embeddings=True, eos_token_id=1,
+    )
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(3))
+
+    def mk(hmax=None):
+        return LLMEngine(
+            EngineConfig(
+                model=cfg,
+                cache=CacheConfig(page_size=16, num_pages=32),
+                scheduler=SchedulerConfig(max_num_seqs=2, max_model_len=256),
+            ),
+            params=params, decode_horizon=4, decode_horizon_max=hmax,
+        )
+
+    sp = SamplingParams(temperature=0.0, max_tokens=40, ignore_eos=True)
+    ref = mk().generate([[5, 6, 7]], sp)
+    eng = mk(hmax=32)
+    got = eng.generate([[5, 6, 7]], sp)
+    assert ref[0].outputs[0].token_ids == got[0].outputs[0].token_ids
+    assert eng._cur_horizon > 4  # the ramp actually engaged
+    # a fresh prompt resets the ramp
+    eng.generate([[9, 9]], SamplingParams(
+        temperature=0.0, max_tokens=2, ignore_eos=True))
+    assert eng._cur_horizon <= 8
