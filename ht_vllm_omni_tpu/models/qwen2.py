@@ -115,9 +115,10 @@ def fuse_params(params: dict) -> dict:
     MergedColumnParallelLinear packing done once at load).  Decode GEMMs
     at tiny row counts are dispatch-latency-bound; 6 dots/layer -> 4.
 
-    Only valid for plain (bf16/f32) weights: quantized or LoRA'd params
+    Only valid BEFORE quantization/LoRA attach: already-suffixed params
     address projections by name, so fusion is skipped when any ``:``
-    suffix key is present."""
+    suffix key is present (quantize the fused leaves instead — the
+    runner fuses first, then quantizes)."""
     if any(":" in k for k in params):
         return params
     if "wq" not in params:
@@ -133,6 +134,40 @@ def fuse_params(params: dict) -> dict:
     if "gate" in p and "up" in p:
         p["wgu"] = jnp.concatenate([p.pop("gate"), p.pop("up")], axis=-1)
     return p
+
+
+class _StackedQuant:
+    """Quantized leaf handed to a scan layer body STACKED (full
+    [L, ...]) with the layer index: the Pallas group-scale matmuls read
+    their layer's blocks straight from HBM via a scalar-prefetched
+    index (ops/quant_matmul.matmul_int4_stacked).  Slicing these leaves
+    through scan xs instead makes XLA materialize a per-step copy of
+    every layer's packed weights — custom-call operands cannot alias a
+    slice (measured ~0.3 ms/step on a 0.5B int4 model)."""
+
+    __slots__ = ("arr", "layer")
+
+    def __init__(self, arr, layer):
+        self.arr = arr
+        self.layer = layer
+
+
+# pallas-matmul leaves that should bypass scan slicing (int8/fp8 use
+# XLA dots whose operand convert fuses — slices are free there)
+_STACKED_Q_SUFFIXES = (":q4", ":s4", ":q4z", ":s4z", ":z4")
+
+
+def split_stacked_quant(layer_leaves: dict) -> tuple[dict, dict]:
+    """Partition scan xs leaves into (sliced, stacked-quant)."""
+    stacked = {
+        k: layer_leaves.pop(k)
+        for k in [
+            k
+            for k in layer_leaves
+            if k.endswith(_STACKED_Q_SUFFIXES)
+        ]
+    }
+    return layer_leaves, stacked
 
 
 def _layer_params(params: dict) -> dict:
@@ -215,10 +250,20 @@ def _linear_base(lp: dict, name: str, x: jax.Array) -> jax.Array:
             x, lp[name + ":q8"], lp[name + ":s8"], out_dtype=jnp.float32
         )
     if name + ":q4" in lp:
+        w = lp[name + ":q4"]
+        if isinstance(w, _StackedQuant):
+            from ht_vllm_omni_tpu.ops.quant_matmul import (
+                matmul_int4_stacked,
+            )
+
+            return matmul_int4_stacked(
+                x, w.arr, lp[name + ":s4"].arr, w.layer,
+                out_dtype=jnp.float32,
+            )
         from ht_vllm_omni_tpu.ops.quant_matmul import matmul_int4
 
         return matmul_int4(
-            x, lp[name + ":q4"], lp[name + ":s4"], out_dtype=jnp.float32
+            x, w, lp[name + ":s4"], out_dtype=jnp.float32
         )
     if name + ":f8" in lp:
         from ht_vllm_omni_tpu.ops.quant_matmul import matmul_fp8
@@ -227,13 +272,30 @@ def _linear_base(lp: dict, name: str, x: jax.Array) -> jax.Array:
             x, lp[name + ":f8"], lp[name + ":sf8"], out_dtype=jnp.float32
         )
     if name + ":q4z" in lp:
+        w = lp[name + ":q4z"]
+        if isinstance(w, _StackedQuant):
+            from ht_vllm_omni_tpu.ops.quant_matmul import (
+                matmul_int4_zp_stacked,
+            )
+
+            return matmul_int4_zp_stacked(
+                x, w.arr, lp[name + ":s4z"].arr, lp[name + ":z4"].arr,
+                w.layer, out_dtype=jnp.float32,
+            )
         from ht_vllm_omni_tpu.ops.quant_matmul import matmul_int4_zp
 
         return matmul_int4_zp(
-            x, lp[name + ":q4z"], lp[name + ":s4z"], lp[name + ":z4"],
+            x, w, lp[name + ":s4z"], lp[name + ":z4"],
             out_dtype=jnp.float32,
         )
     return jnp.dot(x, lp[name], preferred_element_type=jnp.float32)
+
+
+def _has_weight(lp: dict, name: str) -> bool:
+    """True when ``name`` exists raw or under any quantized suffix."""
+    return name in lp or any(
+        name + s in lp for s in (":q8", ":q4", ":f8", ":q4z")
+    )
 
 
 def _maybe_post_norm(cfg, lp, name, delta):
@@ -251,7 +313,7 @@ def _qkv(
     """x [T, H] -> q [T, QH, D], k/v [T, KVH, D] with norm+rope applied."""
     t = x.shape[0]
     d = cfg.head_dim
-    if "wqkv" in lp:
+    if _has_weight(lp, "wqkv"):
         y = _linear(lp, "wqkv", x)
         if "bqkv" in lp:
             y = y + lp["bqkv"]
@@ -367,7 +429,7 @@ def _mlp(
         )
         return jnp.zeros((t, x.shape[-1]), jnp.float32).at[order].set(rows)
     if "router" not in lp:
-        if "wgu" in lp:
+        if _has_weight(lp, "wgu"):
             gu = _linear(lp, "wgu", x)
             g, u = jnp.split(gu, 2, axis=-1)
         else:
@@ -745,10 +807,19 @@ def decode_direct(
     ks_, vs_ = kv_scales if kv_scales is not None else (1.0, 1.0)
     cache_dt = kv_cache.dtype
 
+    sliced_leaves, stacked_q = split_stacked_quant(
+        _layer_params(params)
+    )
+
     def layer(carry, xs):
         h, kv_cache = carry
         lp, li = xs
         lp = _gather_fsdp(lp, fsdp_axis)
+        if stacked_q:
+            lp = dict(lp)
+            lp.update(
+                {k: _StackedQuant(v, li) for k, v in stacked_q.items()}
+            )
         x = rms_norm(h, lp["ln1"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lp, x, cos, sin)
         row = jnp.concatenate(
@@ -789,7 +860,7 @@ def decode_direct(
     (h, kv_cache), _ = jax.lax.scan(
         layer,
         (inputs_embeds, kv_cache),
-        (_layer_params(params), jnp.arange(num_layers, dtype=jnp.int32)),
+        (sliced_leaves, jnp.arange(num_layers, dtype=jnp.int32)),
     )
     if final_norm:
         h = rms_norm(h, params["norm_f"], cfg.rms_norm_eps)

@@ -467,3 +467,144 @@ def matmul_int4(
         ),
         interpret=pallas_interpret_mode(),
     )(x, w_packed, sc)
+
+
+def _stacked_int4_call(
+    x, w_packed, scales, zeros, layer, *, group_size, block_m, block_n,
+    block_k, out_dtype,
+):
+    """Shared driver for the stacked (layer-indexed) int4 variants."""
+    m = x.shape[0]
+    num_l, k2, n = w_packed.shape
+    k = 2 * k2
+    assert x.shape[1] == k
+    out_dtype = out_dtype or x.dtype
+    block_m, block_n, block_k, gpb = _int4_blocks(
+        m, k, n, group_size, block_m, block_n
+    )
+    grid = (cdiv(m, block_m), cdiv(n, block_n), cdiv(k, block_k))
+    zp = zeros is not None
+    kernel = functools.partial(
+        _int4_zp_kernel if zp else _int4_kernel,
+        group_size=group_size, gpb=gpb,
+    )
+    def _pad_groups_3d(s):
+        pad = (-s.shape[1]) % 8
+        s = s.astype(jnp.float32)
+        return jnp.pad(s, ((0, 0), (0, pad), (0, 0))) if pad else s
+
+    sc = _pad_groups_3d(scales)
+    g_pad = sc.shape[1]
+    in_specs = [
+        pl.BlockSpec(
+            (block_m, block_k), lambda i, j, ki, lr: (i, ki)
+        ),
+        pl.BlockSpec(
+            (1, block_k // 2, block_n),
+            lambda i, j, ki, lr: (lr[0], ki, j),
+        ),
+        pl.BlockSpec(
+            (1, g_pad, block_n), lambda i, j, ki, lr: (lr[0], 0, j)
+        ),
+    ]
+    operands = [x, w_packed, sc]
+    if zp:
+        zc = _pad_groups_3d(zeros)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, g_pad, block_n), lambda i, j, ki, lr: (lr[0], 0, j)
+            )
+        )
+        operands.append(zc)
+
+    def body(layer_ref, x_ref, w_ref, s_ref, *rest):
+        if zp:
+            z_ref, o_ref, acc_ref = rest
+            _int4_body(
+                x_ref, w_ref.at[0], s_ref.at[0], z_ref.at[0], o_ref,
+                acc_ref, group_size=group_size, gpb=gpb, zp=True,
+            )
+        else:
+            o_ref, acc_ref = rest
+            _int4_body(
+                x_ref, w_ref.at[0], s_ref.at[0], None, o_ref, acc_ref,
+                group_size=group_size, gpb=gpb, zp=False,
+            )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (block_m, block_n), lambda i, j, ki, lr: (i, j)
+        ),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=pallas_interpret_mode(),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "group_size", "block_m", "block_n", "block_k", "out_dtype",
+    ),
+)
+def matmul_int4_stacked(
+    x: jax.Array,  # [M, K]
+    w_packed: jax.Array,  # [L, K//2, N] uint8 — the FULL weight stack
+    scales: jax.Array,  # [L, K/group, N] f32
+    layer: jax.Array,  # scalar int32
+    *,
+    group_size: int = 128,
+    block_m: int = 256,
+    block_n: int = 0,
+    block_k: int = 512,
+    out_dtype=None,
+) -> jax.Array:
+    """Layer-indexed twin of matmul_int4 for use INSIDE a lax.scan over
+    layers: the kernel reads its blocks straight from the stacked HBM
+    array via a scalar-prefetched layer index.  Passing the scan's
+    sliced leaf to the 2-D kernel instead makes XLA materialize a copy
+    of every layer's packed weights per step (custom-call operands
+    cannot alias a slice; measured ~0.3 ms/step on a 0.5B int4 model —
+    a third of the decode budget)."""
+    return _stacked_int4_call(
+        x, w_packed, scales, None, layer,
+        group_size=group_size, block_m=block_m, block_n=block_n,
+        block_k=block_k, out_dtype=out_dtype,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "group_size", "block_m", "block_n", "block_k", "out_dtype",
+    ),
+)
+def matmul_int4_zp_stacked(
+    x: jax.Array,
+    w_packed: jax.Array,  # [L, K//2, N] uint8
+    scales: jax.Array,  # [L, K/group, N]
+    zeros: jax.Array,  # [L, K/group, N]
+    layer: jax.Array,
+    *,
+    group_size: int = 128,
+    block_m: int = 256,
+    block_n: int = 0,
+    block_k: int = 512,
+    out_dtype=None,
+) -> jax.Array:
+    """Stacked AWQ (asymmetric) variant; see matmul_int4_stacked."""
+    return _stacked_int4_call(
+        x, w_packed, scales, zeros, layer,
+        group_size=group_size, block_m=block_m, block_n=block_n,
+        block_k=block_k, out_dtype=out_dtype,
+    )

@@ -29,8 +29,12 @@ QUANT_SUFFIX_SCALE = {
     "int8": ":s8", "int4": ":s4", "fp8": ":sf8", "awq": ":s4z",
 }
 
-# the big per-layer matmul weights [L, K, N]
-_DEFAULT_TARGETS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
+# the big per-layer matmul weights [L, K, N]; wqkv/wgu are the fused
+# forms (models/qwen2.fuse_params runs BEFORE quantization on a single
+# mesh, so decode keeps 4 wide GEMMs per layer instead of 7 narrow ones)
+_DEFAULT_TARGETS = (
+    "wq", "wk", "wv", "wo", "gate", "up", "down", "wqkv", "wgu",
+)
 
 _ALIASES = {"int4-awq": "awq", "fp8_e4m3": "fp8"}
 

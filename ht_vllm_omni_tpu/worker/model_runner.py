@@ -588,13 +588,19 @@ class ARModelRunner(SpecDecodeMixin):
         if cfg.quantization is not None:
             from ht_vllm_omni_tpu.quantization import quantize_params
 
+            if mesh is None:
+                # fuse qkv / gate|up FIRST so quantization produces 4
+                # wide group-scale GEMMs per layer instead of 7 narrow
+                # ones (decode GEMMs at tiny row counts are
+                # dispatch-bound)
+                self.params = qwen2.fuse_params(self.params)
             self.params = quantize_params(
                 self.params, cfg.quantization,
                 quantize_lm_head=getattr(cfg, "quantize_lm_head", True),
             )
         elif mesh is None:
             # single-mesh bf16/f32 path: pack qkv and gate/up into fused
-            # GEMMs (no-op when quantized or LoRA'd — fuse_params checks)
+            # GEMMs (no-op when already suffixed — fuse_params checks)
             self.params = qwen2.fuse_params(self.params)
 
         self.page_size = config.cache.page_size
