@@ -72,7 +72,12 @@ def quantize_params(
                 q, s = quantize_int4(head, group_size)
             out.pop("lm_head", None)
             out["lm_head" + QUANT_SUFFIX_PACKED[method]] = q
-            out["lm_head" + QUANT_SUFFIX_SCALE[method]] = jnp.asarray(s)
+            s = jnp.asarray(s)
+            if method in ("int4", "awq"):
+                s = _pad_group_rows(s)
+                if method == "awq":
+                    out["lm_head:z4"] = _pad_group_rows(out["lm_head:z4"])
+            out["lm_head" + QUANT_SUFFIX_SCALE[method]] = s
     for name in targets:
         w = params.get(name)
         if w is None or w.ndim != 3:
@@ -94,8 +99,25 @@ def quantize_params(
             q, s = jax.vmap(lambda m: quantize_int4(m, group_size))(w)
         del out[name]
         out[name + QUANT_SUFFIX_PACKED[method]] = q
+        if method in ("int4", "awq"):
+            # pre-pad group rows to the sublane multiple ONCE — the
+            # Pallas matmuls otherwise re-pad inside the decode scan
+            # (measured ~10 ms per 256-step chunk as XLA pad ops)
+            s = _pad_group_rows(jnp.asarray(s))
+            if method == "awq":
+                out[name + ":z4"] = _pad_group_rows(out[name + ":z4"])
         out[name + QUANT_SUFFIX_SCALE[method]] = jnp.asarray(s)
     return out
+
+
+def _pad_group_rows(s: jax.Array) -> jax.Array:
+    """Pad [..., K/G, N] group rows up to a multiple of 8."""
+    pad = (-s.shape[-2]) % 8
+    if not pad:
+        return s
+    widths = [(0, 0)] * s.ndim
+    widths[-2] = (0, pad)
+    return jnp.pad(s.astype(jnp.float32), widths)
 
 
 def load_awq_layer(qweight, qzeros, scales) -> dict:
