@@ -163,6 +163,24 @@ def main() -> None:
         serve["int8_toks_per_s"] = round(
             sum(len(o.outputs[0].token_ids) for o in outs8) / dt8, 1
         )
+        del eng8
+        eng4 = LLMEngine(
+            EngineConfig(
+                model=dataclasses.replace(cfg, quantization="int4"),
+                cache=CacheConfig(page_size=128, num_pages=1024),
+                scheduler=SchedulerConfig(
+                    max_num_seqs=batch, max_model_len=2048
+                ),
+            ),
+            decode_horizon=256,
+        )
+        eng4.generate(prompts, sp)  # warm
+        t0 = time.time()
+        outs4 = eng4.generate(prompts, sp)
+        dt4 = time.time() - t0
+        serve["int4_toks_per_s"] = round(
+            sum(len(o.outputs[0].token_ids) for o in outs4) / dt4, 1
+        )
     except Exception as e:
         serve["int8_error"] = str(e)[:120]
     print(

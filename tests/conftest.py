@@ -24,4 +24,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
 
+# Persistent compilation cache across test runs/processes: the suite is
+# dominated by XLA CPU compiles of the same tiny engines (VERDICT r2:
+# >30 min sequential); cached, repeat runs fit the CI budget.  Shared
+# safely across pytest-xdist workers (the cache is content-addressed).
+_cache_dir = os.environ.get(
+    "HT_OMNI_TEST_CACHE",
+    os.path.join(
+        os.path.expanduser("~"), ".cache", "ht_omni_test_xla"
+    ),
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:  # older jax: flag absent
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
