@@ -114,3 +114,55 @@ def flush_kv_rows_donated(
         true_f=true_f, k_scale=k_scale, v_scale=v_scale,
         prequantized=prequantized,
     )
+
+
+def flush_kv_pages(
+    cache: jax.Array,  # [L, NSLOTS, 2F (+pad)]
+    fresh: jax.Array,  # [L, T, 2F], T % page_size == 0, PAGE-ALIGNED
+    slot_mapping: jax.Array,  # [T] int32, -1 = skip
+    *,
+    page_size: int,
+    true_f: int | None = None,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+) -> jax.Array:
+    """Page-granular variant of flush_kv_rows for PAGE-ALIGNED writes
+    (whole/batched prefill: each ps-sized window of ``fresh`` lands in
+    one page).  Row scatters serialize at ~6 GB/s on TPU (~8 ms for an
+    8x512 prefill batch); whole-page dynamic_update_slice runs at copy
+    speed.  Rows past the prompt inside an owned page write garbage
+    that is masked by seq_len and overwritten by decode's direct
+    writes; windows whose first slot is -1 (padding / non-owner dp
+    shards) are skipped via a read-modify-write select."""
+    num_layers, nslots, two_f = cache.shape
+    if cache.dtype in (jnp.int8, jnp.dtype(jnp.float8_e4m3fn)):
+        f = true_f if true_f is not None else fresh.shape[-1] // 2
+        fresh = quantize_rows(
+            fresh, f, k_scale, v_scale, dtype=cache.dtype
+        )
+    if fresh.shape[-1] < two_f:
+        fresh = jnp.pad(
+            fresh, ((0, 0), (0, 0), (0, two_f - fresh.shape[-1]))
+        )
+    fresh = fresh.astype(cache.dtype)
+    t = fresh.shape[1]
+    assert t % page_size == 0, (t, page_size)
+    n_windows = t // page_size
+    first = slot_mapping[:: page_size]  # [n_windows]
+    page_of = jnp.where(first < 0, -1, first // page_size)
+
+    def body(i, c):
+        pid = page_of[i]
+        valid = pid >= 0
+        start = jnp.clip(pid, 0, nslots // page_size - 1) * page_size
+        blk = jax.lax.dynamic_slice(
+            fresh, (0, i * page_size, 0),
+            (num_layers, page_size, two_f),
+        )
+        cur = jax.lax.dynamic_slice(
+            c, (0, start, 0), (num_layers, page_size, two_f)
+        )
+        blk = jnp.where(valid, blk, cur)
+        return jax.lax.dynamic_update_slice(c, blk, (0, start, 0))
+
+    return jax.lax.fori_loop(0, n_windows, body, cache)

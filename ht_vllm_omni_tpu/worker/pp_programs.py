@@ -288,6 +288,7 @@ def prefill_program_pp(
     use_embeds,
     kv_scales,
     adapter,
+    page_size,
     params,
     kv_cache,
     keys,
@@ -307,7 +308,7 @@ def prefill_program_pp(
 ):
     """Per-shard prefill body: ring wave over pp stages; each stage keeps
     its local layers' KV rows when the true activation passes through."""
-    from ht_vllm_omni_tpu.ops.kv_cache_update import flush_kv_rows
+    from ht_vllm_omni_tpu.ops.kv_cache_update import flush_kv_pages
 
     p = jax.lax.axis_index(pp_axis)
     if use_embeds == "embeds":
@@ -356,8 +357,9 @@ def prefill_program_pp(
     else:
         is_owner = jnp.bool_(True)
     ksc, vsc = kv_scales if kv_scales is not None else (1.0, 1.0)
-    kv_cache = flush_kv_rows(
-        kv_cache, rows_keep, sm, true_f=true_f, k_scale=ksc, v_scale=vsc
+    kv_cache = flush_kv_pages(
+        kv_cache, rows_keep, sm, page_size=page_size, true_f=true_f,
+        k_scale=ksc, v_scale=vsc,
     )
 
     last = jax.lax.dynamic_index_in_dim(
