@@ -32,6 +32,9 @@ def _cfg(quant=None):
         tie_word_embeddings=True,
         eos_token_id=1,
         quantization=quant,
+        # this file pins TRUNK quantization numerics (exactness on
+        # representable weights); the head path has its own coverage
+        quantize_lm_head=False,
     )
 
 
