@@ -198,6 +198,12 @@ _FSDP_GATHER_DIM = {
     "wo": 1, "down": 1, "sdown": 1,
     "egate": 1, "eup": 1, "edown": 2,
     "dgate": 1, "dup": 1, "ddown": 2,
+    # int8/fp8 leaves gather like their bf16 twins (per-channel scales
+    # stay replicated); packed int4/AWQ never combine with fsdp
+    "wq:q8": 0, "wk:q8": 0, "wv:q8": 0, "gate:q8": 0, "up:q8": 0,
+    "wo:q8": 1, "down:q8": 1,
+    "wq:f8": 0, "wk:f8": 0, "wv:f8": 0, "gate:f8": 0, "up:f8": 0,
+    "wo:f8": 1, "down:f8": 1,
 }
 
 

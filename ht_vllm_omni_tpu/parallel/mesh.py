@@ -125,12 +125,14 @@ def param_pspecs(
     # quantized leaves follow their base weight's layout; group/channel
     # scales live on whichever dim survives: col-parallel weights shard
     # scales on the out dim, row-parallel weights keep scales replicated
-    # on out but shard int4 K-groups.  fsdp never touches quantized
-    # leaves (weight_quant asserts fsdp off for quantized models).
+    # on out but shard int4 K-groups.  fsdp additionally shards the
+    # int8/fp8 [L, K, N] leaves like their bf16 twins (per-channel
+    # scales stay whole); packed int4/AWQ leaves never see fsdp (the
+    # runner rejects that combination).
     for name in ("wq", "wk", "wv", "gate", "up"):  # column-parallel
-        specs[name + ":q8"] = P(ppx, None, TP_AXIS)
+        specs[name + ":q8"] = P(ppx, dpx, TP_AXIS)
         specs[name + ":q4"] = P(ppx, None, TP_AXIS)
-        specs[name + ":f8"] = P(ppx, None, TP_AXIS)
+        specs[name + ":f8"] = P(ppx, dpx, TP_AXIS)
         specs[name + ":q4z"] = P(ppx, None, TP_AXIS)
         specs[name + ":s8"] = P(ppx, TP_AXIS)  # [L, N]
         specs[name + ":sf8"] = P(ppx, TP_AXIS)  # [L, N]
@@ -143,9 +145,9 @@ def param_pspecs(
                 ":s4z", ":z4"):
         specs["lm_head" + suf] = P()
     for name in ("wo", "down"):  # row-parallel
-        specs[name + ":q8"] = P(ppx, TP_AXIS, None)
+        specs[name + ":q8"] = P(ppx, TP_AXIS, dpx)
         specs[name + ":q4"] = P(ppx, TP_AXIS, None)
-        specs[name + ":f8"] = P(ppx, TP_AXIS, None)
+        specs[name + ":f8"] = P(ppx, TP_AXIS, dpx)
         specs[name + ":q4z"] = P(ppx, TP_AXIS, None)
         specs[name + ":s8"] = P(ppx)  # [L, N]
         specs[name + ":sf8"] = P(ppx)  # [L, N]

@@ -561,11 +561,12 @@ class ARModelRunner(SpecDecodeMixin):
                     f"divide into dp*pp={dp * pp} microbatches"
                 )
         self.fsdp = par.weight_sharding == "fsdp" and dp > 1
-        if self.fsdp and cfg.quantization is not None:
+        if self.fsdp and cfg.quantization in ("int4", "awq", "int4-awq"):
             raise NotImplementedError(
-                "fsdp weight sharding is bf16-only (quantized leaves have "
-                "interleaved scale layouts the per-layer gather cannot "
-                "reconstruct)"
+                "fsdp weight sharding composes with int8/fp8 (plain "
+                "[K, N] leaves gather like bf16) but not the packed "
+                "int4/AWQ kernels, whose stacked-weight Pallas path "
+                "bypasses the per-layer gather"
             )
         # head counts as seen by each tp shard inside shard_map
         self.local_arch = (

@@ -70,20 +70,57 @@ def test_fsdp_matches_replicated():
     assert shard_shape == (l, h // 2, f // 2)
 
 
-def test_fsdp_rejects_quantized():
-    cfg = _cfg()
+@pytest.mark.parametrize("quant", ["int8", "fp8"])
+def test_fsdp_composes_with_int8_fp8(quant):
+    """int8/fp8 weight-only quantization under fsdp: the [L, K, N]
+    quantized leaves shard over dp and gather just-in-time like their
+    bf16 twins (per-channel scales stay whole) — greedy output must
+    match the replicated quantized engine exactly."""
     import dataclasses
 
-    cfg = dataclasses.replace(cfg, quantization="int8")
+    cfg = dataclasses.replace(_cfg(), quantization=quant)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(11))
+
+    def mk(sharding):
+        return LLMEngine(
+            EngineConfig(
+                model=cfg,
+                cache=CacheConfig(page_size=16, num_pages=16),
+                scheduler=SchedulerConfig(max_num_seqs=4, max_model_len=64),
+                parallel=ParallelConfig(
+                    data_parallel_size=2, weight_sharding=sharding
+                ),
+            ),
+            params=dict(params),
+            decode_horizon=4,
+        )
+
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    prompts = [[2, 3, 4], [9, 8, 7]]
+    ref = mk("replicated").generate(prompts, sp)
+    eng = mk("fsdp")
+    got = eng.generate(prompts, sp)
+    for r, g in zip(ref, got):
+        assert r.outputs[0].token_ids == g.outputs[0].token_ids
+    # the quantized leaf really is dp-sharded
+    suffix = ":q8" if quant == "int8" else ":f8"
+    wq = eng.runner.params["wq" + suffix]
+    assert wq.sharding.shard_shape(wq.shape)[1] == wq.shape[1] // 2
+
+
+def test_fsdp_rejects_packed_int4():
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg(), quantization="int4")
     with pytest.raises(NotImplementedError):
         LLMEngine(
             EngineConfig(
                 model=cfg,
-                cache=CacheConfig(page_size=16, num_pages=8),
+                cache=CacheConfig(page_size=16, num_pages=16),
                 scheduler=SchedulerConfig(max_num_seqs=4, max_model_len=64),
                 parallel=ParallelConfig(
                     data_parallel_size=2, weight_sharding="fsdp"
                 ),
             ),
-            params=qwen2.init_params(_cfg(), jax.random.PRNGKey(0)),
+            params=qwen2.init_params(cfg, jax.random.PRNGKey(0)),
         )
