@@ -66,10 +66,34 @@ def tts_serving_metrics() -> dict:
                     sample_rate = int(np.asarray(sr))
     e2e = time.time() - t0
     audio_s = audio_samples / float(sample_rate)
-    return {
+    out = {
         "tts_ttfp_ms": round((ttfp or e2e) * 1000.0, 1),
         "tts_rtf": round(e2e / audio_s, 3) if audio_s else None,
     }
+
+    # concurrency 4: per-stream RTF under load (the reference's
+    # headline table reports conc-1 and conc-10 RTF; batched code2wav
+    # + continuous talker batching are what this exercises)
+    conc = 4
+
+    def run_conc():
+        t0 = time.time()
+        for i in range(conc):
+            orch.add_request([10 + i, 42, 99], sp)
+        per_stream = {}
+        while orch.has_unfinished():
+            for out_ in orch.step():
+                audio = out_.consolidated_multimodal("audio")
+                if audio is not None and len(audio):
+                    per_stream[out_.request_id] = len(audio)
+        return time.time() - t0, per_stream
+
+    run_conc()  # warm the batched talker/codec compile buckets
+    e2e, per_stream = run_conc()
+    total_s = sum(per_stream.values()) / float(sample_rate)
+    if total_s:
+        out["tts_rtf_c4"] = round(e2e / (total_s / conc), 3)
+    return out
 
 
 def main() -> None:

@@ -116,8 +116,8 @@ class GenerationEngine:
 
     def step(self) -> list[OmniRequestOutput]:
         outputs: list[OmniRequestOutput] = []
-        ran = 0
-        while self.waiting and ran < self.max_batch_size:
+        work: list[_GenRequest] = []
+        while self.waiting and len(work) < self.max_batch_size:
             gr = self.waiting.popleft()
             req = gr.request
             if req.status == RequestStatus.WAITING_FOR_CHUNK:
@@ -133,17 +133,50 @@ class GenerationEngine:
                 gr.state["chunk_index"] = (
                     gr.state.get("chunk_index", -1) + 1
                 )
-            ran += 1
+            work.append(gr)
+
+        # batched decode across requests when the model supports it
+        # (reference's code2wav batching — bs-64 cut its E2E 13.5->9.5 s;
+        # here one vmapped vocoder dispatch replaces per-request calls)
+        results: list[tuple[dict, str | None]] | None = None
+        run_batch = getattr(self.model, "run_batch", None)
+        if run_batch is not None and len(work) > 1:
             try:
-                tensors = self.model(
-                    req.prompt_token_ids or None,
-                    req.prompt_embeds,
-                    req.additional_information,
-                    gr.state,
-                )
-                error = None
-            except Exception as e:  # surfaced to the client, stage survives
-                tensors, error = {}, f"{type(e).__name__}: {e}"
+                results = [
+                    (t, None)
+                    for t in run_batch(
+                        [
+                            (
+                                gr.request.prompt_token_ids or None,
+                                gr.request.prompt_embeds,
+                                gr.request.additional_information,
+                                gr.state,
+                            )
+                            for gr in work
+                        ]
+                    )
+                ]
+            except Exception:  # per-item fallback keeps error isolation
+                results = None
+        if results is None:
+            results = []
+            for gr in work:
+                req = gr.request
+                try:
+                    results.append((
+                        self.model(
+                            req.prompt_token_ids or None,
+                            req.prompt_embeds,
+                            req.additional_information,
+                            gr.state,
+                        ),
+                        None,
+                    ))
+                except Exception as e:  # surfaced; stage survives
+                    results.append(({}, f"{type(e).__name__}: {e}"))
+
+        for gr, (tensors, error) in zip(work, results):
+            req = gr.request
             chunked = "chunk_index" in gr.state
             final = (not chunked) or gr.state.get("final_chunk", False)
             if final or error:

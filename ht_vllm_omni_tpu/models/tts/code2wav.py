@@ -122,3 +122,43 @@ class Code2WavModel:
             "audio": wave.astype(np.float32),
             "sample_rate": np.asarray(self.cfg.sample_rate),
         }
+
+    def run_batch(self, items):
+        """Batched decode across requests (GenerationEngine protocol):
+        one vmapped vocoder dispatch on length-bucketed padded codes —
+        the reference's code2wav batching (its bs-64 table cut E2E
+        13.5 -> 9.5 s); strict causality makes tail padding harmless."""
+        toks = [list(t or []) for (t, _e, _i, _s) in items]
+        lens = [len(t) for t in toks]
+        if not any(lens):
+            return [self(None, None, i, s) for (_t, _e, i, s) in items]
+        bucket = 1 << (max(lens) - 1).bit_length()
+        arr = np.zeros((len(toks), bucket), np.int32)
+        for i, t in enumerate(toks):
+            arr[i, : len(t)] = t
+        waves = np.asarray(
+            _forward_batch(self.cfg, self.params, jnp.asarray(arr))
+        )
+        outs = []
+        for i, (_t, _e, info, _s) in enumerate(items):
+            if not lens[i]:
+                outs.append({
+                    "audio": np.zeros(0, np.float32),
+                    "sample_rate": np.asarray(self.cfg.sample_rate),
+                })
+                continue
+            wave = waves[i, : lens[i] * self.cfg.hop]
+            new = info.get("new_tokens")
+            if new is not None and new < lens[i]:
+                wave = wave[(lens[i] - new) * self.cfg.hop:]
+            outs.append({
+                "audio": wave.astype(np.float32),
+                "sample_rate": np.asarray(self.cfg.sample_rate),
+            })
+        return outs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _forward_batch(cfg: Code2WavConfig, params: dict, token_ids: jax.Array):
+    """token_ids [B, T] -> waveforms [B, T * hop] (vmapped forward)."""
+    return jax.vmap(lambda t: forward(cfg, params, t))(token_ids)

@@ -68,3 +68,32 @@ def test_tts_pipeline_streams_chunked_audio():
     ref_model = stages[1].engine.model  # same params
     full = ref_model(talker_tokens, None, {}, {})["audio"]
     np.testing.assert_allclose(audio, full, atol=1e-6)
+
+
+def test_code2wav_run_batch_matches_per_item():
+    """Batched vocoder decode (one vmapped dispatch across requests)
+    must equal per-request calls exactly — strict causality makes the
+    length-bucketed tail padding inert."""
+    import numpy as np
+
+    from ht_vllm_omni_tpu.models.tts.code2wav import (
+        Code2WavConfig,
+        Code2WavModel,
+    )
+
+    m = Code2WavModel(Code2WavConfig(
+        vocab_size=64, channels=32, num_blocks=2, hop=16,
+    ))
+    items = [
+        ([1, 2, 3, 4, 5], None, {}, {}),
+        ([9, 8, 7], None, {"new_tokens": 2}, {}),
+        ([], None, {}, {}),
+        (list(range(11)), None, {}, {}),
+    ]
+    batched = m.run_batch(items)
+    for item, got in zip(items, batched):
+        want = m(item[0] or None, None, item[2], dict(item[3]))
+        np.testing.assert_allclose(
+            got["audio"], want["audio"], rtol=1e-6, atol=1e-6
+        )
+        assert int(got["sample_rate"]) == int(want["sample_rate"])
