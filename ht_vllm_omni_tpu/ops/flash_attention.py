@@ -143,8 +143,8 @@ def flash_attention(
     *,
     causal: bool = True,
     sm_scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,
+    block_k: int = 512,
 ) -> jax.Array:
     """Multi-head attention with online softmax; returns [B, QH, S, D]."""
     batch, q_heads, q_len, head_dim = q.shape
