@@ -1529,18 +1529,27 @@ class ARModelRunner(SpecDecodeMixin):
     _NUM_INT_ROWS = 12 + MAX_STOP_TOKENS
 
     @staticmethod
-    def _window_logits(logits, allow_lo, allow_hi, stops):
-        """Constrain sampling to per-slot [lo, hi) token windows plus the
-        slot's stop tokens (the reference's constant semantic logit mask,
-        fish_speech_slow_ar.py:_semantic_allowed_mask; hi<=lo = off)."""
-        v = logits.shape[-1]
+    def _window_mask(allow_lo, allow_hi, stops, v):
+        """[S, V] bool allow-mask for _window_logits — split out so the
+        decode scan can hoist it (it is loop-invariant, but fused
+        recomputation cost ~60 us/step on a 152k vocab)."""
         idx = jnp.arange(v, dtype=jnp.int32)[None]
         on = allow_hi > allow_lo
         ok = (idx >= allow_lo[:, None]) & (idx < allow_hi[:, None])
         if stops is not None:
             ok = ok | (idx[:, None, :] == stops[:, :, None]).any(axis=1)
-        ok = ok | jnp.logical_not(on)[:, None]
-        return jnp.where(ok, logits, jnp.float32(-1e30))
+        return ok | jnp.logical_not(on)[:, None]
+
+    @staticmethod
+    def _window_logits(logits, allow_lo, allow_hi, stops, mask=None):
+        """Constrain sampling to per-slot [lo, hi) token windows plus the
+        slot's stop tokens (the reference's constant semantic logit mask,
+        fish_speech_slow_ar.py:_semantic_allowed_mask; hi<=lo = off)."""
+        if mask is None:
+            mask = ARModelRunner._window_mask(
+                allow_lo, allow_hi, stops, logits.shape[-1]
+            )
+        return jnp.where(mask, logits, jnp.float32(-1e30))
 
     @staticmethod
     def _grid_logits(raw, windowed, emitted, grid_w, grid_eol):
@@ -1609,6 +1618,13 @@ class ARModelRunner(SpecDecodeMixin):
         active = jnp.logical_and(
             active, jnp.logical_not(jnp.logical_and(fresh, entry_stop))
         )
+        # hoist the (loop-invariant) vocab window mask out of the scan:
+        # fused per-step recomputation costs ~60 us on a 152k vocab
+        win_mask = (
+            R._window_mask(allow_lo, allow_hi, stops, cfg.vocab_size)
+            if adapter is None
+            else None
+        )
 
         def step(carry, j):
             keys, tokens, pos, act, emit, kv_cache, aux = carry
@@ -1631,7 +1647,7 @@ class ARModelRunner(SpecDecodeMixin):
             if adapter is None:
                 logits = qwen2.compute_logits(cfg, params, hidden)
                 win = R._window_logits(
-                    logits, allow_lo, allow_hi, stops
+                    logits, allow_lo, allow_hi, stops, mask=win_mask
                 )
                 logits = R._grid_logits(
                     logits, win, emit, grid_w, grid_eol
