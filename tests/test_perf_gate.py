@@ -20,9 +20,9 @@ def _budgets():
 
 def test_gate_passes_on_recorded_good_run():
     metrics = {
-        "value": 3800, "prefill_toks_per_s": 52000,
-        "int8_toks_per_s": 5500, "int4_toks_per_s": 5800,
-        "tts_rtf": 0.27, "tts_ttfp_ms": 190,
+        "value": 3978, "prefill_toks_per_s": 58365,
+        "int8_toks_per_s": 5762, "int4_toks_per_s": 6536,
+        "tts_rtf": 0.293, "tts_ttfp_ms": 194, "tts_rtf_c4": 0.386,
     }
     assert check(metrics, _budgets()) == []
 
@@ -35,6 +35,7 @@ def test_gate_flags_regressions_and_missing_metrics():
         "int8_toks_per_s": 5500,
         "int4_toks_per_s": 5800,
         "tts_rtf": 0.9,  # above max
+        "tts_rtf_c4": 0.386,
         # tts_ttfp_ms missing entirely
     }
     breaches = check(bad, b)
