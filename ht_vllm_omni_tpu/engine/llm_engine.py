@@ -302,7 +302,9 @@ class LLMEngine:
             and not want_hidden
             and self.runner.step_adapter is None
             and all(
-                r.sampling_params.temperature == 0.0 for r in active
+                r.sampling_params.temperature == 0.0
+                and (r.sampling_params.repetition_penalty or 1.0) == 1.0
+                for r in active
             )
         ):
             tokens, hidden = self.runner.spec_decode_chunk(

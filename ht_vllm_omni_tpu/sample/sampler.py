@@ -93,3 +93,18 @@ def split_keys(keys: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def make_slot_keys(seeds: np.ndarray) -> jax.Array:
     return jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.uint32))
+
+
+def apply_repetition_penalty(
+    logits: jax.Array,  # [B, V] f32
+    seen: jax.Array,  # [B, V] bool — prompt + generated tokens so far
+    penalty: jax.Array,  # [B] f32; 1.0 = off
+) -> jax.Array:
+    """HF-style repetition penalty (reference samplers apply it over
+    prompt AND output tokens): seen tokens' logits divide by p when
+    positive, multiply when negative.  Vectorized [B, V] where — the
+    seen mask lives on device and is maintained by the prefill/decode
+    programs (worker/model_runner.py)."""
+    p = penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / p, logits * p)
+    return jnp.where(seen & (p != 1.0), penalized, logits)

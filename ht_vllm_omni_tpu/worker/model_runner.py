@@ -54,6 +54,7 @@ from ht_vllm_omni_tpu.ops.kv_cache_update import (
 )
 from ht_vllm_omni_tpu.sample.sampler import (
     SamplingTensors,
+    apply_repetition_penalty,
     sample_tokens,
 )
 from ht_vllm_omni_tpu.utils import cdiv, next_power_of_2
@@ -713,6 +714,19 @@ class ARModelRunner(SpecDecodeMixin):
             if self.mesh is not None
             else aux0
         )
+        # per-slot seen-token mask (prompt + generated) feeding the
+        # repetition penalty; maintained by the decode scan and seeded
+        # at prefill only for penalized requests (sample/sampler.py
+        # apply_repetition_penalty — the reference applies HF semantics
+        # over prompt AND output ids)
+        seen0 = jnp.zeros((s, cfg.vocab_size), bool)
+        self.seen_mask = (
+            jax.device_put(
+                seen0, NamedSharding(self.mesh, P(DP_AXIS, None))
+            )
+            if self.mesh is not None
+            else seen0
+        )
         # host mirror of scheduler-owned state (pushed to device when dirty)
         self.h_positions = np.zeros(s, np.int32)
         self.h_active = np.zeros(s, bool)
@@ -727,6 +741,7 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_temp = np.zeros(s, np.float32)
         self.h_top_k = np.zeros(s, np.int32)
         self.h_top_p = np.ones(s, np.float32)
+        self.h_rep = np.ones(s, np.float32)  # repetition penalty (1=off)
         self.h_allow_lo = np.zeros(s, np.int32)  # [lo, hi) sampling window
         self.h_allow_hi = np.zeros(s, np.int32)  # hi <= lo => full vocab
         self.h_grid_w = np.zeros(s, np.int32)  # t2i grid row width
@@ -773,6 +788,23 @@ class ARModelRunner(SpecDecodeMixin):
         if slot is not None:
             self._free_slots.append(slot)
             self.h_active[slot] = False
+            self.h_rep[slot] = 1.0  # stale seen-mask rows become inert
+
+    def _set_rep_penalty(self, slot: int, sp, token_ids) -> None:
+        '''Arm the repetition penalty for a slot: record the factor and
+        seed the device seen-mask with the prompt ids (HF semantics —
+        prompt AND output tokens are penalized).  No-op at 1.0, so
+        unpenalized requests never touch the [S, V] mask.'''
+        rep = float(getattr(sp, "repetition_penalty", 1.0) or 1.0)
+        self.h_rep[slot] = rep
+        if rep == 1.0 or not token_ids:
+            return
+        bucket = max(next_power_of_2(len(token_ids)), 16)
+        ids = np.full(bucket, self.arch.vocab_size, np.int32)  # OOB pad
+        ids[: len(token_ids)] = token_ids
+        self.seen_mask = _seed_seen(
+            self.seen_mask, jnp.int32(slot), jnp.asarray(ids)
+        )
 
     # ------------------------------------------------- shared device logic
     @staticmethod
@@ -1099,6 +1131,7 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_temp[slot] = sp.temperature
         self.h_top_k[slot] = sp.top_k if sp.top_k > 0 else 64
         self.h_top_p[slot] = sp.top_p
+        self._set_rep_penalty(slot, sp, req.prompt_token_ids)
         rng = getattr(sp, "allowed_token_range", None) or (0, 0)
         self.h_allow_lo[slot], self.h_allow_hi[slot] = rng
         self.h_grid_w[slot] = int(getattr(sp, "grid_row_width", 0) or 0)
@@ -1238,6 +1271,7 @@ class ARModelRunner(SpecDecodeMixin):
             self.h_temp[slot] = sp.temperature
             self.h_top_k[slot] = sp.top_k if sp.top_k > 0 else 64
             self.h_top_p[slot] = sp.top_p
+            self._set_rep_penalty(slot, sp, req.prompt_token_ids)
             rng = getattr(sp, "allowed_token_range", None) or (0, 0)
             self.h_allow_lo[slot], self.h_allow_hi[slot] = rng
             self.h_grid_w[slot] = int(
@@ -1440,6 +1474,7 @@ class ARModelRunner(SpecDecodeMixin):
             self.h_temp[slot] = sp.temperature
             self.h_top_k[slot] = sp.top_k if sp.top_k > 0 else 64
             self.h_top_p[slot] = sp.top_p
+            self._set_rep_penalty(slot, sp, req.prompt_token_ids)
             rng = getattr(sp, "allowed_token_range", None) or (0, 0)
             self.h_allow_lo[slot], self.h_allow_hi[slot] = rng
             self.h_grid_w[slot] = int(
@@ -1502,6 +1537,7 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_temp[slot] = sp.temperature
         self.h_top_k[slot] = sp.top_k if sp.top_k > 0 else 64
         self.h_top_p[slot] = sp.top_p
+        self._set_rep_penalty(slot, sp, req.prompt_token_ids)
         rng = getattr(sp, "allowed_token_range", None) or (0, 0)
         self.h_allow_lo[slot], self.h_allow_hi[slot] = rng
         self.h_grid_w[slot] = int(getattr(sp, "grid_row_width", 0) or 0)
@@ -1588,8 +1624,9 @@ class ARModelRunner(SpecDecodeMixin):
         token_state,  # [S]
         aux_state,  # [S, W] int32 adapter rows ([S, 1] dummy when none)
         int_state,  # [_NUM_INT_ROWS, S] packed int32 host mirrors
-        f32_state,  # [2, S] temperature, top_p
+        f32_state,  # [3, S] temperature, top_p, repetition_penalty
         block_tables,  # [S, P]
+        seen_mask,  # [S, V] bool donated — repetition-penalty history
     ):
         R = ARModelRunner
         positions = int_state[R._ROW_POS]
@@ -1607,6 +1644,7 @@ class ARModelRunner(SpecDecodeMixin):
         stops = int_state[R._ROW_STOPS :].T  # [S, MAX_STOP]
         temperature = f32_state[0]
         top_p = f32_state[1]
+        rep_penalty = f32_state[2]
         s = token_state.shape[0]
         st = SamplingTensors(temperature, top_k, top_p)
         # prefill-sampled tokens were never stop-checked on device; fold
@@ -1627,7 +1665,7 @@ class ARModelRunner(SpecDecodeMixin):
         )
 
         def step(carry, j):
-            keys, tokens, pos, act, emit, kv_cache, aux = carry
+            keys, tokens, pos, act, emit, kv_cache, seen, aux = carry
             if adapter is None:
                 x = qwen2.embed_tokens(params, jnp.maximum(tokens, 0))
             else:
@@ -1646,6 +1684,9 @@ class ARModelRunner(SpecDecodeMixin):
             keys, step_keys = _split_keys(keys)
             if adapter is None:
                 logits = qwen2.compute_logits(cfg, params, hidden)
+                logits = apply_repetition_penalty(
+                    logits, seen, rep_penalty
+                )
                 win = R._window_logits(
                     logits, allow_lo, allow_hi, stops, mask=win_mask
                 )
@@ -1653,6 +1694,11 @@ class ARModelRunner(SpecDecodeMixin):
                     logits, win, emit, grid_w, grid_eol
                 )
                 sampled = sample_tokens(logits, st, step_keys)
+                # record the sampled token (inactive rows scatter OOB)
+                seen = seen.at[
+                    jnp.arange(s),
+                    jnp.where(act, sampled, cfg.vocab_size),
+                ].set(True, mode="drop")
             else:
                 sampled, aux_new = adapter.head(params, hidden, pos)
                 aux = jnp.where(act[:, None], aux_new, aux)
@@ -1665,17 +1711,17 @@ class ARModelRunner(SpecDecodeMixin):
             pos = pos + act.astype(jnp.int32)
             out = (sampled, hidden) if collect_hidden else (sampled,)
             return (
-                keys, sampled, pos, new_act, emit, kv_cache, aux,
+                keys, sampled, pos, new_act, emit, kv_cache, seen, aux,
             ), out
 
         entry_tokens = token_state
         init = (keys, token_state, positions, active, emitted, kv_cache,
-                aux_state)
+                seen_mask, aux_state)
         carry, outs = jax.lax.scan(
             step, init, jnp.arange(num_steps, dtype=jnp.int32)
         )
         (keys, token_state, positions, active, emitted, kv_cache,
-         aux_state) = carry
+         seen_mask, aux_state) = carry
 
         # Pack every host-bound scalar array into ONE int32 matrix so the
         # host pays a single d2h sync (~30 ms on a tunneled TPU) per chunk:
@@ -1694,7 +1740,7 @@ class ARModelRunner(SpecDecodeMixin):
         ret = (kv_cache, keys, token_state, aux_state, packed)
         if collect_hidden:
             ret = ret + (outs[1],)
-        return ret
+        return ret + (seen_mask,)
 
     def _decode_fn(self, num_steps: int, collect_hidden: bool):
         key = (num_steps, collect_hidden)
@@ -1763,6 +1809,7 @@ class ARModelRunner(SpecDecodeMixin):
                 P(None, DP_AXIS),  # int_state
                 P(None, DP_AXIS),  # f32_state
                 P(DP_AXIS, None),  # block_tables
+                P(DP_AXIS, None),  # seen_mask
             )
             out = [
                 cache_spec,  # kv_cache
@@ -1773,6 +1820,7 @@ class ARModelRunner(SpecDecodeMixin):
             ]
             if collect_hidden:
                 out.append(P(None, DP_AXIS, None))  # hidden [K, S, H]
+            out.append(P(DP_AXIS, None))  # seen_mask
             if self.multihost:
                 # host-read outputs must be fully addressable on every
                 # process: gather the (tiny) pack + hidden over dp, the
@@ -1788,7 +1836,7 @@ class ARModelRunner(SpecDecodeMixin):
                 out_specs=tuple(out),
                 check_vma=False,
             )
-        fn = jax.jit(prog, donate_argnums=(1, 2, 3, 4))
+        fn = jax.jit(prog, donate_argnums=(1, 2, 3, 4, 8))
         self._decode_fns[key] = fn
         return fn
 
@@ -1831,7 +1879,7 @@ class ARModelRunner(SpecDecodeMixin):
         int_state[self._ROW_GRID_W] = self.h_grid_w
         int_state[self._ROW_GRID_EOL] = self.h_grid_eol
         int_state[self._ROW_STOPS :] = self.h_stops.T
-        f32_state = np.stack([self.h_temp, self.h_top_p])
+        f32_state = np.stack([self.h_temp, self.h_top_p, self.h_rep])
         res = fn(
             self.params,
             self.kv_cache,
@@ -1841,9 +1889,11 @@ class ARModelRunner(SpecDecodeMixin):
             int_state,
             f32_state,
             np.ascontiguousarray(self.h_tables[:, :width]),
+            self.seen_mask,
         )
         (self.kv_cache, self.keys, self.token_state, self.aux_state,
          packed) = res[:5]
+        self.seen_mask = res[-1]
         host = np.asarray(packed)  # [K+4, S]; the single sync point
         hidden = np.asarray(res[5]) if collect_hidden else None
         tokens = host[: num_steps + 1]
@@ -1859,6 +1909,14 @@ class ARModelRunner(SpecDecodeMixin):
 def _split_keys(keys):
     splits = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
     return splits[:, 0], splits[:, 1]
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _seed_seen(mask, slot, token_ids):
+    """Reset a slot's seen-token row and mark its prompt ids (padding
+    is vocab_size -> dropped)."""
+    mask = mask.at[slot].set(False)
+    return mask.at[slot, token_ids].set(True, mode="drop")
 
 
 def _gather_host_outs(body, collect_hidden):

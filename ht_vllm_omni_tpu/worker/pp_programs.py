@@ -28,7 +28,11 @@ import jax.numpy as jnp
 
 from ht_vllm_omni_tpu.models import qwen2
 from ht_vllm_omni_tpu.models.layers import rms_norm
-from ht_vllm_omni_tpu.sample.sampler import SamplingTensors, sample_tokens
+from ht_vllm_omni_tpu.sample.sampler import (
+    SamplingTensors,
+    apply_repetition_penalty,
+    sample_tokens,
+)
 
 _NO_TOKEN = -1
 
@@ -66,8 +70,9 @@ def decode_program_pp(
     token_state,  # [S_l]
     aux_state,  # [S_l, W] int32 step-adapter rows ([S_l, 1] when none)
     int_state,  # [_NUM_INT_ROWS, S_l]
-    f32_state,  # [2, S_l]
+    f32_state,  # [3, S_l] temperature, top_p, repetition_penalty
     block_tables,  # [S_l, P]
+    seen_mask,  # [S_l, V] bool — repetition-penalty history
 ):
     """Per-shard body (shard_map over (dp, pp, tp)); same in/out
     signature as ARModelRunner._decode_program.  With collect_hidden the
@@ -93,6 +98,7 @@ def decode_program_pp(
     stops = int_state[R._ROW_STOPS :].T  # [S_l, MAX_STOP]
     temperature = f32_state[0]
     top_p = f32_state[1]
+    rep_penalty = f32_state[2]
 
     s_l = token_state.shape[0]
     s_mb = s_l // pp
@@ -119,7 +125,7 @@ def decode_program_pp(
     rounds = k_steps * pp + pp - 1
 
     def round_body(r, carry):
-        (keys, kv_cache, tokens_out, hidden_out, fin_tok,
+        (keys, kv_cache, seen, tokens_out, hidden_out, fin_tok,
          fin_pos, fin_act, fin_emit, fin_aux, bh, btok, bpos, bact,
          bemit, baux) = carry
         m = jnp.mod(r - p, pp)
@@ -165,6 +171,12 @@ def decode_program_pp(
         keys_m_new, step_keys = splits[:, 0], splits[:, 1]
         if adapter is None:
             logits = qwen2.compute_logits(cfg, params, hn)
+            seen_m = jax.lax.dynamic_slice(
+                seen, (off, 0), (s_mb, seen.shape[1])
+            )
+            logits = apply_repetition_penalty(
+                logits, seen_m, sl1(rep_penalty, off)
+            )
             logits = R._window_logits(
                 logits, sl1(allow_lo, off), sl1(allow_hi, off),
                 sl1(stops, off),
@@ -173,6 +185,13 @@ def decode_program_pp(
                 sl1(temperature, off), sl1(top_k, off), sl1(top_p, off)
             )
             sampled = sample_tokens(logits, st, step_keys)
+            cols = jnp.where(
+                jnp.logical_and(act_eff, p == pp - 1),
+                sampled, seen.shape[1],
+            )
+            seen = seen.at[
+                off + jnp.arange(s_mb), cols
+            ].set(True, mode="drop")
             aux_new = aux_in
         else:
             sampled, aux_new = adapter.head(params, hn, pos_in)
@@ -221,7 +240,7 @@ def decode_program_pp(
         bh, btok, bpos, bact, bemit, baux = _ring(
             pp_axis, pp, bh_o, btok_o, bpos_o, bact_o, bemit_o, baux_o
         )
-        return (keys, kv_cache, tokens_out, hidden_out,
+        return (keys, kv_cache, seen, tokens_out, hidden_out,
                 fin_tok, fin_pos, fin_act, fin_emit, fin_aux, bh, btok,
                 bpos, bact, bemit, baux)
 
@@ -229,6 +248,7 @@ def decode_program_pp(
     init = (
         keys,
         kv_cache,
+        seen_mask,
         jnp.full((k_steps, s_l), _NO_TOKEN, jnp.int32),
         jnp.zeros((k_steps, s_l, h_dim) if collect_hidden else (1,), dt),
         token_state,
@@ -243,10 +263,14 @@ def decode_program_pp(
         jnp.zeros((s_mb,), jnp.int32),
         jnp.zeros((s_mb, aux_w), jnp.int32),
     )
-    (keys, kv_cache, tokens_out, hidden_out, fin_tok, fin_pos,
-     fin_act, fin_emit, fin_aux, *_) = jax.lax.fori_loop(
+    (keys, kv_cache, seen_mask, tokens_out, hidden_out, fin_tok,
+     fin_pos, fin_act, fin_emit, fin_aux, *_) = jax.lax.fori_loop(
         0, rounds, round_body, init
     )
+    # the mask is written on the last pp stage only; align all shards
+    seen_mask = _bcast_from(
+        seen_mask.astype(jnp.int32), pp_axis, p == pp - 1
+    ).astype(bool)
 
     # broadcast the last stage's bookkeeping to every pp shard so the
     # returned (pp-replicated) state agrees everywhere
@@ -272,8 +296,9 @@ def decode_program_pp(
         axis=0,
     )
     if collect_hidden:
-        return kv_cache, keys, fin_tok, fin_aux, packed, hidden_out
-    return kv_cache, keys, fin_tok, fin_aux, packed
+        return (kv_cache, keys, fin_tok, fin_aux, packed, hidden_out,
+                seen_mask)
+    return kv_cache, keys, fin_tok, fin_aux, packed, seen_mask
 
 
 def prefill_program_pp(
