@@ -79,6 +79,8 @@ class LLMEngine:
         self._req_counter = itertools.count()
         # request_id -> (prompt_hidden_device_array, producing-hiddens list)
         self._hidden: dict[str, dict] = {}
+        # request_id -> list of per-token logprob dicts (sp.logprobs)
+        self._lps: dict[str, list] = {}
         # multimodal perception adapter (encode_image/encode_audio)
         self.mm_encoder = None
         if config.mm_encoder_spec is not None:
@@ -242,7 +244,9 @@ class LLMEngine:
             self.runner.release_slot(req.request_id)
 
         want_hidden: dict[str, bool] = {}
+        want_lp: dict[str, bool] = {}
         prefill_hidden: dict[str, object] = {}
+        prefill_lp_hidden: dict[str, object] = {}
         prefills: list[Request] = []
         # cross-request batched prefill: whole token-only prompts with no
         # hidden-state request run as ONE padded dispatch (one kernel per
@@ -285,12 +289,21 @@ class LLMEngine:
                     hidden, (req.num_prompt_tokens - 1) if whole else num - 1
                 )
                 want_hidden[req.request_id] = True
+            if req.sampling_params.logprobs:
+                want_lp[req.request_id] = True
+                idx = (req.num_prompt_tokens - 1) if (
+                    req.sampling_params.return_hidden_states and whole
+                ) else (-1 if not req.sampling_params.return_hidden_states
+                        else num - 1)
+                prefill_lp_hidden[req.request_id] = (hidden, idx)
         for req in decode_reqs:
             # pages may have grown this step; keep the device-side block
             # tables in lockstep (stale columns corrupt the KV cache)
             self.runner.sync_tables(req)
             if req.sampling_params.return_hidden_states:
                 want_hidden[req.request_id] = True
+            if req.sampling_params.logprobs:
+                want_lp[req.request_id] = True
 
         active = prefills + decode_reqs
         if not active:
@@ -301,6 +314,7 @@ class LLMEngine:
             use_spec
             and not want_hidden
             and self.runner.step_adapter is None
+            and not want_lp
             and all(
                 r.sampling_params.temperature == 0.0
                 and (r.sampling_params.repetition_penalty or 1.0) == 1.0
@@ -310,9 +324,11 @@ class LLMEngine:
             tokens, hidden = self.runner.spec_decode_chunk(
                 spec_iters, spec_d
             )
+            chunk_lp = None
         else:
-            tokens, hidden = self.runner.decode_chunk(
-                run_horizon, collect_hidden=bool(want_hidden)
+            tokens, hidden, chunk_lp = self.runner.decode_chunk(
+                run_horizon, collect_hidden=bool(want_hidden),
+                collect_logprobs=bool(want_lp),
             )
 
         outputs: list[OmniRequestOutput] = []
@@ -343,6 +359,11 @@ class LLMEngine:
                     req, slot, accepted, is_fresh,
                     prefill_hidden.get(rid), hidden,
                 )
+            if want_lp.get(rid):
+                self._accumulate_logprobs(
+                    req, slot, accepted, is_fresh, toks,
+                    prefill_lp_hidden.get(rid), chunk_lp,
+                )
             finished = status is not None
             if finished:
                 self.runner.release_slot(rid)
@@ -371,6 +392,47 @@ class LLMEngine:
             for j in range(max(n_chunk_rows, 0)):
                 rows.append(chunk_hidden[j, slot])
         store["steps"].extend(rows)
+
+    def _accumulate_logprobs(
+        self, req, slot, accepted, is_fresh, toks, p_lp_hidden, chunk_lp
+    ) -> None:
+        """Per-token logprobs for accepted tokens (SamplingParams.
+        logprobs).  Chunk tokens use the PROCESSED logits they were
+        sampled from (penalties/windows applied); the entry token (the
+        prefill-sampled one) is scored from the prefill's last hidden
+        row against raw logits — noted asymmetry, the prefill program
+        does not export its processed logits."""
+        store = self._lps.setdefault(req.request_id, [])
+        n_top = min(int(req.sampling_params.logprobs or 0), 5)
+        k = 0
+        if is_fresh:
+            entry = {"token_id": toks[0], "logprob": None}
+            if p_lp_hidden is not None:
+                arr, idx = p_lp_hidden
+                lp, ti, tv = self.runner.token_logprob(
+                    arr, idx, toks[0]
+                )
+                entry["logprob"] = float(lp)
+                if n_top:
+                    entry["top_token_ids"] = [int(x) for x in ti[:n_top]]
+                    entry["top_logprobs"] = [float(x) for x in tv[:n_top]]
+            store.append(entry)
+            k = 1
+        if chunk_lp is not None:
+            chosen, top_i, top_v = chunk_lp
+            for j in range(accepted - k):
+                entry = {
+                    "token_id": toks[k + j],
+                    "logprob": float(chosen[j, slot]),
+                }
+                if n_top:
+                    entry["top_token_ids"] = [
+                        int(x) for x in top_i[j, slot, :n_top]
+                    ]
+                    entry["top_logprobs"] = [
+                        float(x) for x in top_v[j, slot, :n_top]
+                    ]
+                store.append(entry)
 
     def _make_output(
         self, req: Request, finished: bool, num_new: int
@@ -408,10 +470,17 @@ class LLMEngine:
                     finish_reason=req.status.finish_reason,
                     hidden_states=hidden,
                     prompt_hidden_states=prompt_hidden,
+                    logprobs=(
+                        list(self._lps[req.request_id])
+                        if req.request_id in self._lps
+                        else None
+                    ),
                 )
             ],
             finished=finished,
         )
+        if finished:
+            self._lps.pop(req.request_id, None)
         out.metrics["num_new_tokens"] = num_new
         return out
 

@@ -278,7 +278,19 @@ class OmniAPIServer:
             top_k=req.top_k,
             seed=req.seed,
             stop_token_ids=list(getattr(req, "stop_token_ids", None) or []),
+            logprobs=self._logprobs_n(req),
         )
+
+    @staticmethod
+    def _logprobs_n(req) -> int | None:
+        """OpenAI's two logprob conventions -> one int: completions
+        pass an int; chat passes logprobs=True (+top_logprobs)."""
+        lp = getattr(req, "logprobs", None)
+        if lp is True:
+            return max(int(getattr(req, "top_logprobs", None) or 1), 1)
+        if lp:
+            return int(lp)
+        return None
 
     # ------------------------------------------------------------ chat
     async def chat_completions(self, request: web.Request) -> web.StreamResponse:
@@ -344,6 +356,9 @@ class OmniAPIServer:
                             "message": message,
                             "finish_reason": (
                                 comp.finish_reason if comp else "stop"
+                            ),
+                            "logprobs": _render_logprobs(
+                                comp, self.tokenizer
                             ),
                         }
                     ],
@@ -476,6 +491,7 @@ class OmniAPIServer:
                         "text": text,
                         "finish_reason": comp.finish_reason if comp else None,
                         "token_ids": comp.token_ids if comp else [],
+                        "logprobs": _render_logprobs(comp, self.tokenizer),
                     }
                 ],
             }
@@ -897,6 +913,43 @@ class OmniAPIServer:
         return web.json_response(
             {"status": "stopped", "dir": getattr(self, "_profile_dir", None)}
         )
+
+
+def _render_logprobs(comp, tokenizer) -> dict | None:
+    """CompletionOutput.logprobs -> the OpenAI chat logprobs shape
+    ({"content": [{token, logprob, top_logprobs: [...]}, ...]})."""
+    lps = getattr(comp, "logprobs", None) if comp else None
+    if not lps:
+        return None
+
+    def tok_str(tid):
+        if tokenizer is None:
+            return str(tid)
+        try:
+            return tokenizer.decode([tid])
+        except Exception:
+            return str(tid)
+
+    content = []
+    for e in lps:
+        item = {
+            "token": tok_str(e["token_id"]),
+            "token_id": e["token_id"],
+            "logprob": e["logprob"],
+            "top_logprobs": [
+                {
+                    "token": tok_str(i),
+                    "token_id": int(i),
+                    "logprob": float(v),
+                }
+                for i, v in zip(
+                    e.get("top_token_ids") or [],
+                    e.get("top_logprobs") or [],
+                )
+            ],
+        }
+        content.append(item)
+    return {"content": content}
 
 
 def run_server(

@@ -29,6 +29,9 @@ class ChatCompletionRequest(pydantic.BaseModel):
     seed: int | None = None
     stream: bool = False
     stop_token_ids: list[int] | None = None
+    # OpenAI chat logprobs: bool switch + how many alternatives
+    logprobs: bool = False
+    top_logprobs: int | None = None
     modalities: list[str] | None = None  # ["text"], ["text", "audio"]
     # per-stage sampling overrides (reference sampling_params_list)
     sampling_params_list: list[dict[str, Any]] | None = None
@@ -43,6 +46,8 @@ class CompletionRequest(pydantic.BaseModel):
     top_k: int = 0
     seed: int | None = None
     stream: bool = False
+    # OpenAI completions logprobs: int = number of alternatives
+    logprobs: int | None = None
 
 
 class SpeechRequest(pydantic.BaseModel):

@@ -32,6 +32,10 @@ class CompletionOutput:
     # MammothModa2 AR->DiT edge needs text-condition hiddens from the
     # prompt (reference stage_input_processors/mammoth_moda2.py:46).
     prompt_hidden_states: np.ndarray | None = None
+    # Optional per-token logprobs (SamplingParams.logprobs): one dict
+    # per generated token with "token_id", "logprob", and up to
+    # MAX_TOP_LOGPROBS alternatives ("top_token_ids"/"top_logprobs").
+    logprobs: list | None = None
     cumulative_logprob: float | None = None
 
     @property

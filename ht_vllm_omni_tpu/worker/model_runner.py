@@ -63,6 +63,7 @@ logger = logging.getLogger(__name__)
 
 _PAGES_DEFAULT_CPU = 512
 MAX_STOP_TOKENS = 8
+MAX_TOP_LOGPROBS = 5  # alternatives returned per sampled token
 _NO_TOKEN = -1
 
 
@@ -750,7 +751,8 @@ class ARModelRunner(SpecDecodeMixin):
         self._free_slots = list(range(s - 1, -1, -1))
         self._slot_of: dict[str, int] = {}
 
-        self._decode_fns: dict[tuple[int, bool], object] = {}
+        self._decode_fns: dict[tuple, object] = {}
+        self._tlp_fn = None
         self._prefill_fns: dict[tuple[int, bool], object] = {}
 
     # ----------------------------------------------------------- memory
@@ -782,6 +784,23 @@ class ARModelRunner(SpecDecodeMixin):
             slot = self._free_slots.pop()
             self._slot_of[request_id] = slot
         return slot
+
+    def token_logprob(self, hidden, row_idx, token):
+        """Log-softmax score of ``token`` from one hidden row (the
+        prefill-sampled entry token's logprob; raw logits — the chunk
+        path scores processed logits instead).  Returns (logprob,
+        top_ids [T], top_lps [T])."""
+        h = jnp.asarray(hidden)
+        if h.ndim == 2:
+            idx = row_idx if row_idx >= 0 else h.shape[0] - 1
+            h = h[idx]
+        fn = self._tlp_fn
+        if fn is None:
+            fn = self._tlp_fn = jax.jit(
+                functools.partial(_token_logprob_prog, self.arch)
+            )
+        lp, ti, tv = fn(self.params, h, jnp.int32(token))
+        return float(lp), np.asarray(ti), np.asarray(tv)
 
     def release_slot(self, request_id: str) -> None:
         slot = self._slot_of.pop(request_id, None)
@@ -1613,6 +1632,7 @@ class ARModelRunner(SpecDecodeMixin):
         num_steps: int,
         page_size: int,
         collect_hidden: bool,
+        collect_logprobs: bool,
         tp_axis,
         ep_axis,
         fsdp_axis,
@@ -1699,9 +1719,24 @@ class ARModelRunner(SpecDecodeMixin):
                     jnp.arange(s),
                     jnp.where(act, sampled, cfg.vocab_size),
                 ].set(True, mode="drop")
+                if collect_logprobs:
+                    # log-softmax over the PROCESSED logits (what was
+                    # actually sampled from, reference logprobs mode)
+                    lse = jax.nn.logsumexp(logits, axis=-1)
+                    lp = jnp.take_along_axis(
+                        logits,
+                        jnp.maximum(sampled, 0)[:, None],
+                        axis=-1,
+                    )[:, 0] - lse
+                    top_v, top_i = jax.lax.top_k(logits, MAX_TOP_LOGPROBS)
+                    top_v = top_v - lse[:, None]
             else:
                 sampled, aux_new = adapter.head(params, hidden, pos)
                 aux = jnp.where(act[:, None], aux_new, aux)
+            if collect_logprobs and adapter is not None:
+                lp = jnp.zeros((s,), jnp.float32)
+                top_v = jnp.zeros((s, MAX_TOP_LOGPROBS), jnp.float32)
+                top_i = jnp.zeros((s, MAX_TOP_LOGPROBS), jnp.int32)
             sampled = jnp.where(act, sampled, _NO_TOKEN)
             emit = emit + act.astype(jnp.int32)
             stop = ARModelRunner._stop_mask(
@@ -1710,6 +1745,8 @@ class ARModelRunner(SpecDecodeMixin):
             new_act = jnp.logical_and(act, jnp.logical_not(stop))
             pos = pos + act.astype(jnp.int32)
             out = (sampled, hidden) if collect_hidden else (sampled,)
+            if collect_logprobs:
+                out = out + (lp, top_i.astype(jnp.int32), top_v)
             return (
                 keys, sampled, pos, new_act, emit, kv_cache, seen, aux,
             ), out
@@ -1740,13 +1777,23 @@ class ARModelRunner(SpecDecodeMixin):
         ret = (kv_cache, keys, token_state, aux_state, packed)
         if collect_hidden:
             ret = ret + (outs[1],)
+        if collect_logprobs:
+            ret = ret + tuple(outs[-3:])
         return ret + (seen_mask,)
 
-    def _decode_fn(self, num_steps: int, collect_hidden: bool):
-        key = (num_steps, collect_hidden)
+    def _decode_fn(
+        self, num_steps: int, collect_hidden: bool,
+        collect_logprobs: bool = False,
+    ):
+        key = (num_steps, collect_hidden, collect_logprobs)
         fn = self._decode_fns.get(key)
         if fn is not None:
             return fn
+        if collect_logprobs and self.pp > 1:
+            raise NotImplementedError(
+                "logprobs under pipeline parallelism (the logit stream "
+                "lives on the last pp stage; ride hidden states instead)"
+            )
         if self.mesh is None:
             prog = functools.partial(
                 self._decode_program,
@@ -1754,6 +1801,7 @@ class ARModelRunner(SpecDecodeMixin):
                 num_steps,
                 self.page_size,
                 collect_hidden,
+                collect_logprobs,
                 None,
                 None,
                 None,
@@ -1789,6 +1837,7 @@ class ARModelRunner(SpecDecodeMixin):
                     num_steps,
                     self.page_size,
                     collect_hidden,
+                    collect_logprobs,
                     TP_AXIS,
                     self.ep_axes,
                     DP_AXIS if self.fsdp else None,
@@ -1820,6 +1869,10 @@ class ARModelRunner(SpecDecodeMixin):
             ]
             if collect_hidden:
                 out.append(P(None, DP_AXIS, None))  # hidden [K, S, H]
+            if collect_logprobs:
+                out.append(P(None, DP_AXIS))  # chosen logprob [K, S]
+                out.append(P(None, DP_AXIS, None))  # top ids [K, S, T]
+                out.append(P(None, DP_AXIS, None))  # top lps [K, S, T]
             out.append(P(DP_AXIS, None))  # seen_mask
             if self.multihost:
                 # host-read outputs must be fully addressable on every
@@ -1841,8 +1894,9 @@ class ARModelRunner(SpecDecodeMixin):
         return fn
 
     def decode_chunk(
-        self, num_steps: int, collect_hidden: bool = False
-    ) -> tuple[np.ndarray, np.ndarray | None]:
+        self, num_steps: int, collect_hidden: bool = False,
+        collect_logprobs: bool = False,
+    ) -> tuple[np.ndarray, np.ndarray | None, tuple | None]:
         """Run K decode steps on device; one host sync total.
 
         Returns (tokens [K+1, S], hidden [K, S, H]?): row 0 holds the
@@ -1850,7 +1904,7 @@ class ARModelRunner(SpecDecodeMixin):
         tokens the host has not seen yet); rows 1..K are this chunk's
         samples.  hidden row j is the hidden state of step j's input
         token."""
-        fn = self._decode_fn(num_steps, collect_hidden)
+        fn = self._decode_fn(num_steps, collect_hidden, collect_logprobs)
         # trim the block-table width to the live-page envelope (bucketed
         # to powers of two so at most log2(P) shapes compile): the paged
         # grid then never iterates dead table columns.  Width must cover
@@ -1896,6 +1950,14 @@ class ARModelRunner(SpecDecodeMixin):
         self.seen_mask = res[-1]
         host = np.asarray(packed)  # [K+4, S]; the single sync point
         hidden = np.asarray(res[5]) if collect_hidden else None
+        logprobs = None
+        if collect_logprobs:
+            base = 6 if collect_hidden else 5
+            logprobs = (
+                np.asarray(res[base]),       # chosen [K, S]
+                np.asarray(res[base + 1]),   # top ids [K, S, T]
+                np.asarray(res[base + 2]),   # top lps [K, S, T]
+            )
         tokens = host[: num_steps + 1]
         # device mirrors advance exactly as the host would recompute them;
         # keep numpy mirrors in lockstep without further syncs
@@ -1903,12 +1965,19 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_active = host[num_steps + 2].astype(bool)
         self.h_emitted = host[num_steps + 3].copy()
         self.h_fresh[:] = False
-        return tokens, hidden
+        return tokens, hidden, logprobs
 
 
 def _split_keys(keys):
     splits = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
     return splits[:, 0], splits[:, 1]
+
+
+def _token_logprob_prog(cfg, params, hidden_row, token):
+    logits = qwen2.compute_logits(cfg, params, hidden_row[None])[0]
+    lse = jax.nn.logsumexp(logits)
+    top_v, top_i = jax.lax.top_k(logits, MAX_TOP_LOGPROBS)
+    return logits[token] - lse, top_i.astype(jnp.int32), top_v - lse
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

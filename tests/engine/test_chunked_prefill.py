@@ -93,3 +93,32 @@ def test_mixed_chunked_and_decode_batch():
     )
     assert results[short] == ref[0].outputs[0].token_ids
     assert results[long_r] == ref[1].outputs[0].token_ids
+
+
+def test_logprobs_returned_and_consistent():
+    """SamplingParams.logprobs (previously declared but unwired): every
+    generated token gets a logprob; greedy tokens must be the argmax of
+    their own top-alternatives list, and chunk logprobs must be valid
+    log-probabilities."""
+    import math
+
+    import jax
+
+    from ht_vllm_omni_tpu.models import qwen2
+
+    eng = _engine(_params())
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=10, ignore_eos=True, logprobs=3
+    )
+    out = eng.generate([[3, 5, 7]], sp)[0].outputs[0]
+    lps = out.logprobs
+    assert lps is not None and len(lps) == len(out.token_ids)
+    for tok, entry in zip(out.token_ids, lps):
+        assert entry["token_id"] == tok
+        assert entry["logprob"] is not None
+        assert entry["logprob"] <= 1e-5  # log prob <= 0
+        assert math.isfinite(entry["logprob"])
+        assert len(entry["top_token_ids"]) == 3
+        # greedy: the sampled token IS the top-1 alternative
+        assert entry["top_token_ids"][0] == tok
+        assert abs(entry["top_logprobs"][0] - entry["logprob"]) < 1e-4

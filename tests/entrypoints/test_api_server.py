@@ -599,3 +599,28 @@ async def _test_video_list_and_delete():
     finally:
         await client.close()
         engine.shutdown()
+
+
+def test_completions_logprobs():
+    _run(_test_completions_logprobs())
+
+
+async def _test_completions_logprobs():
+    client, engine = await _client(False)
+    r = await client.post(
+        "/v1/completions",
+        json={
+            "prompt": [3, 5, 7], "max_tokens": 6, "temperature": 0.0,
+            "logprobs": 2,
+        },
+    )
+    assert r.status == 200
+    body = await r.json()
+    lp = body["choices"][0]["logprobs"]
+    assert lp is not None
+    content = lp["content"]
+    assert len(content) == len(body["choices"][0]["token_ids"])
+    for e in content:
+        assert e["logprob"] <= 1e-5
+        assert len(e["top_logprobs"]) == 2
+        assert e["top_logprobs"][0]["token_id"] == e["token_id"]  # greedy
