@@ -84,11 +84,27 @@ class OmniAPIServer:
                 web.get(
                     "/v1/videos/{video_id}/content", self.video_content
                 ),
+                web.get("/metrics", self.metrics),
                 web.post("/start_profile", self.start_profile),
                 web.post("/stop_profile", self.stop_profile),
             ]
         )
         return app
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        """Prometheus text exposition (the reference inherits vLLM's
+        /metrics; rendered from the orchestrator aggregator)."""
+        from ht_vllm_omni_tpu.metrics.stats import prometheus_text
+
+        agg = getattr(
+            getattr(self.engine, "orchestrator", None), "stats", None
+        )
+        if agg is None:
+            agg = getattr(self.engine, "stats", None)
+        body = prometheus_text(agg) if agg is not None else ""
+        return web.Response(
+            text=body, content_type="text/plain", charset="utf-8"
+        )
 
     async def health(self, request: web.Request) -> web.Response:
         try:
@@ -468,34 +484,55 @@ class OmniAPIServer:
             token_ids = list(req.prompt)
         sp = self._sampling(req)
         request_id = f"cmpl-{uuid.uuid4().hex[:24]}"
-        final = None
-        async for out in self.engine.generate(
-            OmniPrompt(token_ids=token_ids), sp, request_id
-        ):
-            if out.error:
-                raise web.HTTPInternalServerError(reason=out.error)
-            if out.finished and out.final_output:
-                final = out
-        comp = final.outputs[0] if final and final.outputs else None
-        text = ""
-        if comp is not None and self.tokenizer is not None:
-            text = comp.text or self.tokenizer.decode(comp.token_ids)
+        comps = await self._run_n(
+            OmniPrompt(token_ids=token_ids), sp, request_id,
+            max(req.n, 1),
+        )
+        choices = []
+        for i, comp in enumerate(comps):
+            text = ""
+            if comp is not None and self.tokenizer is not None:
+                text = comp.text or self.tokenizer.decode(comp.token_ids)
+            choices.append(
+                {
+                    "index": i,
+                    "text": text,
+                    "finish_reason": comp.finish_reason if comp else None,
+                    "token_ids": comp.token_ids if comp else [],
+                    "logprobs": _render_logprobs(comp, self.tokenizer),
+                }
+            )
         return web.json_response(
             {
                 "id": request_id,
                 "object": "text_completion",
                 "model": self.model_name,
-                "choices": [
-                    {
-                        "index": 0,
-                        "text": text,
-                        "finish_reason": comp.finish_reason if comp else None,
-                        "token_ids": comp.token_ids if comp else [],
-                        "logprobs": _render_logprobs(comp, self.tokenizer),
-                    }
-                ],
+                "choices": choices,
             }
         )
+
+    async def _run_n(self, prompt, sp, request_id, n):
+        """Run n parallel choices of one prompt (OpenAI `n`): sibling
+        requests share the prompt, so the prefix cache shares their KV
+        pages; seeded requests get seed+i for distinct draws."""
+        import asyncio
+        import copy as _copy
+
+        async def one(i):
+            sp_i = _copy.deepcopy(sp)
+            if sp_i.seed is not None:
+                sp_i.seed += i
+            final = None
+            async for out in self.engine.generate(
+                prompt, sp_i, f"{request_id}-{i}" if i else request_id
+            ):
+                if out.error:
+                    raise web.HTTPInternalServerError(reason=out.error)
+                if out.finished and out.final_output:
+                    final = out
+            return final.outputs[0] if final and final.outputs else None
+
+        return await asyncio.gather(*(one(i) for i in range(n)))
 
     # ---------------------------------------------------------- speech
     async def speech(self, request: web.Request) -> web.StreamResponse:

@@ -26,6 +26,7 @@ class ChatCompletionRequest(pydantic.BaseModel):
     temperature: float = 1.0
     top_p: float = 1.0
     top_k: int = 0
+    n: int = 1  # parallel choices per prompt (prefix cache shares KV)
     seed: int | None = None
     stream: bool = False
     stop_token_ids: list[int] | None = None
@@ -44,6 +45,7 @@ class CompletionRequest(pydantic.BaseModel):
     temperature: float = 1.0
     top_p: float = 1.0
     top_k: int = 0
+    n: int = 1  # parallel choices per prompt (prefix cache shares KV)
     seed: int | None = None
     stream: bool = False
     # OpenAI completions logprobs: int = number of alternatives

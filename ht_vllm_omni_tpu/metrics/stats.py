@@ -96,3 +96,63 @@ class OrchestratorAggregator:
                 f"{stages:>32}"
             )
         return "\n".join(rows)
+
+
+def prometheus_text(agg: "OrchestratorAggregator") -> str:
+    """Render the aggregator as Prometheus text exposition (the
+    reference inherits vLLM's /metrics endpoint; this is the TPU
+    engine's equivalent surface)."""
+    finished = agg.finished
+    lines = [
+        "# HELP omni_requests_running Requests currently in flight",
+        "# TYPE omni_requests_running gauge",
+        f"omni_requests_running {len(agg.requests)}",
+        "# HELP omni_requests_finished_total Finished requests",
+        "# TYPE omni_requests_finished_total counter",
+        f"omni_requests_finished_total {len(finished)}",
+    ]
+    if finished:
+        e2e = sorted(st.e2e_s for st in finished)
+        ttfp = sorted(st.ttfp_s for st in finished if st.ttfp_s > 0)
+
+        def q(xs, f):
+            return xs[min(int(len(xs) * f), len(xs) - 1)] if xs else 0.0
+
+        lines += [
+            "# HELP omni_e2e_seconds Request end-to-end latency",
+            "# TYPE omni_e2e_seconds summary",
+            f'omni_e2e_seconds{{quantile="0.5"}} {q(e2e, 0.5):.6f}',
+            f'omni_e2e_seconds{{quantile="0.9"}} {q(e2e, 0.9):.6f}',
+            f'omni_e2e_seconds{{quantile="0.99"}} {q(e2e, 0.99):.6f}',
+            f"omni_e2e_seconds_sum {sum(e2e):.6f}",
+            f"omni_e2e_seconds_count {len(e2e)}",
+        ]
+        if ttfp:
+            lines += [
+                "# HELP omni_ttfp_seconds Time to first final output",
+                "# TYPE omni_ttfp_seconds summary",
+                f'omni_ttfp_seconds{{quantile="0.5"}} {q(ttfp, 0.5):.6f}',
+                f'omni_ttfp_seconds{{quantile="0.9"}} {q(ttfp, 0.9):.6f}',
+                f"omni_ttfp_seconds_sum {sum(ttfp):.6f}",
+                f"omni_ttfp_seconds_count {len(ttfp)}",
+            ]
+        tok_out: dict[int, int] = {}
+        tok_in: dict[int, int] = {}
+        for st in finished:
+            for sid, stage in st.stages.items():
+                tok_out[sid] = tok_out.get(sid, 0) + stage.tokens_out
+                tok_in[sid] = tok_in.get(sid, 0) + stage.tokens_in
+        lines += [
+            "# HELP omni_stage_tokens_total Tokens through each stage",
+            "# TYPE omni_stage_tokens_total counter",
+        ]
+        for sid in sorted(tok_out):
+            lines.append(
+                f'omni_stage_tokens_total{{stage="{sid}",direction="out"}} '
+                f"{tok_out[sid]}"
+            )
+            lines.append(
+                f'omni_stage_tokens_total{{stage="{sid}",direction="in"}} '
+                f"{tok_in[sid]}"
+            )
+    return "\n".join(lines) + "\n"

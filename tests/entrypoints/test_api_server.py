@@ -624,3 +624,44 @@ async def _test_completions_logprobs():
         assert e["logprob"] <= 1e-5
         assert len(e["top_logprobs"]) == 2
         assert e["top_logprobs"][0]["token_id"] == e["token_id"]  # greedy
+
+
+def test_metrics_endpoint():
+    _run(_test_metrics_endpoint())
+
+
+async def _test_metrics_endpoint():
+    client, engine = await _client(False)
+    # generate something so the aggregator has a finished request
+    r = await client.post(
+        "/v1/completions",
+        json={"prompt": [3, 5], "max_tokens": 4, "temperature": 0.0},
+    )
+    assert r.status == 200
+    m = await client.get("/metrics")
+    assert m.status == 200
+    text = await m.text()
+    assert "omni_requests_finished_total" in text
+    assert "omni_e2e_seconds" in text
+
+
+def test_completions_n_parallel_choices():
+    _run(_test_completions_n())
+
+
+async def _test_completions_n():
+    client, engine = await _client(False)
+    r = await client.post(
+        "/v1/completions",
+        json={
+            "prompt": [3, 5, 7], "max_tokens": 5, "temperature": 0.9,
+            "n": 3, "seed": 11,
+        },
+    )
+    assert r.status == 200
+    body = await r.json()
+    ch = body["choices"]
+    assert [c["index"] for c in ch] == [0, 1, 2]
+    assert all(len(c["token_ids"]) == 5 for c in ch)
+    # distinct seeds -> not all identical (overwhelmingly likely)
+    assert len({tuple(c["token_ids"]) for c in ch}) > 1
