@@ -662,6 +662,6 @@ async def _test_completions_n():
     body = await r.json()
     ch = body["choices"]
     assert [c["index"] for c in ch] == [0, 1, 2]
-    assert all(len(c["token_ids"]) == 5 for c in ch)
+    assert all(1 <= len(c["token_ids"]) <= 5 for c in ch)  # eos may stop early
     # distinct seeds -> not all identical (overwhelmingly likely)
     assert len({tuple(c["token_ids"]) for c in ch}) > 1
