@@ -46,11 +46,20 @@ def ring_attention(
     v: jax.Array,
     *,
     axis: str,
+    text_kv: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """Full-sequence attention with seq-sharded Q/K/V; returns the local
-    queries' output [H, S_local, D]."""
+    queries' output [H, S_local, D].
+
+    ``text_kv`` = replicated joint text-prefix K/V ([H, T_txt, D]):
+    every shard's queries attend it once, folded into the same online
+    softmax before the ring rotation starts (the reference's
+    joint_strategy front handling, ring/ulysses.py:219-360)."""
     size = jax.lax.axis_size(axis)
     if size == 1:
+        if text_kv is not None:
+            k = jnp.concatenate([text_kv[0], k], axis=1)
+            v = jnp.concatenate([text_kv[1], v], axis=1)
         return flash_attention(q[None], k[None], v[None], causal=False)[0]
 
     perm = [(i, (i + 1) % size) for i in range(size)]
@@ -69,13 +78,13 @@ def ring_attention(
         return k_blk, v_blk, o_acc, m_new, l_acc
 
     h, s_loc, d = q.shape
-    init = (
-        k,
-        v,
-        jnp.zeros((h, s_loc, d), jnp.float32),
-        jnp.full((h, s_loc), NEG_INF, jnp.float32),
-        jnp.zeros((h, s_loc), jnp.float32),
-    )
+    o0 = jnp.zeros((h, s_loc, d), jnp.float32)
+    m0 = jnp.full((h, s_loc), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((h, s_loc), jnp.float32)
+    if text_kv is not None:
+        # fold the replicated text prefix into the accumulators once
+        o0, m0, l0 = _block_attention(q, text_kv[0], text_kv[1])
+    init = (k, v, o0, m0, l0)
     _, _, o, m, l = jax.lax.fori_loop(0, size, body, init)
     denom = jnp.where(l == 0.0, 1.0, l)
     return (o / denom[..., None]).astype(q.dtype)

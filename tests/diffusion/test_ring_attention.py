@@ -72,3 +72,38 @@ def test_hybrid_ulysses_ring():
         )
     )(q, k, v)
     np.testing.assert_allclose(out, ref, atol=3e-5, rtol=3e-5)
+
+
+def test_ring_joint_text_prefix():
+    """Ring attention with a replicated joint text prefix (reference
+    joint_strategy front handling): must equal local attention over
+    [text || image] KV with image queries."""
+    from ht_vllm_omni_tpu.diffusion.distributed.sp_ring import (
+        ring_attention,
+    )
+
+    sp, heads, s_img, t_txt, d = 4, 4, 64, 9, 32
+    mesh = Mesh(np.array(jax.devices()[:sp]), ("sp",))
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    q = jax.random.normal(ks[0], (heads, s_img, d), jnp.float32)
+    k = jax.random.normal(ks[1], (heads, s_img, d), jnp.float32)
+    v = jax.random.normal(ks[2], (heads, s_img, d), jnp.float32)
+    tk = jax.random.normal(ks[3], (heads, t_txt, d), jnp.float32)
+    tv = jax.random.normal(ks[4], (heads, t_txt, d), jnp.float32)
+    k_all = jnp.concatenate([tk, k], axis=1)
+    v_all = jnp.concatenate([tv, v], axis=1)
+    ref = flash_attention(q[None], k_all[None], v_all[None], causal=False)[0]
+
+    def run(q, k, v, tk, tv):
+        return ring_attention(q, k, v, axis="sp", text_kv=(tk, tv))
+
+    out = jax.jit(
+        shard_map(
+            run, mesh=mesh,
+            in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp"),
+                      P(), P()),
+            out_specs=P(None, "sp"),
+            check_vma=False,
+        )
+    )(q, k, v, tk, tv)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
