@@ -196,6 +196,12 @@ class LLMEngine:
             for leaf in jax.tree_util.tree_leaves(runner.params):
                 leaf.delete()
             runner.params = None
+            # fused decode-stack copies are derived from params:
+            # free them too, rebuild on wake
+            if getattr(runner, "fused_kw", None) is not None:
+                for leaf in jax.tree_util.tree_leaves(runner.fused_kw):
+                    leaf.delete()
+                runner.fused_kw = None
         self._asleep = level
 
     def wake(self) -> None:
@@ -210,6 +216,8 @@ class LLMEngine:
                 jnp.asarray, self._host_params
             )
             self._host_params = None
+            if hasattr(runner, "_build_fused_stack"):
+                runner._build_fused_stack()
         self._asleep = 0
 
     def has_unfinished_requests(self) -> bool:

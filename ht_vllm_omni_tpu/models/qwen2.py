@@ -805,9 +805,14 @@ def decode_direct(
     page = jnp.take_along_axis(
         block_tables, page_col[:, None], axis=1
     )[:, 0]
-    # inactive slots scatter out-of-bounds -> dropped
+    # inactive slots scatter out-of-bounds -> dropped.  The sentinel
+    # must be a POSITIVE out-of-range row: jnp normalizes negative
+    # indices (adds n) before the scatter, so -1 silently wraps to the
+    # last cache row and corrupts it (ops/paged_attention.py:788 note).
     rows = jnp.where(
-        active, page * page_size + positions % page_size, -1
+        active,
+        page * page_size + positions % page_size,
+        kv_cache.shape[1],
     )
     seq_lens = jnp.where(active, positions + 1, 0)
     ks_, vs_ = kv_scales if kv_scales is not None else (1.0, 1.0)

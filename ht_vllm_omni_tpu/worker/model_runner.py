@@ -694,6 +694,15 @@ class ARModelRunner(SpecDecodeMixin):
                 {PARAM_PREFIX + k: v for k, v in ap.items()}
             )
 
+        # whole-stack fused decode kernel (ops/fused_stack.py): on a
+        # single chip, dense bf16/int8 trunks decode through ONE Pallas
+        # program that streams weights HBM->VMEM without per-layer
+        # custom-call stalls.  The kernel-layout copies duplicate the
+        # trunk, so gate on trunk size; interpret mode (CPU tests) is
+        # too slow for it unless explicitly forced.
+        self.fused_kw = None
+        self._build_fused_stack()
+
         s = self.max_slots
         self.keys = jax.vmap(jax.random.PRNGKey)(
             jnp.arange(s, dtype=jnp.uint32) + config.seed
@@ -754,6 +763,43 @@ class ARModelRunner(SpecDecodeMixin):
         self._decode_fns: dict[tuple, object] = {}
         self._tlp_fn = None
         self._prefill_fns: dict[tuple[int, bool], object] = {}
+
+    def _build_fused_stack(self) -> None:
+        """(Re)build the fused decode-stack weight copies — OPT-IN via
+        HT_FUSED_STACK=1.
+
+        The whole-stack kernel measured ~40% slower than the scanned
+        decode path on v5e (ops/fused_stack.py module note: XLA's own
+        weight streaming already saturates the chip's practical DMA
+        bandwidth), so it is never enabled by default.  Scope when
+        forced: no mesh (single chip), dense bf16/int8 trunk, trunk
+        bytes within HT_FUSED_STACK_MAX_BYTES (default 2 GiB — the
+        kernel-layout copy duplicates the trunk in HBM)."""
+        import os
+
+        self.fused_kw = None
+        env = os.environ.get("HT_FUSED_STACK", "")
+        if env != "1" or self.mesh is not None or self.params is None:
+            return
+        trunk_keys = (
+            "wqkv", "wo", "wgu", "down", "wq", "wk", "wv", "gate", "up"
+        )
+        trunk_bytes = sum(
+            v.size * v.dtype.itemsize
+            for k, v in self.params.items()
+            if k.split(":", 1)[0] in trunk_keys
+        )
+        limit = int(
+            os.environ.get("HT_FUSED_STACK_MAX_BYTES", 2 << 30)
+        )
+        if trunk_bytes > limit:
+            return
+        from ht_vllm_omni_tpu.ops.fused_stack import build_stack_weights
+
+        kw = build_stack_weights(self.arch, self.params)
+        if kw is not None:
+            kw.pop("int8", None)  # static fact; keep the pytree arrays-only
+            self.fused_kw = kw
 
     # ----------------------------------------------------------- memory
     def _derive_num_pages(self) -> int:
@@ -1647,6 +1693,7 @@ class ARModelRunner(SpecDecodeMixin):
         f32_state,  # [3, S] temperature, top_p, repetition_penalty
         block_tables,  # [S, P]
         seen_mask,  # [S, V] bool donated — repetition-penalty history
+        fused_kw=None,  # fused decode-stack weights (single chip only)
     ):
         R = ARModelRunner
         positions = int_state[R._ROW_POS]
@@ -1694,13 +1741,61 @@ class ARModelRunner(SpecDecodeMixin):
                 jnp.maximum(tokens, 0) >= cfg.gen_vocab_start
                 if cfg.use_gen_mlp else None
             )
-            hidden, kv_cache = qwen2.decode_direct(
-                cfg, params, kv_cache, x, pos, act, block_tables,
-                page_size=page_size,
-                tp_axis=tp_axis, ep_axis=ep_axis, fsdp_axis=fsdp_axis,
-                rope_delta=rope_delta, kv_scales=kv_scales,
-                gen_mask=gen_mask,
-            )
+            if (
+                fused_kw is not None
+                and tp_axis is None
+                and fsdp_axis is None
+                and gen_mask is None
+                and x.dtype == jnp.bfloat16
+            ):
+                # whole-stack fused decode (ops/fused_stack.py): one
+                # Pallas program per step streams the trunk weights
+                from ht_vllm_omni_tpu.models.layers import rope_cos_sin
+                from ht_vllm_omni_tpu.ops.fused_stack import (
+                    fused_decode_stack,
+                )
+
+                cos, sin = rope_cos_sin(
+                    pos + rope_delta, cfg.rotary_dim, cfg.rope_theta
+                )
+                page_col = jnp.clip(
+                    pos // page_size, 0, block_tables.shape[1] - 1
+                )
+                pg = jnp.take_along_axis(
+                    block_tables, page_col[:, None], axis=1
+                )[:, 0]
+                rows_wr = jnp.where(
+                    act, pg * page_size + pos % page_size, -1
+                )
+                past = jnp.where(act, pos, 0)
+                ks_, vs_ = (
+                    kv_scales if kv_scales is not None else (1.0, 1.0)
+                )
+                hidden, kv_cache = fused_decode_stack(
+                    fused_kw, kv_cache, x, cos, sin, rows_wr, past,
+                    block_tables,
+                    page_size=page_size,
+                    eps=cfg.rms_norm_eps,
+                    sm_scale=cfg.head_dim ** -0.5,
+                    qh=cfg.num_attention_heads,
+                    kvh=cfg.num_key_value_heads,
+                    d=cfg.head_dim,
+                    inter=cfg.intermediate_size,
+                    has_bias="bqkv" in fused_kw,
+                    has_qknorm="q_norm" in fused_kw,
+                    int8="scale_k" in fused_kw,
+                    k_scale=ks_,
+                    v_scale=vs_,
+                )
+            else:
+                hidden, kv_cache = qwen2.decode_direct(
+                    cfg, params, kv_cache, x, pos, act, block_tables,
+                    page_size=page_size,
+                    tp_axis=tp_axis, ep_axis=ep_axis,
+                    fsdp_axis=fsdp_axis,
+                    rope_delta=rope_delta, kv_scales=kv_scales,
+                    gen_mask=gen_mask,
+                )
             keys, step_keys = _split_keys(keys)
             if adapter is None:
                 logits = qwen2.compute_logits(cfg, params, hidden)
@@ -1934,6 +2029,11 @@ class ARModelRunner(SpecDecodeMixin):
         int_state[self._ROW_GRID_EOL] = self.h_grid_eol
         int_state[self._ROW_STOPS :] = self.h_stops.T
         f32_state = np.stack([self.h_temp, self.h_top_p, self.h_rep])
+        fused = (
+            {"fused_kw": self.fused_kw}
+            if self.mesh is None and self.fused_kw is not None
+            else {}
+        )
         res = fn(
             self.params,
             self.kv_cache,
@@ -1944,6 +2044,7 @@ class ARModelRunner(SpecDecodeMixin):
             f32_state,
             np.ascontiguousarray(self.h_tables[:, :width]),
             self.seen_mask,
+            **fused,
         )
         (self.kv_cache, self.keys, self.token_state, self.aux_state,
          packed) = res[:5]
