@@ -205,7 +205,16 @@ class OmniAPIServer:
                         )
                         parts.append("<|mm_audio|>")
                 content = " ".join(parts)
-            flat.append({"role": m.get("role", "user"), "content": content})
+            entry = {
+                "role": m.get("role", "user"),
+                "content": content if content is not None else "",
+            }
+            # preserve tool-calling turns for the chat template
+            # (reference maybe_serialize_tool_calls)
+            for k in ("tool_calls", "tool_call_id", "name"):
+                if m.get(k):
+                    entry[k] = m[k]
+            flat.append(entry)
         return flat, images, audios
 
     def _encode_text(self, text: str) -> list[int]:
@@ -217,19 +226,34 @@ class OmniAPIServer:
         except TypeError:  # test tokenizers without the kwarg
             return list(self.tokenizer.encode(text))
 
-    def _encode_chat(self, messages: list) -> OmniPrompt:
+    def _encode_chat(
+        self, messages: list, tools: list[dict] | None = None
+    ) -> OmniPrompt:
         if self.tokenizer is None:
             raise web.HTTPBadRequest(reason="no tokenizer loaded")
         dicts, images, audios = self._parse_messages(messages)
         has_mm = bool(images or audios)
         if not has_mm and hasattr(self.tokenizer, "apply_chat_template"):
             try:
+                kw = {"tools": tools} if tools else {}
                 ids = self.tokenizer.apply_chat_template(
-                    dicts, add_generation_prompt=True, tokenize=True
+                    dicts, add_generation_prompt=True, tokenize=True,
+                    **kw,
                 )
                 return OmniPrompt(token_ids=ids)
             except Exception:
                 pass
+        if tools:
+            # template-less fallback: inject the tool specs as a system
+            # preamble so the Hermes-convention parser has something to
+            # parse (entrypoints/openai/tool_parser.py)
+            from ht_vllm_omni_tpu.entrypoints.openai.tool_parser import (
+                render_tools_preamble,
+            )
+
+            dicts = [
+                {"role": "system", "content": render_tools_preamble(tools)}
+            ] + dicts
         # manual build: tokenize text segments, splice one placeholder
         # token per media item (input_processing expands each placeholder
         # to its patch/frame grid and overlays the encoder embeddings)
@@ -308,13 +332,92 @@ class OmniAPIServer:
             return int(lp)
         return None
 
+    @staticmethod
+    def _stop_list(req) -> list[str]:
+        s = getattr(req, "stop", None)
+        if not s:
+            return []
+        return [s] if isinstance(s, str) else [x for x in s if x]
+
+    @staticmethod
+    def _delta_chunks(
+        request_id: str, model: str, text: str, tparser, events=None
+    ) -> list[bytes]:
+        """Render a decoded text delta (or pre-computed parser
+        ``events``) as SSE chunk(s): plain content, or OpenAI
+        ``delta.tool_calls`` events when a tool parser is active
+        (entrypoints/openai/tool_parser.py)."""
+
+        def sse(delta: dict) -> bytes:
+            return (
+                "data: "
+                + json.dumps(
+                    {
+                        "id": request_id,
+                        "object": "chat.completion.chunk",
+                        "model": model,
+                        "choices": [
+                            {
+                                "index": 0,
+                                "delta": delta,
+                                "finish_reason": None,
+                            }
+                        ],
+                    }
+                )
+                + "\n\n"
+            ).encode()
+
+        if tparser is None and events is None:
+            return [sse({"content": text})] if text else []
+        out = []
+        for ev in events if events is not None else tparser.feed(text):
+            if ev[0] == "content":
+                if ev[1]:
+                    out.append(sse({"content": ev[1]}))
+            elif ev[0] == "tool_start":
+                out.append(
+                    sse(
+                        {
+                            "tool_calls": [
+                                {
+                                    "index": ev[1],
+                                    "id": ev[2],
+                                    "type": "function",
+                                    "function": {
+                                        "name": ev[3],
+                                        "arguments": "",
+                                    },
+                                }
+                            ]
+                        }
+                    )
+                )
+            elif ev[0] == "tool_args":
+                out.append(
+                    sse(
+                        {
+                            "tool_calls": [
+                                {
+                                    "index": ev[1],
+                                    "function": {"arguments": ev[2]},
+                                }
+                            ]
+                        }
+                    )
+                )
+        return out
+
     # ------------------------------------------------------------ chat
     async def chat_completions(self, request: web.Request) -> web.StreamResponse:
         try:
             req = ChatCompletionRequest(**await request.json())
         except Exception as e:
             raise web.HTTPBadRequest(reason=str(e))
-        prompt = self._encode_chat(req.messages)
+        tools_active = bool(req.tools) and req.tool_choice != "none"
+        prompt = self._encode_chat(
+            req.messages, tools=req.tools if tools_active else None
+        )
         # per-stage overrides (reference sampling_params_list,
         # serving_chat.py:369-373): stage i gets SamplingParams(**list[i]);
         # omitted stages fall back to their pipeline-yaml defaults
@@ -352,7 +455,28 @@ class OmniAPIServer:
                     if self.tokenizer
                     else ""
                 )
-            message: dict[str, Any] = {"role": "assistant", "content": text}
+            finish = comp.finish_reason if comp else "stop"
+            for st in self._stop_list(req):
+                i = text.find(st)
+                if i >= 0:
+                    text, finish = text[:i], "stop"
+                    break
+            tool_calls: list[dict] = []
+            if tools_active:
+                from ht_vllm_omni_tpu.entrypoints.openai.tool_parser import (
+                    parse_tool_calls,
+                )
+
+                content, tool_calls = parse_tool_calls(text)
+                if tool_calls:
+                    text = content or ""
+                    finish = "tool_calls"
+            message: dict[str, Any] = {
+                "role": "assistant",
+                "content": text if not tool_calls else (content or None),
+            }
+            if tool_calls:
+                message["tool_calls"] = tool_calls
             if audio_out is not None:
                 message["audio"] = {
                     "data": base64.b64encode(
@@ -370,9 +494,7 @@ class OmniAPIServer:
                         {
                             "index": 0,
                             "message": message,
-                            "finish_reason": (
-                                comp.finish_reason if comp else "stop"
-                            ),
+                            "finish_reason": finish or "stop",
                             "logprobs": _render_logprobs(
                                 comp, self.tokenizer
                             ),
@@ -391,6 +513,15 @@ class OmniAPIServer:
         await resp.prepare(request)
         sent_tokens: dict[int, int] = {}
         sent_samples = 0
+        stops = self._stop_list(req)
+        stop_scan = _StopScan(stops) if stops else None
+        tparser = None
+        if tools_active:
+            from ht_vllm_omni_tpu.entrypoints.openai.tool_parser import (
+                StreamingToolParser,
+            )
+
+            tparser = StreamingToolParser()
         async for out in self.engine.generate(prompt, sp, request_id):
             if out.error:
                 break
@@ -439,21 +570,51 @@ class OmniAPIServer:
             ):
                 delta_text = self.tokenizer.decode(new)
                 sent_tokens[out.stage_id] = len(comp.token_ids)
-                chunk = {
-                    "id": request_id,
-                    "object": "chat.completion.chunk",
-                    "choices": [
-                        {
-                            "index": 0,
-                            "delta": {"content": delta_text},
-                            "finish_reason": None,
-                        }
-                    ],
-                }
-                await resp.write(
-                    f"data: {json.dumps(chunk)}\n\n".encode()
-                )
+                hit = False
+                if stop_scan is not None:
+                    delta_text, hit = stop_scan.feed(delta_text)
+                for payload in self._delta_chunks(
+                    request_id, self.model_name, delta_text, tparser
+                ):
+                    await resp.write(payload)
+                if hit:
+                    done = {
+                        "id": request_id,
+                        "object": "chat.completion.chunk",
+                        "choices": [
+                            {
+                                "index": 0,
+                                "delta": {},
+                                "finish_reason": "stop",
+                            }
+                        ],
+                    }
+                    await resp.write(
+                        f"data: {json.dumps(done)}\n\n".encode()
+                    )
+                    await self.engine.abort(request_id)
+                    break
             if out.finished and out.final_output:
+                if stop_scan is not None and stop_scan.sent < len(
+                    stop_scan.text
+                ):
+                    # flush text held back as a possible partial stop
+                    tail = stop_scan.text[stop_scan.sent :]
+                    stop_scan.sent = len(stop_scan.text)
+                    for payload in self._delta_chunks(
+                        request_id, self.model_name, tail, tparser
+                    ):
+                        await resp.write(payload)
+                if tparser is not None:
+                    # flush an unterminated block / held-back text
+                    for payload in self._delta_chunks(
+                        request_id, self.model_name, "", None,
+                        events=tparser.finish(),
+                    ):
+                        await resp.write(payload)
+                finish = comp.finish_reason or "stop"
+                if tparser is not None and tparser.tool_index >= 0:
+                    finish = "tool_calls"
                 done = {
                     "id": request_id,
                     "object": "chat.completion.chunk",
@@ -461,7 +622,7 @@ class OmniAPIServer:
                         {
                             "index": 0,
                             "delta": {},
-                            "finish_reason": comp.finish_reason or "stop",
+                            "finish_reason": finish,
                         }
                     ],
                 }
@@ -997,3 +1158,39 @@ def run_server(
 ) -> None:
     server = OmniAPIServer(engine, tokenizer)
     web.run_app(server.build_app(), host=host, port=port)
+
+
+class _StopScan:
+    """Cross-delta stop-sequence scanner: feed decoded text, get back
+    the emittable prefix (holding back partial stop-string suffixes)
+    and whether a stop sequence completed (OpenAI ``stop`` strings)."""
+
+    def __init__(self, stops: list):
+        self.stops = stops
+        self.text = ""
+        self.sent = 0
+
+    def feed(self, delta: str) -> tuple:
+        self.text += delta
+        cut = None
+        for st in self.stops:
+            i = self.text.find(st)
+            if i >= 0:
+                cut = i if cut is None else min(cut, i)
+        if cut is not None:
+            out = self.text[self.sent : cut]
+            self.sent = max(self.sent, cut)
+            return out, True
+        hold = max(
+            (
+                k
+                for st in self.stops
+                for k in range(1, len(st))
+                if self.text.endswith(st[:k])
+            ),
+            default=0,
+        )
+        upto = len(self.text) - hold
+        out = self.text[self.sent : upto] if upto > self.sent else ""
+        self.sent = max(self.sent, upto)
+        return out, False

@@ -15,7 +15,12 @@ import pydantic
 
 class ChatMessage(pydantic.BaseModel):
     role: str
-    content: str | list[dict[str, Any]]
+    content: str | list[dict[str, Any]] | None = None
+    # assistant tool-call turns + tool-result turns (OpenAI protocol;
+    # reference maybe_serialize_tool_calls, serving_chat.py:193-196)
+    tool_calls: list[dict[str, Any]] | None = None
+    tool_call_id: str | None = None
+    name: str | None = None
 
 
 class ChatCompletionRequest(pydantic.BaseModel):
@@ -36,6 +41,15 @@ class ChatCompletionRequest(pydantic.BaseModel):
     modalities: list[str] | None = None  # ["text"], ["text", "audio"]
     # per-stage sampling overrides (reference sampling_params_list)
     sampling_params_list: list[dict[str, Any]] | None = None
+    # tool calling (reference serving_chat.py:189-261 via vLLM's
+    # Hermes-convention tool parsers)
+    tools: list[dict[str, Any]] | None = None
+    tool_choice: str | dict[str, Any] = "auto"
+    parallel_tool_calls: bool = True
+    # OpenAI stop sequences (strings; token-id stops via stop_token_ids)
+    stop: str | list[str] | None = None
+    # OpenAI logit_bias: token-id (as string) -> additive bias [-100, 100]
+    logit_bias: dict[str, float] | None = None
 
 
 class CompletionRequest(pydantic.BaseModel):
@@ -50,6 +64,8 @@ class CompletionRequest(pydantic.BaseModel):
     stream: bool = False
     # OpenAI completions logprobs: int = number of alternatives
     logprobs: int | None = None
+    stop: str | list[str] | None = None
+    logit_bias: dict[str, float] | None = None
 
 
 class SpeechRequest(pydantic.BaseModel):
