@@ -307,6 +307,22 @@ class OmniAPIServer:
         return OmniPrompt(token_ids=token_ids, multi_modal_data=mm)
 
     def _sampling(self, req, default_max: int = 512) -> SamplingParams:
+        bias = None
+        raw_bias = getattr(req, "logit_bias", None)
+        if raw_bias:
+            bias = {}
+            for k, v in raw_bias.items():
+                try:
+                    tok = int(k)
+                except (TypeError, ValueError):
+                    raise web.HTTPBadRequest(
+                        reason=f"logit_bias key {k!r} is not a token id"
+                    )
+                if tok < 0:
+                    raise web.HTTPBadRequest(
+                        reason=f"logit_bias token id {tok} is negative"
+                    )
+                bias[tok] = max(-100.0, min(100.0, float(v)))
         return SamplingParams(
             max_tokens=(
                 getattr(req, "max_completion_tokens", None)
@@ -319,6 +335,7 @@ class OmniAPIServer:
             seed=req.seed,
             stop_token_ids=list(getattr(req, "stop_token_ids", None) or []),
             logprobs=self._logprobs_n(req),
+            logit_bias=bias,
         )
 
     @staticmethod
@@ -649,16 +666,23 @@ class OmniAPIServer:
             OmniPrompt(token_ids=token_ids), sp, request_id,
             max(req.n, 1),
         )
+        stops = self._stop_list(req)
         choices = []
         for i, comp in enumerate(comps):
             text = ""
+            finish = comp.finish_reason if comp else None
             if comp is not None and self.tokenizer is not None:
                 text = comp.text or self.tokenizer.decode(comp.token_ids)
+            for st in stops:
+                j = text.find(st)
+                if j >= 0:
+                    text, finish = text[:j], "stop"
+                    break
             choices.append(
                 {
                     "index": i,
                     "text": text,
-                    "finish_reason": comp.finish_reason if comp else None,
+                    "finish_reason": finish,
                     "token_ids": comp.token_ids if comp else [],
                     "logprobs": _render_logprobs(comp, self.tokenizer),
                 }

@@ -16,6 +16,9 @@ import numpy as np
 
 # candidate pool size; requests asking for top_k > this are clamped.
 TOPK_CANDIDATES = 64
+# per-slot logit_bias capacity (OpenAI caps requests at 300 entries;
+# 64 covers practical use — the API layer truncates with a warning)
+MAX_LOGIT_BIAS = 64
 
 
 @dataclasses.dataclass
@@ -25,19 +28,60 @@ class SamplingTensors:
     temperature: jax.Array  # [B] f32; 0 => greedy
     top_k: jax.Array  # [B] int32; <=0 => disabled
     top_p: jax.Array  # [B] f32
+    # OpenAI logit_bias: per-slot sparse additive bias.  ids are token
+    # ids with >= vocab_size as padding (the scatter drops them — the
+    # sentinel must be positive: negative ids WRAP, paged_attention.py:788)
+    bias_ids: jax.Array | None = None  # [B, MAX_LOGIT_BIAS] int32
+    bias_val: jax.Array | None = None  # [B, MAX_LOGIT_BIAS] f32
 
     @staticmethod
     def from_params(params_list, pad_to: int) -> "SamplingTensors":
         temp = np.zeros(pad_to, np.float32)
         tk = np.zeros(pad_to, np.int32)
         tp = np.ones(pad_to, np.float32)
+        any_bias = any(
+            getattr(sp, "logit_bias", None) for sp in params_list
+        )
+        b_ids = (
+            np.full((pad_to, MAX_LOGIT_BIAS), 1 << 30, np.int32)
+            if any_bias else None
+        )
+        b_val = (
+            np.zeros((pad_to, MAX_LOGIT_BIAS), np.float32)
+            if any_bias else None
+        )
         for i, sp in enumerate(params_list):
             temp[i] = sp.temperature
             tk[i] = sp.top_k if sp.top_k > 0 else TOPK_CANDIDATES
             tp[i] = sp.top_p
+            lb = getattr(sp, "logit_bias", None)
+            if lb:
+                for j, (tok, val) in enumerate(
+                    list(lb.items())[:MAX_LOGIT_BIAS]
+                ):
+                    b_ids[i, j] = int(tok)
+                    b_val[i, j] = float(val)
         return SamplingTensors(
-            jnp.asarray(temp), jnp.asarray(tk), jnp.asarray(tp)
+            jnp.asarray(temp), jnp.asarray(tk), jnp.asarray(tp),
+            jnp.asarray(b_ids) if any_bias else None,
+            jnp.asarray(b_val) if any_bias else None,
         )
+
+
+def apply_logit_bias(
+    logits: jax.Array,  # [B, V] f32
+    bias_ids: jax.Array | None,  # [B, NB] int32 (>= V = padding)
+    bias_val: jax.Array | None,  # [B, NB] f32
+) -> jax.Array:
+    """Sparse additive logit bias BEFORE candidate selection (so a
+    promoted token can enter the top-k pool and a banned one leaves the
+    greedy argmax)."""
+    if bias_ids is None:
+        return logits
+    b = logits.shape[0]
+    return logits.at[
+        jnp.arange(b)[:, None], bias_ids
+    ].add(bias_val, mode="drop")
 
 
 def sample_tokens(
@@ -53,6 +97,9 @@ def sample_tokens(
     temperature=0 is bit-deterministic.
     """
     batch, _ = logits.shape
+    logits = apply_logit_bias(
+        logits, tensors.bias_ids, tensors.bias_val
+    )
     top_logits, top_idx = jax.lax.approx_max_k(logits, TOPK_CANDIDATES)
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 

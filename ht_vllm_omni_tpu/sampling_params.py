@@ -28,6 +28,10 @@ class SamplingParams:
     seed: int | None = None
     stop_token_ids: list[int] = dataclasses.field(default_factory=list)
     ignore_eos: bool = False
+    # OpenAI logit_bias: token id -> additive bias in [-100, 100]
+    # (sample/sampler.py applies it before candidate selection; at most
+    # MAX_LOGIT_BIAS entries ride to the device)
+    logit_bias: dict[int, float] | None = None
     # Talker-style stages want the per-token hidden states of selected
     # layers forwarded downstream (reference engine_output_type="latent",
     # vllm_omni/engine/arg_utils.py).

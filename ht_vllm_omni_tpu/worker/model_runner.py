@@ -756,6 +756,14 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_allow_hi = np.zeros(s, np.int32)  # hi <= lo => full vocab
         self.h_grid_w = np.zeros(s, np.int32)  # t2i grid row width
         self.h_grid_eol = np.full(s, -1, np.int32)  # t2i grid EOL token
+        # OpenAI logit_bias rows (sample/sampler.py MAX_LOGIT_BIAS;
+        # padding id is a positive OOB so the scatter drops it)
+        from ht_vllm_omni_tpu.sample.sampler import MAX_LOGIT_BIAS
+
+        self.h_bias_ids = np.full(
+            (s, MAX_LOGIT_BIAS), 1 << 30, np.int32
+        )
+        self.h_bias_val = np.zeros((s, MAX_LOGIT_BIAS), np.float32)
 
         self._free_slots = list(range(s - 1, -1, -1))
         self._slot_of: dict[str, int] = {}
@@ -908,6 +916,8 @@ class ARModelRunner(SpecDecodeMixin):
         top_k,
         top_p,
         allow,  # [2 + MAX_STOP] int32: lo, hi, stop ids (-2 pad)
+        bias_ids=None,  # [1, MAX_LOGIT_BIAS] int32 (logit_bias)
+        bias_val=None,  # [1, MAX_LOGIT_BIAS] f32
     ):
         if use_embeds == "embeds":
             x = token_ids.astype(params["embed"].dtype)
@@ -959,7 +969,9 @@ class ARModelRunner(SpecDecodeMixin):
             )
             token = sample_tokens(
                 logits,
-                SamplingTensors(temperature, top_k, top_p),
+                SamplingTensors(
+                    temperature, top_k, top_p, bias_ids, bias_val
+                ),
                 step_key[None],
             )[0]
             new_aux = aux_state
@@ -984,6 +996,28 @@ class ARModelRunner(SpecDecodeMixin):
             aux_state = new_aux
         out_hidden = hidden if collect_hidden else last
         return kv_cache, keys, token_state, aux_state, out_hidden
+
+    def _set_logit_bias(self, slot: int, sp) -> None:
+        """Load a request's OpenAI logit_bias into the slot's device-fed
+        rows (sample/sampler.py applies them inside sample_tokens)."""
+        from ht_vllm_omni_tpu.sample.sampler import MAX_LOGIT_BIAS
+
+        self.h_bias_ids[slot] = 1 << 30
+        self.h_bias_val[slot] = 0.0
+        lb = getattr(sp, "logit_bias", None)
+        if not lb:
+            return
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "logit_bias is supported on single-chip stages only "
+                "(the sharded decode program does not take bias rows)"
+            )
+        items = list(lb.items())[:MAX_LOGIT_BIAS]
+        for j, (tok, val) in enumerate(items):
+            t = int(tok)
+            if t >= 0:
+                self.h_bias_ids[slot, j] = t
+                self.h_bias_val[slot, j] = float(val)
 
     def _prefill_fn(
         self, bucket: int, collect_hidden: bool, use_embeds: str = "tokens"
@@ -1178,6 +1212,10 @@ class ARModelRunner(SpecDecodeMixin):
             st.top_k,
             st.top_p,
             _allow_vec(sp),
+            # logit_bias rides only the single-mesh program (the
+            # shard_map variant has fixed arity; _set_logit_bias
+            # rejects bias under a mesh)
+            *((st.bias_ids, st.bias_val) if self.mesh is None else ()),
         )
         # host mirror for the upcoming decode chunks
         self.h_positions[slot] = s  # position of the next (sampled) token
@@ -1203,6 +1241,7 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_grid_eol[slot] = int(
             getattr(sp, "grid_eol_token_id", -1) or -1
         )
+        self._set_logit_bias(slot, sp)
         return hidden
 
     @staticmethod
@@ -1224,6 +1263,8 @@ class ARModelRunner(SpecDecodeMixin):
         top_k,  # [B]
         top_p,  # [B]
         allow,  # [B, 2 + MAX_STOP] int32
+        bias_ids=None,  # [B, MAX_LOGIT_BIAS] int32
+        bias_val=None,  # [B, MAX_LOGIT_BIAS] f32
     ):
         x = qwen2.embed_tokens(params, token_ids)
         gen_mask = (
@@ -1255,7 +1296,8 @@ class ARModelRunner(SpecDecodeMixin):
         slot_keys = keys[slots]
         splits = jax.vmap(lambda k: jax.random.split(k, 2))(slot_keys)
         toks = sample_tokens(
-            logits, SamplingTensors(temperature, top_k, top_p),
+            logits,
+            SamplingTensors(temperature, top_k, top_p, bias_ids, bias_val),
             splits[:, 1],
         )
         keys = keys.at[slots].set(splits[:, 0])
@@ -1314,6 +1356,7 @@ class ARModelRunner(SpecDecodeMixin):
             ids, positions, slot_map, lengths, slots, num_out,
             st.temperature, st.top_k, st.top_p,
             np.stack([_allow_vec(r.sampling_params) for r in requests]),
+            *((st.bias_ids, st.bias_val) if self.mesh is None else ()),
         )
         for i, req in enumerate(requests):
             sp = req.sampling_params
@@ -1345,6 +1388,7 @@ class ARModelRunner(SpecDecodeMixin):
             self.h_grid_eol[slot] = int(
                 getattr(sp, "grid_eol_token_id", -1) or -1
             )
+            self._set_logit_bias(slot, sp)
 
     def _local_pages(self, slot: int, page_ids) -> np.ndarray:
         """Translate a request's global page ids to its dp shard's local
@@ -1393,6 +1437,8 @@ class ARModelRunner(SpecDecodeMixin):
         top_k,
         top_p,
         allow,  # [2 + MAX_STOP] int32
+        bias_ids=None,  # [1, MAX_LOGIT_BIAS] int32
+        bias_val=None,  # [1, MAX_LOGIT_BIAS] f32
     ):
         if token_ids.ndim == 2:
             x = token_ids.astype(params["embed"].dtype)
@@ -1430,7 +1476,9 @@ class ARModelRunner(SpecDecodeMixin):
             )
             token = sample_tokens(
                 logits,
-                SamplingTensors(temperature, top_k, top_p),
+                SamplingTensors(
+                    temperature, top_k, top_p, bias_ids, bias_val
+                ),
                 step_key[None],
             )[0]
             new_aux = aux_state
@@ -1515,6 +1563,7 @@ class ARModelRunner(SpecDecodeMixin):
             st.top_k,
             st.top_p,
             _allow_vec(sp),
+            *((st.bias_ids, st.bias_val) if self.mesh is None else ()),
         )
         if is_final:
             s = req.num_prompt_tokens
@@ -1548,6 +1597,7 @@ class ARModelRunner(SpecDecodeMixin):
             self.h_grid_eol[slot] = int(
                 getattr(sp, "grid_eol_token_id", -1) or -1
             )
+            self._set_logit_bias(slot, sp)
         return hidden
 
     def inject_kv(self, request, kv_rows, prequantized: bool = False) -> None:
@@ -1609,6 +1659,7 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_grid_eol[slot] = int(
             getattr(sp, "grid_eol_token_id", -1) or -1
         )
+        self._set_logit_bias(slot, sp)
 
     # ----------------------------------------------------------- decode
     # int_state row indices (host mirrors packed into ONE h2d transfer —
@@ -1694,6 +1745,8 @@ class ARModelRunner(SpecDecodeMixin):
         block_tables,  # [S, P]
         seen_mask,  # [S, V] bool donated — repetition-penalty history
         fused_kw=None,  # fused decode-stack weights (single chip only)
+        bias_ids=None,  # [S, MAX_LOGIT_BIAS] int32 (logit_bias)
+        bias_val=None,  # [S, MAX_LOGIT_BIAS] f32
     ):
         R = ARModelRunner
         positions = int_state[R._ROW_POS]
@@ -1713,7 +1766,9 @@ class ARModelRunner(SpecDecodeMixin):
         top_p = f32_state[1]
         rep_penalty = f32_state[2]
         s = token_state.shape[0]
-        st = SamplingTensors(temperature, top_k, top_p)
+        st = SamplingTensors(
+            temperature, top_k, top_p, bias_ids, bias_val
+        )
         # prefill-sampled tokens were never stop-checked on device; fold
         # that check in before the first step (only for fresh slots, so a
         # min_tokens-suppressed EOS from an earlier chunk is not re-judged).
@@ -2034,6 +2089,9 @@ class ARModelRunner(SpecDecodeMixin):
             if self.mesh is None and self.fused_kw is not None
             else {}
         )
+        if self.mesh is None and bool(self.h_bias_val.any()):
+            fused["bias_ids"] = self.h_bias_ids
+            fused["bias_val"] = self.h_bias_val
         res = fn(
             self.params,
             self.kv_cache,
