@@ -165,6 +165,33 @@ def main() -> None:
         t0 = time.time()
         eng_p.generate(p512, sp2)
         serve["prefill_toks_per_s"] = round(8 * 512 / (time.time() - t0))
+        # device prompt-processing capacity: the same batched-prefill
+        # program timed over repeated dispatches with ONE host sync —
+        # the engine number above carries a full tunnel round trip
+        # (~24 ms here) per generate(), which on-host serving does not
+        import jax
+        import jax.numpy as jnp
+
+        r = eng_p.runner
+        x = jnp.zeros((8, 512, cfg.hidden_size), jnp.bfloat16)
+        pos = jnp.broadcast_to(
+            jnp.arange(512, dtype=jnp.int32)[None], (8, 512)
+        )
+        lens = jnp.full((8,), 512, jnp.int32)
+        from ht_vllm_omni_tpu.models import qwen2 as _q
+
+        pf = jax.jit(
+            lambda p, x: _q.prefill_batch(cfg, p, x, pos, lens)
+        )
+        h, _rows = pf(r.params, x)
+        np.asarray(h[:, :1, :1])
+        t0 = time.time()
+        for _ in range(5):
+            h, _rows = pf(r.params, x)
+        np.asarray(h[:, :1, :1])
+        serve["prefill_device_toks_per_s"] = round(
+            5 * 8 * 512 / (time.time() - t0)
+        )
     except Exception as e:
         serve["prefill_error"] = str(e)[:120]
     try:

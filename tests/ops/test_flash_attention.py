@@ -42,6 +42,21 @@ def test_flash_respects_kv_lens():
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
 
 
+def test_flash_gqa_packed_with_kv_lens():
+    # exercises the GQA-packed schedule (group heads folded into the q
+    # axis, position = row % S) together with ragged valid lengths
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    batch, qh, kvh, seq, dim = 2, 14, 2, 512, 64
+    q = jax.random.normal(keys[0], (batch, qh, seq, dim), jnp.float32)
+    k = jax.random.normal(keys[1], (batch, kvh, seq, dim), jnp.float32)
+    v = jax.random.normal(keys[2], (batch, kvh, seq, dim), jnp.float32)
+    kv_lens = jnp.array([313, 512], dtype=jnp.int32)
+
+    out = flash_attention(q, k, v, kv_lens, causal=True)
+    ref = flash_attention_reference(q, k, v, kv_lens, causal=True)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
 def test_flash_bfloat16():
     keys = jax.random.split(jax.random.PRNGKey(2), 3)
     q = jax.random.normal(keys[0], (1, 2, 128, 64), jnp.bfloat16)
