@@ -20,9 +20,10 @@ def _budgets():
 
 def test_gate_passes_on_recorded_good_run():
     metrics = {
-        "value": 3978, "prefill_toks_per_s": 58365,
-        "int8_toks_per_s": 5762, "int4_toks_per_s": 6536,
-        "tts_rtf": 0.293, "tts_ttfp_ms": 194, "tts_rtf_c4": 0.386,
+        "value": 4028, "prefill_toks_per_s": 63290,
+        "prefill_device_toks_per_s": 143372,
+        "int8_toks_per_s": 5813, "int4_toks_per_s": 6647,
+        "tts_rtf": 0.256, "tts_ttfp_ms": 170, "tts_rtf_c4": 0.345,
     }
     assert check(metrics, _budgets()) == []
 
