@@ -350,6 +350,34 @@ class OmniAPIServer:
         return None
 
     @staticmethod
+    def _image_data_url(image) -> str:
+        """Image array -> PNG data URL (reference _create_image_choice,
+        serving_chat.py:1910-1990 emits image_url content parts)."""
+        import io
+
+        from PIL import Image
+
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            arr = arr.astype(np.float32)
+            if arr.size and float(arr.max()) <= 1.0 + 1e-6:
+                arr = arr * 255.0
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+        if arr.ndim == 3 and arr.shape[0] in (1, 3, 4) and (
+            arr.shape[-1] not in (1, 3, 4)
+        ):
+            arr = np.transpose(arr, (1, 2, 0))  # CHW -> HWC
+        if arr.ndim == 3 and arr.shape[-1] == 1:
+            arr = arr[..., 0]
+        img = Image.fromarray(arr)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return (
+            "data:image/png;base64,"
+            + base64.b64encode(buf.getvalue()).decode()
+        )
+
+    @staticmethod
     def _stop_list(req) -> list[str]:
         s = getattr(req, "stop", None)
         if not s:
@@ -453,9 +481,61 @@ class OmniAPIServer:
             sp = self._sampling(req)
         request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
 
+        if not req.stream and req.n > 1 and not req.sampling_params_list:
+            # parallel text choices (prefix cache shares the prompt KV);
+            # multimodal outputs ride the n == 1 path
+            comps = await self._run_n(prompt, sp, request_id, req.n)
+            choices = []
+            for i, comp in enumerate(comps):
+                text = ""
+                if comp is not None:
+                    text = comp.text or (
+                        self.tokenizer.decode(comp.token_ids)
+                        if self.tokenizer else ""
+                    )
+                finish = comp.finish_reason if comp else "stop"
+                for st in self._stop_list(req):
+                    j = text.find(st)
+                    if j >= 0:
+                        text, finish = text[:j], "stop"
+                        break
+                msg: dict[str, Any] = {
+                    "role": "assistant", "content": text,
+                }
+                if tools_active:
+                    from ht_vllm_omni_tpu.entrypoints.openai.tool_parser import (  # noqa: E501
+                        parse_tool_calls,
+                    )
+
+                    content, calls = parse_tool_calls(text)
+                    if calls:
+                        msg["content"] = content
+                        msg["tool_calls"] = calls
+                        finish = "tool_calls"
+                choices.append(
+                    {
+                        "index": i,
+                        "message": msg,
+                        "finish_reason": finish or "stop",
+                        "logprobs": _render_logprobs(
+                            comp, self.tokenizer
+                        ),
+                    }
+                )
+            return web.json_response(
+                {
+                    "id": request_id,
+                    "object": "chat.completion",
+                    "created": int(time.time()),
+                    "model": self.model_name,
+                    "choices": choices,
+                }
+            )
+
         if not req.stream:
             final = None
             audio_out = None
+            image_out = None
             async for out in self.engine.generate(prompt, sp, request_id):
                 if out.error:
                     raise web.HTTPInternalServerError(reason=out.error)
@@ -464,6 +544,9 @@ class OmniAPIServer:
                 audio = out.consolidated_multimodal("audio")
                 if audio is not None:
                     audio_out = audio
+                img = out.consolidated_multimodal("image")
+                if img is not None:
+                    image_out = img
             comp = final.outputs[0] if final and final.outputs else None
             text = ""
             if comp is not None:
@@ -494,6 +577,21 @@ class OmniAPIServer:
             }
             if tool_calls:
                 message["tool_calls"] = tool_calls
+            if image_out is not None:
+                # image choices carry content parts (reference
+                # _create_image_choice)
+                parts: list[dict[str, Any]] = []
+                if text:
+                    parts.append({"type": "text", "text": text})
+                parts.append(
+                    {
+                        "type": "image_url",
+                        "image_url": {
+                            "url": self._image_data_url(image_out)
+                        },
+                    }
+                )
+                message["content"] = parts
             if audio_out is not None:
                 message["audio"] = {
                     "data": base64.b64encode(
