@@ -77,6 +77,10 @@ class LLMEngine:
             except Exception as e:  # tokenizer optional: ids API still works
                 logger.warning("tokenizer load failed: %s", e)
         self._req_counter = itertools.count()
+        # guided decoding (structured outputs): request_id ->
+        # {"m": GuidedMatcher, "fed": n_output_tokens_consumed}
+        self._guided: dict[str, dict] = {}
+        self._guided_engine = None
         # request_id -> (prompt_hidden_device_array, producing-hiddens list)
         self._hidden: dict[str, dict] = {}
         # request_id -> list of per-token logprob dicts (sp.logprobs)
@@ -140,7 +144,33 @@ class LLMEngine:
             arrival_time=time.time(),
         )
         self.scheduler.add_request(req)
+        if sampling_params.guided_regex or (
+            sampling_params.guided_json is not None
+        ):
+            self._guided[request_id] = {
+                "m": self._make_matcher(sampling_params), "fed": 0
+            }
         return request_id
+
+    def _make_matcher(self, sp):
+        """Build the grammar matcher for a guided request (guided/)."""
+        if self.tokenizer is None:
+            raise ValueError(
+                "guided decoding needs a tokenizer (token byte "
+                "sequences drive the grammar DFA)"
+            )
+        if self._guided_engine is None:
+            from ht_vllm_omni_tpu.guided import GuidedEngine
+
+            eos_ids = list(self.config.model.eos_token_ids)
+            self._guided_engine = GuidedEngine(
+                self.tokenizer,
+                self.config.model.vocab_size,
+                eos_token_id=eos_ids[0] if eos_ids else None,
+            )
+        if sp.guided_regex:
+            return self._guided_engine.matcher_for_regex(sp.guided_regex)
+        return self._guided_engine.matcher_for_json(sp.guided_json)
 
     def add_request_with_kv(
         self,
@@ -228,7 +258,9 @@ class LLMEngine:
         """One engine iteration (prefills + one decode chunk); returns
         streaming deltas for every request that made progress."""
         spec_d = self.config.spec_num_draft
-        use_spec = spec_d > 0 and self.runner.mesh is None
+        use_spec = (
+            spec_d > 0 and self.runner.mesh is None and not self._guided
+        )
         spec_iters = max(1, cdiv(self.decode_horizon, spec_d + 1))
         horizon = (
             spec_iters * (spec_d + 1) if use_spec else self._cur_horizon
@@ -270,6 +302,7 @@ class LLMEngine:
                 and not req.additional_information.get("mm_embeds")
                 and req.additional_information.get("mrope_positions") is None
                 and not req.sampling_params.return_hidden_states
+                and req.request_id not in self._guided
             ]
         batched_ids = (
             {r.request_id for r in batchable} if len(batchable) >= 2 else set()
@@ -278,12 +311,19 @@ class LLMEngine:
             self.runner.prefill_batch(batchable)
         for req, start, num in prefill_works:
             whole = start == 0 and num == req.num_prompt_tokens
+            gst = self._guided.get(req.request_id)
+            gmask = (
+                gst["m"].allowed_mask()[None, :] if gst is not None
+                else None
+            )
             if req.request_id in batched_ids:
                 hidden = None
             elif whole:
-                hidden = self.runner.prefill(req)
+                hidden = self.runner.prefill(req, guided_mask=gmask)
             else:
-                hidden = self.runner.prefill_chunk(req, start, num)
+                hidden = self.runner.prefill_chunk(
+                    req, start, num, guided_mask=gmask
+                )
             req.num_computed_tokens = start + num
             if not req.prefill_done:
                 continue  # mid-prefill: not active in this decode chunk
@@ -316,6 +356,34 @@ class LLMEngine:
         active = prefills + decode_reqs
         if not active:
             return []
+        # guided decoding: the host advances each request's grammar DFA
+        # between tokens, so guided chunks are 1 step wide; the mask for
+        # this step needs every token the DEVICE has sampled so far fed
+        # into the matcher — for fresh prefills that first token is
+        # device-resident, so sync it (one extra d2h for guided prefills)
+        guided_active = [
+            r for r in active if r.request_id in self._guided
+        ]
+        guided_mask = None
+        if guided_active:
+            run_horizon = 1
+            toks_dev = None
+            v = self.config.model.vocab_size
+            guided_mask = np.ones(
+                (self.runner.max_slots, v), bool
+            )
+            for r in guided_active:
+                st = self._guided[r.request_id]
+                if r in prefills:
+                    if toks_dev is None:
+                        toks_dev = np.asarray(self.runner.token_state)
+                    slot = self.runner._slot_of.get(r.request_id)
+                    if slot is not None:
+                        st["m"].advance(int(toks_dev[slot]))
+                        st["fed"] += 1
+                slot = self.runner._slot_of.get(r.request_id)
+                if slot is not None:
+                    guided_mask[slot] = st["m"].allowed_mask()
         # spec mode requires greedy everywhere + no hidden collection;
         # otherwise fall back to the normal multi-step chunk
         if (
@@ -337,6 +405,7 @@ class LLMEngine:
             tokens, hidden, chunk_lp = self.runner.decode_chunk(
                 run_horizon, collect_hidden=bool(want_hidden),
                 collect_logprobs=bool(want_lp),
+                guided_mask=guided_mask,
             )
 
         outputs: list[OmniRequestOutput] = []
@@ -372,9 +441,17 @@ class LLMEngine:
                     req, slot, accepted, is_fresh, toks,
                     prefill_lp_hidden.get(rid), chunk_lp,
                 )
+            gst = self._guided.get(rid)
+            if gst is not None:
+                # feed newly accepted tokens into the grammar DFA
+                out_ids = req.output_token_ids
+                for t in out_ids[gst["fed"]:]:
+                    gst["m"].advance(int(t))
+                gst["fed"] = len(out_ids)
             finished = status is not None
             if finished:
                 self.runner.release_slot(rid)
+                self._guided.pop(rid, None)
             outputs.append(self._make_output(req, finished, accepted))
         return outputs
 

@@ -323,6 +323,16 @@ class OmniAPIServer:
                         reason=f"logit_bias token id {tok} is negative"
                     )
                 bias[tok] = max(-100.0, min(100.0, float(v)))
+        guided_regex = getattr(req, "guided_regex", None)
+        guided_json = getattr(req, "guided_json", None)
+        rf = getattr(req, "response_format", None)
+        if rf and guided_json is None and guided_regex is None:
+            kind = rf.get("type")
+            if kind == "json_object":
+                guided_json = True
+            elif kind == "json_schema":
+                js = rf.get("json_schema") or {}
+                guided_json = js.get("schema", js) or True
         return SamplingParams(
             max_tokens=(
                 getattr(req, "max_completion_tokens", None)
@@ -336,6 +346,8 @@ class OmniAPIServer:
             stop_token_ids=list(getattr(req, "stop_token_ids", None) or []),
             logprobs=self._logprobs_n(req),
             logit_bias=bias,
+            guided_regex=guided_regex,
+            guided_json=guided_json,
         )
 
     @staticmethod

@@ -50,6 +50,12 @@ class ChatCompletionRequest(pydantic.BaseModel):
     stop: str | list[str] | None = None
     # OpenAI logit_bias: token-id (as string) -> additive bias [-100, 100]
     logit_bias: dict[str, float] | None = None
+    # structured outputs: {"type": "json_object"} or
+    # {"type": "json_schema", "json_schema": {"schema": {...}}}
+    response_format: dict[str, Any] | None = None
+    # vLLM-style extensions: raw regex / schema constraints
+    guided_regex: str | None = None
+    guided_json: dict[str, Any] | None = None
 
 
 class CompletionRequest(pydantic.BaseModel):
@@ -66,6 +72,9 @@ class CompletionRequest(pydantic.BaseModel):
     logprobs: int | None = None
     stop: str | list[str] | None = None
     logit_bias: dict[str, float] | None = None
+    response_format: dict[str, Any] | None = None
+    guided_regex: str | None = None
+    guided_json: dict[str, Any] | None = None
 
 
 class SpeechRequest(pydantic.BaseModel):

@@ -32,6 +32,12 @@ class SamplingParams:
     # (sample/sampler.py applies it before candidate selection; at most
     # MAX_LOGIT_BIAS entries ride to the device)
     logit_bias: dict[int, float] | None = None
+    # guided decoding (structured outputs, guided/ package): constrain
+    # generation to a regex, or to JSON (True = any object, dict = a
+    # JSON schema).  Guided requests decode with a 1-step horizon (the
+    # host advances the grammar DFA between tokens).
+    guided_regex: str | None = None
+    guided_json: Any = None
     # Talker-style stages want the per-token hidden states of selected
     # layers forwarded downstream (reference engine_output_type="latent",
     # vllm_omni/engine/arg_utils.py).

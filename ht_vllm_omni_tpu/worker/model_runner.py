@@ -918,6 +918,7 @@ class ARModelRunner(SpecDecodeMixin):
         allow,  # [2 + MAX_STOP] int32: lo, hi, stop ids (-2 pad)
         bias_ids=None,  # [1, MAX_LOGIT_BIAS] int32 (logit_bias)
         bias_val=None,  # [1, MAX_LOGIT_BIAS] f32
+        guided_mask=None,  # [1, V] bool (guided decoding)
     ):
         if use_embeds == "embeds":
             x = token_ids.astype(params["embed"].dtype)
@@ -967,6 +968,10 @@ class ARModelRunner(SpecDecodeMixin):
                 logits, win, jnp.reshape(emitted_before, (1,)),
                 allow[2:3], allow[3:4],
             )
+            if guided_mask is not None:
+                logits = jnp.where(
+                    guided_mask, logits, jnp.float32(-1e30)
+                )
             token = sample_tokens(
                 logits,
                 SamplingTensors(
@@ -1126,7 +1131,7 @@ class ARModelRunner(SpecDecodeMixin):
         )
         return pspec
 
-    def prefill(self, request) -> jax.Array:
+    def prefill(self, request, guided_mask=None) -> jax.Array:
         """Run one prompt.  Returns the device hidden-state array (last
         position, or all positions when the request wants hidden states);
         the sampled first token lands in device token_state."""
@@ -1212,10 +1217,13 @@ class ARModelRunner(SpecDecodeMixin):
             st.top_k,
             st.top_p,
             _allow_vec(sp),
-            # logit_bias rides only the single-mesh program (the
-            # shard_map variant has fixed arity; _set_logit_bias
-            # rejects bias under a mesh)
-            *((st.bias_ids, st.bias_val) if self.mesh is None else ()),
+            # logit_bias / guided masks ride only the single-mesh
+            # program (the shard_map variant has fixed arity;
+            # _set_logit_bias rejects bias under a mesh)
+            *(
+                (st.bias_ids, st.bias_val, guided_mask)
+                if self.mesh is None else ()
+            ),
         )
         # host mirror for the upcoming decode chunks
         self.h_positions[slot] = s  # position of the next (sampled) token
@@ -1439,6 +1447,7 @@ class ARModelRunner(SpecDecodeMixin):
         allow,  # [2 + MAX_STOP] int32
         bias_ids=None,  # [1, MAX_LOGIT_BIAS] int32
         bias_val=None,  # [1, MAX_LOGIT_BIAS] f32
+        guided_mask=None,  # [1, V] bool (guided decoding)
     ):
         if token_ids.ndim == 2:
             x = token_ids.astype(params["embed"].dtype)
@@ -1474,6 +1483,10 @@ class ARModelRunner(SpecDecodeMixin):
                 logits, win, jnp.zeros((1,), jnp.int32),
                 allow[2:3], allow[3:4],
             )
+            if guided_mask is not None:
+                logits = jnp.where(
+                    guided_mask, logits, jnp.float32(-1e30)
+                )
             token = sample_tokens(
                 logits,
                 SamplingTensors(
@@ -1510,7 +1523,9 @@ class ARModelRunner(SpecDecodeMixin):
             self._prefill_fns[key] = fn
         return fn
 
-    def prefill_chunk(self, request, start: int, num_tokens: int):
+    def prefill_chunk(
+        self, request, start: int, num_tokens: int, guided_mask=None
+    ):
         """Run prompt tokens [start, start+num) against context pages
         [0, start).  Returns the device hidden array for the chunk."""
         req = request
@@ -1563,7 +1578,10 @@ class ARModelRunner(SpecDecodeMixin):
             st.top_k,
             st.top_p,
             _allow_vec(sp),
-            *((st.bias_ids, st.bias_val) if self.mesh is None else ()),
+            *(
+                (st.bias_ids, st.bias_val, guided_mask)
+                if self.mesh is None else ()
+            ),
         )
         if is_final:
             s = req.num_prompt_tokens
@@ -1747,6 +1765,7 @@ class ARModelRunner(SpecDecodeMixin):
         fused_kw=None,  # fused decode-stack weights (single chip only)
         bias_ids=None,  # [S, MAX_LOGIT_BIAS] int32 (logit_bias)
         bias_val=None,  # [S, MAX_LOGIT_BIAS] f32
+        guided_mask=None,  # [S, V] bool — 1-step guided chunks only
     ):
         R = ARModelRunner
         positions = int_state[R._ROW_POS]
@@ -1863,6 +1882,13 @@ class ARModelRunner(SpecDecodeMixin):
                 logits = R._grid_logits(
                     logits, win, emit, grid_w, grid_eol
                 )
+                if guided_mask is not None:
+                    # valid for exactly one step (the host re-derives
+                    # the DFA mask between tokens; decode_chunk asserts
+                    # num_steps == 1 when guided)
+                    logits = jnp.where(
+                        guided_mask, logits, jnp.float32(-1e30)
+                    )
                 sampled = sample_tokens(logits, st, step_keys)
                 # record the sampled token (inactive rows scatter OOB)
                 seen = seen.at[
@@ -2045,7 +2071,7 @@ class ARModelRunner(SpecDecodeMixin):
 
     def decode_chunk(
         self, num_steps: int, collect_hidden: bool = False,
-        collect_logprobs: bool = False,
+        collect_logprobs: bool = False, guided_mask=None,
     ) -> tuple[np.ndarray, np.ndarray | None, tuple | None]:
         """Run K decode steps on device; one host sync total.
 
@@ -2092,6 +2118,16 @@ class ARModelRunner(SpecDecodeMixin):
         if self.mesh is None and bool(self.h_bias_val.any()):
             fused["bias_ids"] = self.h_bias_ids
             fused["bias_val"] = self.h_bias_val
+        if guided_mask is not None:
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "guided decoding requires a single-chip stage"
+                )
+            assert num_steps == 1, (
+                "guided chunks are 1 step wide (the host advances the "
+                "grammar DFA between tokens)"
+            )
+            fused["guided_mask"] = guided_mask
         res = fn(
             self.params,
             self.kv_cache,
