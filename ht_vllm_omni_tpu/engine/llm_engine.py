@@ -394,6 +394,7 @@ class LLMEngine:
             and all(
                 r.sampling_params.temperature == 0.0
                 and (r.sampling_params.repetition_penalty or 1.0) == 1.0
+                and not r.sampling_params.logit_bias
                 for r in active
             )
         ):
