@@ -47,6 +47,14 @@ def _register_builtins() -> None:
     # (a native client against a Python server silently hangs the data
     # plane).  Opt into the C++ engine by naming NativeTcpConnector.
     OmniConnectorFactory.register("MooncakeStoreConnector", TcpConnector)
+    from ht_vllm_omni_tpu.distributed.connectors.fsstore import (
+        FsStoreConnector,
+    )
+
+    OmniConnectorFactory.register("FsStoreConnector", FsStoreConnector)
+    # the reference's Yuanrong datasystem slot: a shared filesystem is
+    # the equivalent cluster substrate here (fsstore.py module note)
+    OmniConnectorFactory.register("YuanrongConnector", FsStoreConnector)
     OmniConnectorFactory.register(
         "MooncakeTransferEngineConnector", TcpConnector
     )
