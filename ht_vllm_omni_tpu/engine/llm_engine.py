@@ -204,6 +204,8 @@ class LLMEngine:
         self.scheduler.abort_request(request_id)
         self.runner.release_slot(request_id)
         self._hidden.pop(request_id, None)
+        self._lps.pop(request_id, None)
+        self._guided.pop(request_id, None)
 
     # --------------------------------------------------- sleep / wake
     def sleep(self, level: int = 1) -> None:
