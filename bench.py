@@ -234,6 +234,47 @@ def main() -> None:
         )
     except Exception as e:
         serve["int8_error"] = str(e)[:120]
+    try:
+        # diffusion headline: qwen-image 512^2 / 20 steps (reference
+        # dashboard: 2.21 s mean on 2x A100 with CFG=2 x Ulysses=2,
+        # qwen_image_serving_performance.md:141-147).  del the AR
+        # engines first — the 512^2 denoise + tiled VAE decode needs
+        # the HBM headroom.
+        # free the AR engines' HBM before the 512^2 denoise + decode
+        try:
+            del eng4
+        except NameError:
+            pass
+        try:
+            del eng_p
+        except NameError:
+            pass
+        del engine, outs
+        outs8 = outs4 = None  # drop token-output refs from the quant runs
+        from ht_vllm_omni_tpu.diffusion.data import (
+            DiffusionSamplingParams,
+            OmniDiffusionConfig,
+        )
+        from ht_vllm_omni_tpu.diffusion.registry import create_pipeline
+
+        dcfg = OmniDiffusionConfig()
+        dcfg.family = "qwen-image"
+        pipe = create_pipeline(dcfg)
+
+        class _P:
+            text = "a lighthouse at dusk"
+            negative_text = None
+
+        dsp = DiffusionSamplingParams(
+            height=512, width=512, num_inference_steps=20,
+            guidance_scale=3.0, seed=0,
+        )
+        pipe.generate_prompt(_P(), dsp)  # warm/compile
+        t0 = time.time()
+        pipe.generate_prompt(_P(), dsp)
+        serve["t2i_512_s"] = round(time.time() - t0, 3)
+    except Exception as e:
+        serve["t2i_error"] = str(e)[:120]
     print(
         json.dumps(
             {

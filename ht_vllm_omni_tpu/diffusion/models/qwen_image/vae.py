@@ -253,3 +253,70 @@ def denormalize_latents(cfg: QwenImageVAEConfig, z: jax.Array) -> jax.Array:
     mean = jnp.asarray(cfg.latents_mean, jnp.float32)
     std = jnp.asarray(cfg.latents_std, jnp.float32)
     return z * std + mean
+
+
+def decode_tiled(
+    cfg: QwenImageVAEConfig,
+    params: dict,
+    z: jax.Array,  # [B, Hl, Wl, Cz]
+    *,
+    tile: int = 32,
+    overlap: int = 8,
+    _decode_fn=None,
+) -> jax.Array:
+    """Tiled decode for large frames (reference parity: diffusers
+    AutoencoderKL.enable_tiling / tiled_decode, which the reference
+    pipelines turn on for big images): decode overlapping latent tiles
+    and feather-blend the seams, bounding the decoder's activation peak
+    at the cost of border numerics inside the overlap band.
+
+    Tile starts are clamped so every tile has the SAME latent shape
+    (one XLA compile); the final placement alpha-ramps each seam over
+    its actual overlap width.  Single-chip counterpart of the
+    distributed VAE patch decode (diffusion/vae_parallel.py).
+    """
+    import numpy as np
+
+    b, hl, wl, _ = z.shape
+    if hl <= tile and wl <= tile:
+        return decode(cfg, params, z)
+    r = cfg.spatial_ratio
+    stride = max(tile - overlap, 1)
+
+    def starts(total):
+        ss = list(range(0, max(total - tile, 0) + 1, stride))
+        if ss[-1] != total - tile:
+            ss.append(total - tile)
+        return ss
+
+    dec = _decode_fn or (lambda zt: decode(cfg, params, zt))
+    out = np.zeros((b, hl * r, wl * r, 3), np.float32)
+    weight = np.zeros((1, hl * r, wl * r, 1), np.float32)
+    ramp_len = overlap * r
+
+    def ramp(n, px):
+        """Per-axis alpha: ramps up over the leading overlap band."""
+        a = np.ones(px, np.float32)
+        if n > 0:
+            a[:ramp_len] = np.linspace(0.0, 1.0, ramp_len, endpoint=False)
+        return a
+
+    for i in starts(hl):
+        for j in starts(wl):
+            tile_img = np.asarray(
+                dec(z[:, i : i + tile, j : j + tile, :]),
+                np.float32,
+            )
+            ph, pw = tile * r, tile * r
+            alpha = (
+                ramp(i, ph)[None, :, None, None]
+                * ramp(j, pw)[None, None, :, None]
+            )
+            ys, xs = i * r, j * r
+            out[:, ys : ys + ph, xs : xs + pw] = (
+                out[:, ys : ys + ph, xs : xs + pw] * (1 - alpha)
+                + tile_img * alpha
+            )
+            weight[:, ys : ys + ph, xs : xs + pw] = 1.0
+    assert weight.all(), "tiled decode left uncovered pixels"
+    return jnp.asarray(out)
