@@ -24,13 +24,6 @@ def _token_bytes(tokenizer, vocab_size: int) -> tuple[np.ndarray, np.ndarray]:
     fallbacks it renders as replacement chars) get length 0 and are
     never allowed while guided."""
     texts: list[bytes] = []
-    convert = getattr(tokenizer, "convert_ids_to_tokens", None)
-    byte_decoder = None
-    if convert is not None:
-        # HF fast tokenizers: tokens are byte-level with a fixed
-        # printable mapping; decoding per id through decode() is the
-        # portable path below
-        pass
     for tid in range(vocab_size):
         try:
             s = tokenizer.decode([tid])
@@ -99,9 +92,7 @@ class GuidedMatcher:
             cur = nxt
         ok = alivemask & (cur != DEAD)
         live = np.zeros(v, bool)
-        valid = ok & (cur != DEAD)
-        idx = cur[valid].astype(np.int64)
-        live[valid] = self.dfa.live[idx]
+        live[ok] = self.dfa.live[cur[ok].astype(np.int64)]
         return live
 
     # ---------------------------------------------------------- advance
