@@ -127,21 +127,19 @@ class FluxPipeline:
             self._fns["transformer"] = fn
         return fn
 
-    def _decode_fn(self):
-        fn = self._fns.get("decode")
+    def _decode_prep(self):
+        fn = self._fns.get("decode_prep")
         if fn is None:
             cfg = self.vae_cfg
 
-            def run(params, tokens, lat_h, lat_w):
+            def run(tokens, lat_h, lat_w):
                 lat = unpack_latents(tokens, lat_h, lat_w)
-                lat = vae.denormalize_latents(
+                return vae.denormalize_latents(
                     cfg, lat.transpose(0, 2, 3, 1)
                 )
-                img = vae.decode(cfg, params, lat)
-                return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
 
-            fn = jax.jit(run, static_argnums=(2, 3))
-            self._fns["decode"] = fn
+            fn = jax.jit(run, static_argnums=(1, 2))
+            self._fns["decode_prep"] = fn
         return fn
 
     # ----------------------------------------------------------- full run
@@ -200,8 +198,11 @@ class FluxPipeline:
         state["latents"] = latents
         state["step"] = end
         if end >= sp.num_inference_steps:
-            img = self._decode_fn()(
-                self.params["vae"], latents, lat_h, lat_w
+            z = self._decode_prep()(latents, lat_h, lat_w)
+            # shared auto-tiling decode (vae.decode_pixels) bounds the
+            # VAE activation peak on large frames
+            img = vae.decode_pixels(
+                self.vae_cfg, self.params["vae"], z, self._fns
             )[0]
             return (
                 np.asarray(img * 255.0, np.float32).astype(np.uint8),

@@ -248,48 +248,27 @@ class QwenImagePipeline:
             return self._finalize(state, latents), state
         return None, state
 
-    # latent tiles above this edge length decode tiled (the single-shot
-    # decoder's activation peak grows with area; 48 latents = 384 px)
-    VAE_TILE_THRESHOLD = 48
-
     def _finalize(self, state: dict, latents) -> np.ndarray:
         """Decode the final latents to a uint8 image (overridden by the
-        layered pipeline, which decodes one image per layer)."""
+        layered pipeline, which decodes one image per layer).  Large
+        frames route through the shared auto-tiling decode
+        (vae.decode_pixels — diffusers enable_tiling parity)."""
         lat_h, lat_w = state["lat_hw"]
-        if max(lat_h, lat_w) > self.VAE_TILE_THRESHOLD:
-            # large frames: feather-blended tiled decode (vae.decode_tiled
-            # — diffusers enable_tiling parity) bounds the VAE peak
-            prep = self._fns.get("decode_prep")
-            if prep is None:
-                cfg = self.vae_cfg
+        prep = self._fns.get("decode_prep")
+        if prep is None:
+            cfg = self.vae_cfg
 
-                def _prep(tokens, lat_h, lat_w):
-                    lat = unpack_latents(tokens, lat_h, lat_w)
-                    return vae.denormalize_latents(
-                        cfg, lat.transpose(0, 2, 3, 1)
-                    )
-
-                prep = jax.jit(_prep, static_argnums=(1, 2))
-                self._fns["decode_prep"] = prep
-            tdec = self._fns.get("decode_tile")
-            if tdec is None:
-                cfg = self.vae_cfg
-                tdec = jax.jit(
-                    lambda zt: vae.decode(
-                        cfg, self.params["vae"], zt
-                    )
+            def _prep(tokens, lat_h, lat_w):
+                lat = unpack_latents(tokens, lat_h, lat_w)
+                return vae.denormalize_latents(
+                    cfg, lat.transpose(0, 2, 3, 1)
                 )
-                self._fns["decode_tile"] = tdec
-            z = prep(latents, lat_h, lat_w)
-            img = vae.decode_tiled(
-                self.vae_cfg, self.params["vae"], z, _decode_fn=tdec
-            )[0]
-            img = np.clip(
-                np.asarray(img, np.float32) * 0.5 + 0.5, 0.0, 1.0
-            )
-            return (img * 255.0).astype(np.uint8)
-        img = self._decode_fn()(
-            self.params["vae"], latents, lat_h, lat_w
+
+            prep = jax.jit(_prep, static_argnums=(1, 2))
+            self._fns["decode_prep"] = prep
+        z = prep(latents, lat_h, lat_w)
+        img = vae.decode_pixels(
+            self.vae_cfg, self.params["vae"], z, self._fns
         )[0]
         return np.asarray(img * 255.0, np.float32).astype(np.uint8)
 

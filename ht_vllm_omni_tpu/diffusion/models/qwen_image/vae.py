@@ -320,3 +320,38 @@ def decode_tiled(
             weight[:, ys : ys + ph, xs : xs + pw] = 1.0
     assert weight.all(), "tiled decode left uncovered pixels"
     return jnp.asarray(out)
+
+
+# latent edge above which decode_pixels switches to the tiled path
+VAE_TILE_THRESHOLD = 48
+
+
+def decode_pixels(
+    cfg: QwenImageVAEConfig, params: dict, z: jax.Array, fns: dict
+) -> jax.Array:
+    """Denormalized NHWC latents -> [B, H, W, 3] float image in [0, 1].
+
+    Shared finalize path for the 2D-KL-VAE families (qwen-image, flux,
+    sd3, z-image): single-shot decode below VAE_TILE_THRESHOLD latents
+    per edge, feather-blended tiled decode (decode_tiled) above it.
+    ``fns`` is the caller's jit cache (params ride as arguments, never
+    as closure constants — closed-over weights bake into the HLO)."""
+    _, hl, wl, _ = z.shape
+    if max(hl, wl) <= VAE_TILE_THRESHOLD:
+        fn = fns.get("vae_full")
+        if fn is None:
+            fn = jax.jit(
+                lambda p, zt: jnp.clip(
+                    decode(cfg, p, zt) * 0.5 + 0.5, 0.0, 1.0
+                )
+            )
+            fns["vae_full"] = fn
+        return fn(params, z)
+    fn = fns.get("vae_tile")
+    if fn is None:
+        fn = jax.jit(lambda p, zt: decode(cfg, p, zt))
+        fns["vae_tile"] = fn
+    img = decode_tiled(
+        cfg, params, z, _decode_fn=lambda zt: fn(params, zt)
+    )
+    return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)

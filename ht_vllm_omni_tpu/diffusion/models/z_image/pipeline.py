@@ -130,20 +130,18 @@ class ZImagePipeline:
             self._fns["transformer"] = fn
         return fn
 
-    def _decode_fn(self):
-        fn = self._fns.get("decode")
+    def _decode_prep(self):
+        fn = self._fns.get("decode_prep")
         if fn is None:
             cfg = self.vae_cfg
 
-            def run(params, lat):
-                lat = vae.denormalize_latents(
+            def run(lat):
+                return vae.denormalize_latents(
                     cfg, lat.transpose(0, 2, 3, 1)
                 )
-                img = vae.decode(cfg, params, lat)
-                return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
 
             fn = jax.jit(run)
-            self._fns["decode"] = fn
+            self._fns["decode_prep"] = fn
         return fn
 
     def generate_prompt(
@@ -207,7 +205,10 @@ class ZImagePipeline:
         state["step"] = end
         if end >= n_steps:
             lat = transformer.unpatchify(self.arch, latents, lat_h, lat_w)
-            img = self._decode_fn()(self.params["vae"], lat)[0]
+            z = self._decode_prep()(lat)
+            img = vae.decode_pixels(
+                self.vae_cfg, self.params["vae"], z, self._fns
+            )[0]
             return (
                 np.asarray(img * 255.0, np.float32).astype(np.uint8),
                 state,
