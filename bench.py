@@ -235,11 +235,13 @@ def main() -> None:
     except Exception as e:
         serve["int8_error"] = str(e)[:120]
     try:
-        # diffusion headline: qwen-image 512^2 / 20 steps (reference
-        # dashboard: 2.21 s mean on 2x A100 with CFG=2 x Ulysses=2,
-        # qwen_image_serving_performance.md:141-147).  del the AR
-        # engines first — the 512^2 denoise + tiled VAE decode needs
-        # the HBM headroom.
+        # diffusion SYSTEM latency: qwen-image family at 512^2 / 20
+        # steps on the tiny random-init arch (no checkpoints on this
+        # host) — measures the pipeline machinery (CFG denoise loop,
+        # UniPC scheduler, tiled VAE decode), NOT the released 20B
+        # model, so it is not comparable to the reference dashboard's
+        # 2.21 s on 2x A100.  del the AR engines first — the 512^2
+        # denoise + tiled VAE decode needs the HBM headroom.
         # free the AR engines' HBM before the 512^2 denoise + decode
         try:
             del eng4
@@ -272,7 +274,7 @@ def main() -> None:
         pipe.generate_prompt(_P(), dsp)  # warm/compile
         t0 = time.time()
         pipe.generate_prompt(_P(), dsp)
-        serve["t2i_512_s"] = round(time.time() - t0, 3)
+        serve["t2i_512_tiny_s"] = round(time.time() - t0, 3)
     except Exception as e:
         serve["t2i_error"] = str(e)[:120]
     print(
