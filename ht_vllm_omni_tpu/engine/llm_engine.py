@@ -397,6 +397,8 @@ class LLMEngine:
                 r.sampling_params.temperature == 0.0
                 and (r.sampling_params.repetition_penalty or 1.0) == 1.0
                 and not r.sampling_params.logit_bias
+                and not getattr(r.sampling_params, "presence_penalty", 0)
+                and not getattr(r.sampling_params, "frequency_penalty", 0)
                 for r in active
             )
         ):

@@ -346,6 +346,17 @@ class OmniAPIServer:
             stop_token_ids=list(getattr(req, "stop_token_ids", None) or []),
             logprobs=self._logprobs_n(req),
             logit_bias=bias,
+            min_p=float(getattr(req, "min_p", 0.0) or 0.0),
+            presence_penalty=max(
+                -2.0, min(2.0, float(
+                    getattr(req, "presence_penalty", 0.0) or 0.0
+                ))
+            ),
+            frequency_penalty=max(
+                -2.0, min(2.0, float(
+                    getattr(req, "frequency_penalty", 0.0) or 0.0
+                ))
+            ),
             guided_regex=guided_regex,
             guided_json=guided_json,
         )

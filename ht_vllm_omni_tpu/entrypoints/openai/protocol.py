@@ -50,6 +50,9 @@ class ChatCompletionRequest(pydantic.BaseModel):
     stop: str | list[str] | None = None
     # OpenAI logit_bias: token-id (as string) -> additive bias [-100, 100]
     logit_bias: dict[str, float] | None = None
+    min_p: float = 0.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     # structured outputs: {"type": "json_object"} or
     # {"type": "json_schema", "json_schema": {"schema": {...}}}
     response_format: dict[str, Any] | None = None
@@ -72,6 +75,9 @@ class CompletionRequest(pydantic.BaseModel):
     logprobs: int | None = None
     stop: str | list[str] | None = None
     logit_bias: dict[str, float] | None = None
+    min_p: float = 0.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     response_format: dict[str, Any] | None = None
     guided_regex: str | None = None
     guided_json: dict[str, Any] | None = None

@@ -33,12 +33,16 @@ class SamplingTensors:
     # sentinel must be positive: negative ids WRAP, paged_attention.py:788)
     bias_ids: jax.Array | None = None  # [B, MAX_LOGIT_BIAS] int32
     bias_val: jax.Array | None = None  # [B, MAX_LOGIT_BIAS] f32
+    # min_p nucleus floor: candidates with prob < min_p * max_prob drop
+    # (vLLM-style; 0 = off)
+    min_p: jax.Array | None = None  # [B] f32
 
     @staticmethod
     def from_params(params_list, pad_to: int) -> "SamplingTensors":
         temp = np.zeros(pad_to, np.float32)
         tk = np.zeros(pad_to, np.int32)
         tp = np.ones(pad_to, np.float32)
+        mp = np.zeros(pad_to, np.float32)
         any_bias = any(
             getattr(sp, "logit_bias", None) for sp in params_list
         )
@@ -54,6 +58,7 @@ class SamplingTensors:
             temp[i] = sp.temperature
             tk[i] = sp.top_k if sp.top_k > 0 else TOPK_CANDIDATES
             tp[i] = sp.top_p
+            mp[i] = getattr(sp, "min_p", 0.0) or 0.0
             lb = getattr(sp, "logit_bias", None)
             if lb:
                 for j, (tok, val) in enumerate(
@@ -65,6 +70,7 @@ class SamplingTensors:
             jnp.asarray(temp), jnp.asarray(tk), jnp.asarray(tp),
             jnp.asarray(b_ids) if any_bias else None,
             jnp.asarray(b_val) if any_bias else None,
+            jnp.asarray(mp),
         )
 
 
@@ -115,6 +121,11 @@ def sample_tokens(
     # keep tokens while cumulative prob of *previous* tokens < top_p
     keep = (cum - probs) < tensors.top_p[:, None]
     mask = jnp.logical_and(mask, keep)
+    if tensors.min_p is not None:
+        # min_p floor relative to the (temperature-scaled) max prob —
+        # candidates are descending, so column 0 holds the max
+        floor = tensors.min_p[:, None] * probs[:, :1]
+        mask = jnp.logical_and(mask, probs >= floor)
 
     masked = jnp.where(mask, scaled, -jnp.inf)
     gumbel = _batched_gumbel(keys, (batch, TOPK_CANDIDATES))
@@ -155,3 +166,20 @@ def apply_repetition_penalty(
     p = penalty[:, None]
     penalized = jnp.where(logits > 0, logits / p, logits * p)
     return jnp.where(seen & (p != 1.0), penalized, logits)
+
+
+def apply_presence_frequency(
+    logits: jax.Array,  # [B, V] f32
+    seen: jax.Array,  # [B, V] bool — tokens generated so far
+    presence: jax.Array,  # [B] f32 (0 = off)
+    counts: jax.Array | None,  # [B, V] int32 output-token counts
+    frequency: jax.Array | None,  # [B] f32 (0 = off)
+) -> jax.Array:
+    """OpenAI presence/frequency penalties: subtract ``presence`` from
+    every token already generated and ``frequency * count`` per
+    occurrence (additive, unlike the multiplicative HF repetition
+    penalty above — both can be active)."""
+    out = logits - presence[:, None] * seen.astype(logits.dtype)
+    if counts is not None and frequency is not None:
+        out = out - frequency[:, None] * counts.astype(logits.dtype)
+    return out

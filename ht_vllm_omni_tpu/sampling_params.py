@@ -32,6 +32,18 @@ class SamplingParams:
     # (sample/sampler.py applies it before candidate selection; at most
     # MAX_LOGIT_BIAS entries ride to the device)
     logit_bias: dict[int, float] | None = None
+    # vLLM-style min_p nucleus floor (0 = off): drop candidates whose
+    # probability falls under min_p * max_prob after temperature scaling
+    min_p: float = 0.0
+    # OpenAI penalties over GENERATED tokens (additive; distinct from
+    # the multiplicative HF-style repetition_penalty above).  Combining
+    # repetition_penalty with presence_penalty makes presence see the
+    # prompt too — they share the device seen-mask.
+    presence_penalty: float = 0.0
+    # frequency_penalty scales with per-token output counts
+    # (single-chip stages only — the count matrix rides the
+    # single-mesh decode program)
+    frequency_penalty: float = 0.0
     # guided decoding (structured outputs, guided/ package): constrain
     # generation to a regex, or to JSON (True = any object, dict = a
     # JSON schema).  Guided requests decode with a 1-step horizon (the

@@ -53,6 +53,7 @@ from ht_vllm_omni_tpu.ops.kv_cache_update import (
     flush_kv_rows_donated as flush_kv_rows_donated_entry,
 )
 from ht_vllm_omni_tpu.sample.sampler import (
+    apply_presence_frequency,
     SamplingTensors,
     apply_repetition_penalty,
     sample_tokens,
@@ -764,6 +765,13 @@ class ARModelRunner(SpecDecodeMixin):
             (s, MAX_LOGIT_BIAS), 1 << 30, np.int32
         )
         self.h_bias_val = np.zeros((s, MAX_LOGIT_BIAS), np.float32)
+        # min_p / OpenAI presence+frequency penalties (f32_state rows)
+        self.h_min_p = np.zeros(s, np.float32)
+        self.h_presence = np.zeros(s, np.float32)
+        self.h_freq = np.zeros(s, np.float32)
+        # per-slot output-token counts for the frequency penalty
+        # (lazy [S, V] int32; single-mesh only)
+        self.freq_counts = None
 
         self._free_slots = list(range(s - 1, -1, -1))
         self._slot_of: dict[str, int] = {}
@@ -864,20 +872,46 @@ class ARModelRunner(SpecDecodeMixin):
             self.h_rep[slot] = 1.0  # stale seen-mask rows become inert
 
     def _set_rep_penalty(self, slot: int, sp, token_ids) -> None:
-        '''Arm the repetition penalty for a slot: record the factor and
-        seed the device seen-mask with the prompt ids (HF semantics —
-        prompt AND output tokens are penalized).  No-op at 1.0, so
-        unpenalized requests never touch the [S, V] mask.'''
+        '''Arm the repetition/presence/frequency penalties for a slot.
+
+        Repetition (HF semantics) seeds the seen-mask with the PROMPT
+        ids; the OpenAI presence/frequency penalties consider generated
+        text only, so they reset the row instead (note: combining
+        repetition with presence makes presence see the prompt too —
+        they share the seen-mask).  No-op rows never touch the mask.'''
         rep = float(getattr(sp, "repetition_penalty", 1.0) or 1.0)
+        pres = float(getattr(sp, "presence_penalty", 0.0) or 0.0)
+        freq = float(getattr(sp, "frequency_penalty", 0.0) or 0.0)
         self.h_rep[slot] = rep
-        if rep == 1.0 or not token_ids:
-            return
-        bucket = max(next_power_of_2(len(token_ids)), 16)
-        ids = np.full(bucket, self.arch.vocab_size, np.int32)  # OOB pad
-        ids[: len(token_ids)] = token_ids
-        self.seen_mask = _seed_seen(
-            self.seen_mask, jnp.int32(slot), jnp.asarray(ids)
-        )
+        self.h_min_p[slot] = float(getattr(sp, "min_p", 0.0) or 0.0)
+        self.h_presence[slot] = pres
+        self.h_freq[slot] = freq
+        if freq != 0.0:
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "frequency_penalty needs the per-slot count matrix, "
+                    "which only rides the single-chip decode program"
+                )
+            if self.freq_counts is None:
+                self.freq_counts = jnp.zeros(
+                    (self.max_slots, self.arch.vocab_size), jnp.int32
+                )
+        if self.freq_counts is not None:
+            self.freq_counts = self.freq_counts.at[slot].set(0)
+        if rep != 1.0 and token_ids:
+            bucket = max(next_power_of_2(len(token_ids)), 16)
+            ids = np.full(bucket, self.arch.vocab_size, np.int32)  # OOB
+            ids[: len(token_ids)] = token_ids
+            self.seen_mask = _seed_seen(
+                self.seen_mask, jnp.int32(slot), jnp.asarray(ids)
+            )
+        elif pres != 0.0 or freq != 0.0:
+            # presence/frequency read the seen-mask: clear any stale
+            # entries a previous occupant of this slot left behind
+            self.seen_mask = _seed_seen(
+                self.seen_mask, jnp.int32(slot),
+                jnp.full((16,), self.arch.vocab_size, jnp.int32),
+            )
 
     # ------------------------------------------------- shared device logic
     @staticmethod
@@ -1766,6 +1800,7 @@ class ARModelRunner(SpecDecodeMixin):
         bias_ids=None,  # [S, MAX_LOGIT_BIAS] int32 (logit_bias)
         bias_val=None,  # [S, MAX_LOGIT_BIAS] f32
         guided_mask=None,  # [S, V] bool — 1-step guided chunks only
+        freq_counts=None,  # [S, V] int32 output-token counts (donated)
     ):
         R = ARModelRunner
         positions = int_state[R._ROW_POS]
@@ -1784,9 +1819,12 @@ class ARModelRunner(SpecDecodeMixin):
         temperature = f32_state[0]
         top_p = f32_state[1]
         rep_penalty = f32_state[2]
+        min_p = f32_state[3] if f32_state.shape[0] > 3 else None
+        presence = f32_state[4] if f32_state.shape[0] > 4 else None
+        frequency = f32_state[5] if f32_state.shape[0] > 5 else None
         s = token_state.shape[0]
         st = SamplingTensors(
-            temperature, top_k, top_p, bias_ids, bias_val
+            temperature, top_k, top_p, bias_ids, bias_val, min_p
         )
         # prefill-sampled tokens were never stop-checked on device; fold
         # that check in before the first step (only for fresh slots, so a
@@ -1797,6 +1835,25 @@ class ARModelRunner(SpecDecodeMixin):
         active = jnp.logical_and(
             active, jnp.logical_not(jnp.logical_and(fresh, entry_stop))
         )
+        # the prefill-sampled ENTRY token never passed through the scan's
+        # seen update: mark it now so repetition/presence penalties see
+        # the first generated token too (idempotent for resumed chunks;
+        # counts increment only for FRESH slots — resumed entries were
+        # counted when their chunk sampled them)
+        entry_mark = jnp.where(
+            jnp.logical_and(active, token_state >= 0),
+            token_state,
+            cfg.vocab_size,
+        )
+        seen_mask = seen_mask.at[
+            jnp.arange(s), entry_mark
+        ].set(True, mode="drop")
+        if freq_counts is not None:
+            freq_counts = freq_counts.at[
+                jnp.arange(s),
+                jnp.where(fresh, entry_mark, cfg.vocab_size),
+            ].add(1, mode="drop")
+
         # hoist the (loop-invariant) vocab window mask out of the scan:
         # fused per-step recomputation costs ~60 us on a 152k vocab
         win_mask = (
@@ -1805,8 +1862,15 @@ class ARModelRunner(SpecDecodeMixin):
             else None
         )
 
+        use_counts = freq_counts is not None
+
         def step(carry, j):
-            keys, tokens, pos, act, emit, kv_cache, seen, aux = carry
+            if use_counts:
+                (keys, tokens, pos, act, emit, kv_cache, seen, aux,
+                 counts) = carry
+            else:
+                keys, tokens, pos, act, emit, kv_cache, seen, aux = carry
+                counts = None
             if adapter is None:
                 x = qwen2.embed_tokens(params, jnp.maximum(tokens, 0))
             else:
@@ -1876,6 +1940,11 @@ class ARModelRunner(SpecDecodeMixin):
                 logits = apply_repetition_penalty(
                     logits, seen, rep_penalty
                 )
+                if presence is not None:
+                    logits = apply_presence_frequency(
+                        logits, seen, presence, counts,
+                        frequency if counts is not None else None,
+                    )
                 win = R._window_logits(
                     logits, allow_lo, allow_hi, stops, mask=win_mask
                 )
@@ -1895,6 +1964,11 @@ class ARModelRunner(SpecDecodeMixin):
                     jnp.arange(s),
                     jnp.where(act, sampled, cfg.vocab_size),
                 ].set(True, mode="drop")
+                if use_counts:
+                    counts = counts.at[
+                        jnp.arange(s),
+                        jnp.where(act, sampled, cfg.vocab_size),
+                    ].add(1, mode="drop")
                 if collect_logprobs:
                     # log-softmax over the PROCESSED logits (what was
                     # actually sampled from, reference logprobs mode)
@@ -1923,18 +1997,24 @@ class ARModelRunner(SpecDecodeMixin):
             out = (sampled, hidden) if collect_hidden else (sampled,)
             if collect_logprobs:
                 out = out + (lp, top_i.astype(jnp.int32), top_v)
-            return (
+            new_carry = (
                 keys, sampled, pos, new_act, emit, kv_cache, seen, aux,
-            ), out
+            )
+            if use_counts:
+                new_carry = new_carry + (counts,)
+            return new_carry, out
 
         entry_tokens = token_state
         init = (keys, token_state, positions, active, emitted, kv_cache,
                 seen_mask, aux_state)
+        if use_counts:
+            init = init + (freq_counts,)
         carry, outs = jax.lax.scan(
             step, init, jnp.arange(num_steps, dtype=jnp.int32)
         )
         (keys, token_state, positions, active, emitted, kv_cache,
-         seen_mask, aux_state) = carry
+         seen_mask, aux_state) = carry[:8]
+        freq_counts = carry[8] if use_counts else None
 
         # Pack every host-bound scalar array into ONE int32 matrix so the
         # host pays a single d2h sync (~30 ms on a tunneled TPU) per chunk:
@@ -1955,7 +2035,10 @@ class ARModelRunner(SpecDecodeMixin):
             ret = ret + (outs[1],)
         if collect_logprobs:
             ret = ret + tuple(outs[-3:])
-        return ret + (seen_mask,)
+        ret = ret + (seen_mask,)
+        if use_counts:
+            ret = ret + (freq_counts,)
+        return ret
 
     def _decode_fn(
         self, num_steps: int, collect_hidden: bool,
@@ -2109,7 +2192,10 @@ class ARModelRunner(SpecDecodeMixin):
         int_state[self._ROW_GRID_W] = self.h_grid_w
         int_state[self._ROW_GRID_EOL] = self.h_grid_eol
         int_state[self._ROW_STOPS :] = self.h_stops.T
-        f32_state = np.stack([self.h_temp, self.h_top_p, self.h_rep])
+        f32_state = np.stack([
+            self.h_temp, self.h_top_p, self.h_rep,
+            self.h_min_p, self.h_presence, self.h_freq,
+        ])
         fused = (
             {"fused_kw": self.fused_kw}
             if self.mesh is None and self.fused_kw is not None
@@ -2128,6 +2214,13 @@ class ARModelRunner(SpecDecodeMixin):
                 "grammar DFA between tokens)"
             )
             fused["guided_mask"] = guided_mask
+        use_counts = (
+            self.mesh is None
+            and self.freq_counts is not None
+            and bool(self.h_freq.any())
+        )
+        if use_counts:
+            fused["freq_counts"] = self.freq_counts
         res = fn(
             self.params,
             self.kv_cache,
@@ -2142,7 +2235,11 @@ class ARModelRunner(SpecDecodeMixin):
         )
         (self.kv_cache, self.keys, self.token_state, self.aux_state,
          packed) = res[:5]
-        self.seen_mask = res[-1]
+        if use_counts:
+            self.freq_counts = res[-1]
+            self.seen_mask = res[-2]
+        else:
+            self.seen_mask = res[-1]
         host = np.asarray(packed)  # [K+4, S]; the single sync point
         hidden = np.asarray(res[5]) if collect_hidden else None
         logprobs = None

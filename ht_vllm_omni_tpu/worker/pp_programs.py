@@ -99,6 +99,8 @@ def decode_program_pp(
     temperature = f32_state[0]
     top_p = f32_state[1]
     rep_penalty = f32_state[2]
+    min_p = f32_state[3] if f32_state.shape[0] > 3 else None
+    presence = f32_state[4] if f32_state.shape[0] > 4 else None
 
     s_l = token_state.shape[0]
     s_mb = s_l // pp
@@ -177,12 +179,21 @@ def decode_program_pp(
             logits = apply_repetition_penalty(
                 logits, seen_m, sl1(rep_penalty, off)
             )
+            if presence is not None:
+                from ht_vllm_omni_tpu.sample.sampler import (
+                    apply_presence_frequency,
+                )
+
+                logits = apply_presence_frequency(
+                    logits, seen_m, sl1(presence, off), None, None
+                )
             logits = R._window_logits(
                 logits, sl1(allow_lo, off), sl1(allow_hi, off),
                 sl1(stops, off),
             )
             st = SamplingTensors(
-                sl1(temperature, off), sl1(top_k, off), sl1(top_p, off)
+                sl1(temperature, off), sl1(top_k, off), sl1(top_p, off),
+                min_p=sl1(min_p, off) if min_p is not None else None,
             )
             sampled = sample_tokens(logits, st, step_keys)
             cols = jnp.where(
