@@ -783,6 +783,10 @@ class OmniAPIServer:
             token_ids = list(req.prompt)
         sp = self._sampling(req)
         request_id = f"cmpl-{uuid.uuid4().hex[:24]}"
+        if req.stream:
+            return await self._stream_completion(
+                request, req, token_ids, sp, request_id
+            )
         comps = await self._run_n(
             OmniPrompt(token_ids=token_ids), sp, request_id,
             max(req.n, 1),
@@ -816,6 +820,80 @@ class OmniAPIServer:
                 "choices": choices,
             }
         )
+
+    async def _stream_completion(
+        self, request, req, token_ids, sp, request_id
+    ):
+        """SSE streaming /v1/completions (OpenAI text_completion
+        chunks; stop sequences abort mid-stream like chat)."""
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+            }
+        )
+        await resp.prepare(request)
+
+        def sse(text, finish=None):
+            return (
+                "data: "
+                + json.dumps(
+                    {
+                        "id": request_id,
+                        "object": "text_completion",
+                        "model": self.model_name,
+                        "choices": [
+                            {
+                                "index": 0,
+                                "text": text,
+                                "finish_reason": finish,
+                            }
+                        ],
+                    }
+                )
+                + "\n\n"
+            ).encode()
+
+        stops = self._stop_list(req)
+        stop_scan = _StopScan(stops) if stops else None
+        sent = 0
+        if getattr(req, "echo", False) and self.tokenizer is not None:
+            await resp.write(sse(self.tokenizer.decode(token_ids)))
+        async for out in self.engine.generate(
+            OmniPrompt(token_ids=token_ids), sp, request_id
+        ):
+            if out.error:
+                break
+            comp = out.outputs[0] if out.outputs else None
+            if comp is None:
+                continue
+            new = comp.token_ids[sent:]
+            if new and self.tokenizer is not None:
+                delta = self.tokenizer.decode(new)
+                sent = len(comp.token_ids)
+                hit = False
+                if stop_scan is not None:
+                    delta, hit = stop_scan.feed(delta)
+                if delta:
+                    await resp.write(sse(delta))
+                if hit:
+                    await resp.write(sse("", "stop"))
+                    await self.engine.abort(request_id)
+                    break
+            if out.finished and out.final_output:
+                if stop_scan is not None and stop_scan.sent < len(
+                    stop_scan.text
+                ):
+                    tail = stop_scan.text[stop_scan.sent :]
+                    stop_scan.sent = len(stop_scan.text)
+                    if tail:
+                        await resp.write(sse(tail))
+                await resp.write(
+                    sse("", comp.finish_reason or "stop")
+                )
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
 
     async def _run_n(self, prompt, sp, request_id, n):
         """Run n parallel choices of one prompt (OpenAI `n`): sibling

@@ -81,6 +81,8 @@ class CompletionRequest(pydantic.BaseModel):
     response_format: dict[str, Any] | None = None
     guided_regex: str | None = None
     guided_json: dict[str, Any] | None = None
+    # OpenAI completions extras
+    echo: bool = False
 
 
 class SpeechRequest(pydantic.BaseModel):

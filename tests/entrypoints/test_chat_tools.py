@@ -228,3 +228,41 @@ def test_chat_stop_string(stream):
             engine.shutdown()
 
     _run(go())
+
+
+def test_streaming_completions():
+    async def go():
+        client, engine = await _client(
+            CannedTokenizer(["hello wor", "ld STOP tail"])
+        )
+        try:
+            r = await client.post(
+                "/v1/completions",
+                json={
+                    "prompt": [2, 5, 9],
+                    "max_tokens": 8,
+                    "stream": True,
+                    "stop": ["STOP"],
+                },
+            )
+            assert r.status == 200
+            raw = (await r.read()).decode()
+            chunks = [
+                json.loads(line[6:])
+                for line in raw.splitlines()
+                if line.startswith("data: ") and line != "data: [DONE]"
+            ]
+            text = "".join(c["choices"][0]["text"] for c in chunks)
+            finishes = [
+                c["choices"][0].get("finish_reason")
+                for c in chunks
+                if c["choices"][0].get("finish_reason")
+            ]
+            assert text == "hello world "
+            assert finishes and finishes[-1] == "stop"
+            assert raw.rstrip().endswith("data: [DONE]")
+        finally:
+            await client.close()
+            engine.shutdown()
+
+    _run(go())
