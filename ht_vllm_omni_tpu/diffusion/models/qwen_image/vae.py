@@ -281,12 +281,17 @@ def decode_tiled(
     if hl <= tile and wl <= tile:
         return decode(cfg, params, z)
     r = cfg.spatial_ratio
-    stride = max(tile - overlap, 1)
+    # per-axis tile edges: a dimension smaller than ``tile`` keeps its
+    # full extent (otherwise start clamping would go negative on
+    # non-square latents, e.g. 64x24)
+    tile_h = min(tile, hl)
+    tile_w = min(tile, wl)
 
-    def starts(total):
-        ss = list(range(0, max(total - tile, 0) + 1, stride))
-        if ss[-1] != total - tile:
-            ss.append(total - tile)
+    def starts(total, t):
+        stride = max(t - overlap, 1)
+        ss = list(range(0, max(total - t, 0) + 1, stride))
+        if ss[-1] != total - t:
+            ss.append(total - t)
         return ss
 
     dec = _decode_fn or (lambda zt: decode(cfg, params, zt))
@@ -301,13 +306,13 @@ def decode_tiled(
             a[:ramp_len] = np.linspace(0.0, 1.0, ramp_len, endpoint=False)
         return a
 
-    for i in starts(hl):
-        for j in starts(wl):
+    for i in starts(hl, tile_h):
+        for j in starts(wl, tile_w):
             tile_img = np.asarray(
-                dec(z[:, i : i + tile, j : j + tile, :]),
+                dec(z[:, i : i + tile_h, j : j + tile_w, :]),
                 np.float32,
             )
-            ph, pw = tile * r, tile * r
+            ph, pw = tile_h * r, tile_w * r
             alpha = (
                 ramp(i, ph)[None, :, None, None]
                 * ramp(j, pw)[None, None, :, None]

@@ -143,13 +143,15 @@ class LLMEngine:
             additional_information=dict(p.additional_information),
             arrival_time=time.time(),
         )
-        self.scheduler.add_request(req)
         if sampling_params.guided_regex or (
             sampling_params.guided_json is not None
         ):
-            self._guided[request_id] = {
-                "m": self._make_matcher(sampling_params), "fed": 0
-            }
+            # compile the grammar BEFORE scheduling: a bad grammar must
+            # reject the request, not leave an unconstrained orphan in
+            # the queue
+            matcher = self._make_matcher(sampling_params)
+            self._guided[request_id] = {"m": matcher, "fed": 0}
+        self.scheduler.add_request(req)
         return request_id
 
     def _make_matcher(self, sp):

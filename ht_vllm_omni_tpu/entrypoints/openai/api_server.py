@@ -910,35 +910,6 @@ class OmniAPIServer:
                     await self.engine.abort(request_id)
                     break
             if out.finished and out.final_output:
-                img = out.consolidated_multimodal("image")
-                if img is not None:
-                    ichunk = {
-                        "id": request_id,
-                        "object": "chat.completion.chunk",
-                        "choices": [
-                            {
-                                "index": 0,
-                                "delta": {
-                                    "content": [
-                                        {
-                                            "type": "image_url",
-                                            "image_url": {
-                                                "url": (
-                                                    self._image_data_url(
-                                                        img
-                                                    )
-                                                )
-                                            },
-                                        }
-                                    ]
-                                },
-                                "finish_reason": None,
-                            }
-                        ],
-                    }
-                    await resp.write(
-                        f"data: {json.dumps(ichunk)}\n\n".encode()
-                    )
                 if stop_scan is not None and stop_scan.sent < len(
                     stop_scan.text
                 ):

@@ -90,7 +90,15 @@ def _node(schema: dict, depth: int) -> str:
         ) + ")"
     if t == "string":
         if "pattern" in schema:
-            return f'"({schema["pattern"]})"'
+            # the DFA compiler has no anchors — fullmatch semantics make
+            # the common ^...$ form equivalent, so strip them rather
+            # than matching literal '^'/'$' bytes
+            pat = schema["pattern"]
+            if pat.startswith("^"):
+                pat = pat[1:]
+            if pat.endswith("$") and not pat.endswith("\\$"):
+                pat = pat[:-1]
+            return f'"({pat})"'
         return _STRING
     if t == "number":
         return _NUMBER
@@ -112,8 +120,10 @@ def _node(schema: dict, depth: int) -> str:
             )
         else:
             hi = int(hi)
-            if lo == 0:
-                body = f"({item}{more}{{0,{max(hi - 1, 0)}}})?"
+            if hi == 0:
+                body = ""  # only the empty array is admissible
+            elif lo == 0:
+                body = f"({item}{more}{{0,{hi - 1}}})?"
             else:
                 body = f"{item}{more}{{{lo - 1},{hi - 1}}}"
         return r"\[" + _WS + body + _WS + r"\]"

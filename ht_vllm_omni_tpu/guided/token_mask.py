@@ -50,14 +50,22 @@ class GuidedMatcher:
         token_bytes: np.ndarray,
         token_lens: np.ndarray,
         eos_token_id: int | None,
+        shared_caches: tuple[dict, dict] | None = None,
     ):
         self.dfa = dfa
         self.tb = token_bytes
         self.tl = token_lens
         self.eos = eos_token_id
         self.state = 0
-        self._mask_cache: dict[int, np.ndarray] = {}
-        self._next_cache: dict[tuple[int, int], int] = {}
+        # caches key on DFA state only, so requests sharing a grammar
+        # share them (GuidedEngine passes per-DFA dicts — steady-state
+        # guided traffic pays the vectorized token walk once per state,
+        # the vLLM FSM-processor design)
+        if shared_caches is not None:
+            self._mask_cache, self._next_cache = shared_caches
+        else:
+            self._mask_cache = {}
+            self._next_cache = {}
 
     # ------------------------------------------------------------ masks
     def allowed_mask(self) -> np.ndarray:
@@ -130,6 +138,7 @@ class GuidedEngine:
         self.eos = eos_token_id
         self._tb = None
         self._dfas: dict[str, DFA] = {}
+        self._caches: dict[str, tuple[dict, dict]] = {}
 
     def _bytes(self):
         if self._tb is None:
@@ -141,8 +150,12 @@ class GuidedEngine:
         if dfa is None:
             dfa = compile_regex(pattern)
             self._dfas[pattern] = dfa
+            self._caches[pattern] = ({}, {})
         tb, tl = self._bytes()
-        return GuidedMatcher(dfa, tb, tl, self.eos)
+        return GuidedMatcher(
+            dfa, tb, tl, self.eos,
+            shared_caches=self._caches[pattern],
+        )
 
     def matcher_for_json(self, schema) -> GuidedMatcher:
         from ht_vllm_omni_tpu.guided.json_schema import schema_to_regex
@@ -152,5 +165,9 @@ class GuidedEngine:
         if dfa is None:
             dfa = compile_regex(schema_to_regex(schema))
             self._dfas[key] = dfa
+            self._caches[key] = ({}, {})
         tb, tl = self._bytes()
-        return GuidedMatcher(dfa, tb, tl, self.eos)
+        return GuidedMatcher(
+            dfa, tb, tl, self.eos,
+            shared_caches=self._caches[key],
+        )

@@ -953,6 +953,7 @@ class ARModelRunner(SpecDecodeMixin):
         bias_ids=None,  # [1, MAX_LOGIT_BIAS] int32 (logit_bias)
         bias_val=None,  # [1, MAX_LOGIT_BIAS] f32
         guided_mask=None,  # [1, V] bool (guided decoding)
+        min_p=None,  # [1] f32
     ):
         if use_embeds == "embeds":
             x = token_ids.astype(params["embed"].dtype)
@@ -1009,7 +1010,8 @@ class ARModelRunner(SpecDecodeMixin):
             token = sample_tokens(
                 logits,
                 SamplingTensors(
-                    temperature, top_k, top_p, bias_ids, bias_val
+                    temperature, top_k, top_p, bias_ids, bias_val,
+                    min_p,
                 ),
                 step_key[None],
             )[0]
@@ -1255,7 +1257,7 @@ class ARModelRunner(SpecDecodeMixin):
             # program (the shard_map variant has fixed arity;
             # _set_logit_bias rejects bias under a mesh)
             *(
-                (st.bias_ids, st.bias_val, guided_mask)
+                (st.bias_ids, st.bias_val, guided_mask, st.min_p)
                 if self.mesh is None else ()
             ),
         )
@@ -1307,6 +1309,7 @@ class ARModelRunner(SpecDecodeMixin):
         allow,  # [B, 2 + MAX_STOP] int32
         bias_ids=None,  # [B, MAX_LOGIT_BIAS] int32
         bias_val=None,  # [B, MAX_LOGIT_BIAS] f32
+        min_p=None,  # [B] f32
     ):
         x = qwen2.embed_tokens(params, token_ids)
         gen_mask = (
@@ -1339,7 +1342,9 @@ class ARModelRunner(SpecDecodeMixin):
         splits = jax.vmap(lambda k: jax.random.split(k, 2))(slot_keys)
         toks = sample_tokens(
             logits,
-            SamplingTensors(temperature, top_k, top_p, bias_ids, bias_val),
+            SamplingTensors(
+                temperature, top_k, top_p, bias_ids, bias_val, min_p
+            ),
             splits[:, 1],
         )
         keys = keys.at[slots].set(splits[:, 0])
@@ -1398,7 +1403,10 @@ class ARModelRunner(SpecDecodeMixin):
             ids, positions, slot_map, lengths, slots, num_out,
             st.temperature, st.top_k, st.top_p,
             np.stack([_allow_vec(r.sampling_params) for r in requests]),
-            *((st.bias_ids, st.bias_val) if self.mesh is None else ()),
+            *(
+                (st.bias_ids, st.bias_val, st.min_p)
+                if self.mesh is None else ()
+            ),
         )
         for i, req in enumerate(requests):
             sp = req.sampling_params
@@ -1482,6 +1490,7 @@ class ARModelRunner(SpecDecodeMixin):
         bias_ids=None,  # [1, MAX_LOGIT_BIAS] int32
         bias_val=None,  # [1, MAX_LOGIT_BIAS] f32
         guided_mask=None,  # [1, V] bool (guided decoding)
+        min_p=None,  # [1] f32
     ):
         if token_ids.ndim == 2:
             x = token_ids.astype(params["embed"].dtype)
@@ -1524,7 +1533,8 @@ class ARModelRunner(SpecDecodeMixin):
             token = sample_tokens(
                 logits,
                 SamplingTensors(
-                    temperature, top_k, top_p, bias_ids, bias_val
+                    temperature, top_k, top_p, bias_ids, bias_val,
+                    min_p,
                 ),
                 step_key[None],
             )[0]
@@ -1613,7 +1623,7 @@ class ARModelRunner(SpecDecodeMixin):
             st.top_p,
             _allow_vec(sp),
             *(
-                (st.bias_ids, st.bias_val, guided_mask)
+                (st.bias_ids, st.bias_val, guided_mask, st.min_p)
                 if self.mesh is None else ()
             ),
         )
@@ -1800,7 +1810,8 @@ class ARModelRunner(SpecDecodeMixin):
         bias_ids=None,  # [S, MAX_LOGIT_BIAS] int32 (logit_bias)
         bias_val=None,  # [S, MAX_LOGIT_BIAS] f32
         guided_mask=None,  # [S, V] bool — 1-step guided chunks only
-        freq_counts=None,  # [S, V] int32 output-token counts (donated)
+        freq_counts=None,  # [S, V] int32 output-token counts (kwarg ->
+        # NOT donated; XLA allocates a fresh output each chunk)
     ):
         R = ARModelRunner
         positions = int_state[R._ROW_POS]

@@ -44,3 +44,18 @@ def test_tiled_small_passthrough():
     full = np.asarray(vae.decode(cfg, params, z))
     tiled = np.asarray(vae.decode_tiled(cfg, params, z, tile=16))
     np.testing.assert_array_equal(tiled, full)
+
+
+def test_tiled_non_square():
+    # one dimension under the tile size must not produce negative tile
+    # starts (regression: 64x24 latents crashed the blend)
+    cfg = _small_cfg()
+    params = vae.init_params(cfg, jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 40, 12, cfg.z_dim))
+    tiled = np.asarray(
+        vae.decode_tiled(cfg, params, z, tile=16, overlap=4)
+    )
+    full = np.asarray(vae.decode(cfg, params, z))
+    assert tiled.shape == full.shape
+    assert np.isfinite(tiled).all()
+    assert np.median(np.abs(tiled - full)) < 6e-2
