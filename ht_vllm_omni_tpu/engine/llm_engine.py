@@ -372,10 +372,7 @@ class LLMEngine:
         if guided_active:
             run_horizon = 1
             toks_dev = None
-            v = self.config.model.vocab_size
-            guided_mask = np.ones(
-                (self.runner.max_slots, v), bool
-            )
+            guided_mask = {}
             for r in guided_active:
                 st = self._guided[r.request_id]
                 if r in prefills:

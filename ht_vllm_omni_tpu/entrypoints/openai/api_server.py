@@ -409,7 +409,8 @@ class OmniAPIServer:
 
     @staticmethod
     def _delta_chunks(
-        request_id: str, model: str, text: str, tparser, events=None
+        request_id: str, model: str, text: str, tparser, events=None,
+        index: int = 0,
     ) -> list[bytes]:
         """Render a decoded text delta (or pre-computed parser
         ``events``) as SSE chunk(s): plain content, or OpenAI
@@ -426,7 +427,7 @@ class OmniAPIServer:
                         "model": model,
                         "choices": [
                             {
-                                "index": 0,
+                                "index": index,
                                 "delta": delta,
                                 "finish_reason": None,
                             }
@@ -641,6 +642,10 @@ class OmniAPIServer:
                 }
             )
 
+        if req.n > 1 and not req.sampling_params_list:
+            return await self._stream_chat_n(
+                request, req, prompt, sp, request_id, tools_active
+            )
         # SSE streaming: text deltas as they decode
         resp = web.StreamResponse(
             headers={
@@ -849,6 +854,122 @@ class OmniAPIServer:
                 "choices": choices,
             }
         )
+
+    async def _stream_chat_n(
+        self, request, req, prompt, sp, request_id, tools_active
+    ):
+        """SSE chat streaming with n parallel choices: one generator
+        per choice (seeded seed+i, prompt KV shared via the prefix
+        cache), deltas multiplexed into a single stream with per-choice
+        index / stop scanning / tool parsing."""
+        import asyncio
+        import copy as _copy
+
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+            }
+        )
+        await resp.prepare(request)
+        queue: asyncio.Queue = asyncio.Queue()
+        stops = self._stop_list(req)
+
+        async def run_choice(i: int) -> None:
+            sp_i = _copy.deepcopy(sp)
+            if sp_i.seed is not None:
+                sp_i.seed += i
+            rid = f"{request_id}-{i}" if i else request_id
+            scan = _StopScan(stops) if stops else None
+            tparser = None
+            if tools_active:
+                from ht_vllm_omni_tpu.entrypoints.openai.tool_parser import (  # noqa: E501
+                    StreamingToolParser,
+                )
+
+                tparser = StreamingToolParser()
+            sent = 0
+            try:
+                async for out in self.engine.generate(prompt, sp_i, rid):
+                    if out.error:
+                        break
+                    comp = out.outputs[0] if out.outputs else None
+                    if comp is None:
+                        continue
+                    new = comp.token_ids[sent:]
+                    if new and self.tokenizer is not None and (
+                        not out.multimodal_output
+                    ):
+                        delta = self.tokenizer.decode(new)
+                        sent = len(comp.token_ids)
+                        hit = False
+                        if scan is not None:
+                            delta, hit = scan.feed(delta)
+                        for payload in self._delta_chunks(
+                            request_id, self.model_name, delta,
+                            tparser, index=i,
+                        ):
+                            await queue.put(payload)
+                        if hit:
+                            await queue.put(
+                                self._finish_chunk(request_id, i, "stop")
+                            )
+                            await self.engine.abort(rid)
+                            return
+                    if out.finished and out.final_output:
+                        if tparser is not None:
+                            for payload in self._delta_chunks(
+                                request_id, self.model_name, "", None,
+                                events=tparser.finish(), index=i,
+                            ):
+                                await queue.put(payload)
+                        finish = comp.finish_reason or "stop"
+                        if tparser is not None and (
+                            tparser.tool_index >= 0
+                        ):
+                            finish = "tool_calls"
+                        await queue.put(
+                            self._finish_chunk(request_id, i, finish)
+                        )
+            finally:
+                await queue.put(None)  # choice-done sentinel
+
+        n = max(req.n, 1)
+        tasks = [
+            asyncio.ensure_future(run_choice(i)) for i in range(n)
+        ]
+        done = 0
+        while done < n:
+            item = await queue.get()
+            if item is None:
+                done += 1
+                continue
+            await resp.write(item)
+        for t in tasks:
+            t.cancel()
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    def _finish_chunk(self, request_id, index, finish) -> bytes:
+        return (
+            "data: "
+            + json.dumps(
+                {
+                    "id": request_id,
+                    "object": "chat.completion.chunk",
+                    "model": self.model_name,
+                    "choices": [
+                        {
+                            "index": index,
+                            "delta": {},
+                            "finish_reason": finish,
+                        }
+                    ],
+                }
+            )
+            + "\n\n"
+        ).encode()
 
     async def _stream_completion(
         self, request, req, token_ids, sp, request_id

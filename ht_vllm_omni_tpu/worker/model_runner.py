@@ -1809,7 +1809,8 @@ class ARModelRunner(SpecDecodeMixin):
         fused_kw=None,  # fused decode-stack weights (single chip only)
         bias_ids=None,  # [S, MAX_LOGIT_BIAS] int32 (logit_bias)
         bias_val=None,  # [S, MAX_LOGIT_BIAS] f32
-        guided_mask=None,  # [S, V] bool — 1-step guided chunks only
+        guided_slots=None,  # [G] int32 slot ids (s = padding sentinel)
+        guided_rows=None,  # [G, V] bool — 1-step guided chunks only
         freq_counts=None,  # [S, V] int32 output-token counts (kwarg ->
         # NOT donated; XLA allocates a fresh output each chunk)
     ):
@@ -1962,13 +1963,17 @@ class ARModelRunner(SpecDecodeMixin):
                 logits = R._grid_logits(
                     logits, win, emit, grid_w, grid_eol
                 )
-                if guided_mask is not None:
+                if guided_rows is not None:
                     # valid for exactly one step (the host re-derives
                     # the DFA mask between tokens; decode_chunk asserts
-                    # num_steps == 1 when guided)
-                    logits = jnp.where(
-                        guided_mask, logits, jnp.float32(-1e30)
-                    )
+                    # num_steps == 1 when guided).  Only the guided
+                    # slots' rows ride host->device; the scatter
+                    # rebuilds the full mask on device (padding slot
+                    # ids are positive OOB -> dropped)
+                    gm = jnp.ones(
+                        (s, logits.shape[-1]), bool
+                    ).at[guided_slots].set(guided_rows, mode="drop")
+                    logits = jnp.where(gm, logits, jnp.float32(-1e30))
                 sampled = sample_tokens(logits, st, step_keys)
                 # record the sampled token (inactive rows scatter OOB)
                 seen = seen.at[
@@ -2167,6 +2172,8 @@ class ARModelRunner(SpecDecodeMixin):
         self, num_steps: int, collect_hidden: bool = False,
         collect_logprobs: bool = False, guided_mask=None,
     ) -> tuple[np.ndarray, np.ndarray | None, tuple | None]:
+        """guided_mask: {slot: [V] bool} for active guided requests
+        (1-step chunks only); everything else decodes unmasked."""
         """Run K decode steps on device; one host sync total.
 
         Returns (tokens [K+1, S], hidden [K, S, H]?): row 0 holds the
@@ -2224,7 +2231,17 @@ class ARModelRunner(SpecDecodeMixin):
                 "guided chunks are 1 step wide (the host advances the "
                 "grammar DFA between tokens)"
             )
-            fused["guided_mask"] = guided_mask
+            g = len(guided_mask)
+            gpad = max(next_power_of_2(g), 1)
+            slots_arr = np.full(gpad, self.max_slots, np.int32)
+            rows_arr = np.ones(
+                (gpad, self.arch.vocab_size), bool
+            )
+            for i, (sl, row) in enumerate(guided_mask.items()):
+                slots_arr[i] = sl
+                rows_arr[i] = row
+            fused["guided_slots"] = slots_arr
+            fused["guided_rows"] = rows_arr
         use_counts = (
             self.mesh is None
             and self.freq_counts is not None

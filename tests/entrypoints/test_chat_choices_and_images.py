@@ -157,3 +157,55 @@ def test_chat_image_output():
             engine.shutdown()
 
     _run(go())
+
+
+def test_chat_streaming_n_choices():
+    async def go():
+        s0 = StageConfig(
+            stage_id=0, model_stage="llm", worker_type="ar",
+            final_output=True, final_output_type="text",
+            default_sampling_params={"temperature": 0.0, "max_tokens": 5},
+        )
+        pipeline = PipelineConfig("toy_llm", [s0])
+        pipeline.validate()
+        engine = AsyncOmniEngine(
+            pipeline, [StageHandle(s0, _ar_engine())]
+        )
+        server = OmniAPIServer(engine, FakeTokenizer())
+        client = TestClient(TestServer(server.build_app()))
+        await client.start_server()
+        try:
+            r = await client.post(
+                "/v1/chat/completions",
+                json={
+                    "messages": [{"role": "user", "content": "hi"}],
+                    "max_tokens": 4,
+                    "n": 3,
+                    "stream": True,
+                },
+            )
+            assert r.status == 200
+            raw = (await r.read()).decode()
+            chunks = [
+                json.loads(line[6:])
+                for line in raw.splitlines()
+                if line.startswith("data: ") and line != "data: [DONE]"
+            ]
+            text = {0: "", 1: "", 2: ""}
+            finishes = set()
+            for c in chunks:
+                ch = c["choices"][0]
+                idx = ch["index"]
+                d = ch.get("delta", {})
+                if d.get("content"):
+                    text[idx] += d["content"]
+                if ch.get("finish_reason"):
+                    finishes.add(idx)
+            assert finishes == {0, 1, 2}
+            assert all(text[i] for i in range(3)), text
+            assert raw.rstrip().endswith("data: [DONE]")
+        finally:
+            await client.close()
+            engine.shutdown()
+
+    _run(go())
