@@ -192,6 +192,21 @@ def main() -> None:
         serve["prefill_device_toks_per_s"] = round(
             5 * 8 * 512 / (time.time() - t0)
         )
+        # TTFT (reference table: 43-138 ms text TTFT on H800): one
+        # short prompt, time until the first sampled token reaches the
+        # host through the serving-style short-chunk engine
+        sp_t = SamplingParams(
+            temperature=0.0, max_tokens=8, ignore_eos=True
+        )
+        eng_p.generate([p512[0][:64]], sp_t)  # warm the 64 bucket
+        t0 = time.time()
+        rid = eng_p.add_request(p512[1][:64], sp_t)
+        ttft = None
+        while eng_p.has_unfinished_requests():
+            for out in eng_p.step():
+                if ttft is None and out.outputs[0].token_ids:
+                    ttft = time.time() - t0
+        serve["ttft_ms"] = round((ttft or 0.0) * 1000.0, 1)
     except Exception as e:
         serve["prefill_error"] = str(e)[:120]
     try:
