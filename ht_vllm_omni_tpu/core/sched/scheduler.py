@@ -97,7 +97,11 @@ class Scheduler:
         disaggregation import): allocate pages covering the prompt +
         horizon and place it straight into running (prefill-complete)."""
         needed = cdiv(
-            request.num_prompt_tokens + max(horizon, 1), self.page_size
+            min(
+                request.num_prompt_tokens + max(horizon, 1),
+                self.config.max_model_len,
+            ),
+            self.page_size,
         )
         request.pool_group = self._group_fn(request)
         request.page_ids = self.pool.allocate(needed, request.pool_group)
@@ -181,6 +185,11 @@ class Scheduler:
 
         Returns False if ``req`` itself got preempted.
         """
+        # decode-horizon look-ahead must never allocate past the model-len
+        # cap: the runner's per-slot block table is exactly
+        # cdiv(max_model_len, page_size) wide, and _check_stop finishes
+        # the request at max_model_len anyway
+        target_tokens = min(target_tokens, self.config.max_model_len)
         g = req.pool_group
         needed = cdiv(target_tokens, self.page_size) - len(req.page_ids)
         if needed <= 0:
@@ -296,6 +305,7 @@ class Scheduler:
             target = req.num_computed_tokens + num_new
             if target >= req.num_prompt_tokens:
                 target = req.num_prompt_tokens + horizon
+            target = min(target, self.config.max_model_len)
             needed = cdiv(target, self.page_size) - len(req.page_ids)
             free = self.pool.free_in_group(g)
             if needed > free and self.prefix_cache is not None:
