@@ -1103,28 +1103,34 @@ class OmniAPIServer:
         header_sent = False
         sent_samples = 0
         sample_rate = req.sample_rate or DEFAULT_SAMPLE_RATE
-        async for out in self.engine.generate(prompt, None, request_id):
-            if out.error:
-                break
-            if not out.final_output:
-                continue  # comprehension-stage text events
-            sr = out.multimodal_output.get("sample_rate")
-            if sr is not None:
-                sample_rate = int(np.asarray(sr))
-            audio = out.consolidated_multimodal("audio")
-            if audio is None:
-                continue
-            # cumulative-list mode: stream only the delta samples
-            # (reference _generate_audio_chunks:952)
-            delta = audio[sent_samples:]
-            sent_samples = len(audio)
-            if delta.size == 0:
-                continue
-            if req.response_format == "wav" and not header_sent:
-                await resp.write(wav_header(sample_rate))
-                header_sent = True
-            await resp.write(float_to_pcm16(delta))
-        await resp.write_eof()
+        try:
+            async for out in self.engine.generate(prompt, None, request_id):
+                if out.error:
+                    break
+                if not out.final_output:
+                    continue  # comprehension-stage text events
+                sr = out.multimodal_output.get("sample_rate")
+                if sr is not None:
+                    sample_rate = int(np.asarray(sr))
+                audio = out.consolidated_multimodal("audio")
+                if audio is None:
+                    continue
+                # cumulative-list mode: stream only the delta samples
+                # (reference _generate_audio_chunks:952)
+                delta = audio[sent_samples:]
+                sent_samples = len(audio)
+                if delta.size == 0:
+                    continue
+                if req.response_format == "wav" and not header_sent:
+                    await resp.write(wav_header(sample_rate))
+                    header_sent = True
+                await resp.write(float_to_pcm16(delta))
+            await resp.write_eof()
+        except (ConnectionResetError, ConnectionError):
+            # client went away mid-stream: exiting the generator aborts
+            # the pipeline request (engine finally-abort); nothing left
+            # to write
+            pass
         return resp
 
     async def list_voices(self, request: web.Request) -> web.Response:
