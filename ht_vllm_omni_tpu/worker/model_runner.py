@@ -887,15 +887,21 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_presence[slot] = pres
         self.h_freq[slot] = freq
         if freq != 0.0:
-            if self.mesh is not None:
+            if self.pp > 1:
                 raise NotImplementedError(
-                    "frequency_penalty needs the per-slot count matrix, "
-                    "which only rides the single-chip decode program"
+                    "frequency_penalty under pipeline parallelism "
+                    "(logits live on the last pp stage only)"
                 )
             if self.freq_counts is None:
-                self.freq_counts = jnp.zeros(
+                counts = jnp.zeros(
                     (self.max_slots, self.arch.vocab_size), jnp.int32
                 )
+                if self.mesh is not None:
+                    counts = jax.device_put(
+                        counts,
+                        NamedSharding(self.mesh, P(DP_AXIS, None)),
+                    )
+                self.freq_counts = counts
         if self.freq_counts is not None:
             self.freq_counts = self.freq_counts.at[slot].set(0)
         if rep != 1.0 and token_ids:
@@ -1048,10 +1054,10 @@ class ARModelRunner(SpecDecodeMixin):
         lb = getattr(sp, "logit_bias", None)
         if not lb:
             return
-        if self.mesh is not None:
+        if self.pp > 1:
             raise NotImplementedError(
-                "logit_bias is supported on single-chip stages only "
-                "(the sharded decode program does not take bias rows)"
+                "logit_bias under pipeline parallelism (logits live on "
+                "the last pp stage only)"
             )
         items = list(lb.items())[:MAX_LOGIT_BIAS]
         for j, (tok, val) in enumerate(items):
@@ -1835,6 +1841,14 @@ class ARModelRunner(SpecDecodeMixin):
         presence = f32_state[4] if f32_state.shape[0] > 4 else None
         frequency = f32_state[5] if f32_state.shape[0] > 5 else None
         s = token_state.shape[0]
+        if guided_slots is not None:
+            # the shard_map variant ships per-dp-shard rows as
+            # [1, G] / [1, G, V] (slot ids already dp-local); the
+            # single-chip path passes [G] / [G, V] directly
+            guided_slots = guided_slots.reshape(-1)
+            guided_rows = guided_rows.reshape(
+                -1, guided_rows.shape[-1]
+            )
         st = SamplingTensors(
             temperature, top_k, top_p, bias_ids, bias_val, min_p
         )
@@ -2059,8 +2073,16 @@ class ARModelRunner(SpecDecodeMixin):
     def _decode_fn(
         self, num_steps: int, collect_hidden: bool,
         collect_logprobs: bool = False,
+        has_bias: bool = False, has_guided: bool = False,
+        use_counts: bool = False,
     ):
-        key = (num_steps, collect_hidden, collect_logprobs)
+        if self.mesh is None:
+            # single-chip extras ride as kwargs on one jitted fn (jit
+            # re-specializes per kwarg set); only the shard_map variant
+            # needs distinct positional arity per extras combination
+            has_bias = has_guided = use_counts = False
+        key = (num_steps, collect_hidden, collect_logprobs,
+               has_bias, has_guided, use_counts)
         fn = self._decode_fns.get(key)
         if fn is not None:
             return fn
@@ -2119,6 +2141,36 @@ class ARModelRunner(SpecDecodeMixin):
                     self.kv_scales,
                     self.step_adapter,
                 )
+            # optional per-slot sampling extras (logit_bias rows, guided
+            # vocab masks, frequency counts) enter the shard_map
+            # positionally after seen_mask — dp-sharded like the slot
+            # arrays they index (guided rows are pre-localized per dp
+            # group host-side, see decode_chunk)
+            extra_names: list[str] = []
+            extra_specs: list = []
+            if has_bias:
+                extra_names += ["bias_ids", "bias_val"]
+                extra_specs += [P(DP_AXIS, None), P(DP_AXIS, None)]
+            if has_guided:
+                extra_names += ["guided_slots", "guided_rows"]
+                extra_specs += [P(DP_AXIS, None), P(DP_AXIS, None, None)]
+            if use_counts:
+                extra_names += ["freq_counts"]
+                extra_specs += [P(DP_AXIS, None)]
+            if extra_names:
+                base_body = body
+
+                def body(
+                    params, kv_cache, keys, token_state, aux_state,
+                    int_state, f32_state, block_tables, seen_mask,
+                    *extras,
+                ):
+                    return base_body(
+                        params, kv_cache, keys, token_state, aux_state,
+                        int_state, f32_state, block_tables, seen_mask,
+                        **dict(zip(extra_names, extras)),
+                    )
+
             pspec = self._param_pspecs(is_pp)
             cache_spec = P(
                 PP_AXIS if is_pp else None, DP_AXIS, TP_AXIS
@@ -2134,6 +2186,7 @@ class ARModelRunner(SpecDecodeMixin):
                 P(None, DP_AXIS),  # f32_state
                 P(DP_AXIS, None),  # block_tables
                 P(DP_AXIS, None),  # seen_mask
+                *extra_specs,
             )
             out = [
                 cache_spec,  # kv_cache
@@ -2149,6 +2202,8 @@ class ARModelRunner(SpecDecodeMixin):
                 out.append(P(None, DP_AXIS, None))  # top ids [K, S, T]
                 out.append(P(None, DP_AXIS, None))  # top lps [K, S, T]
             out.append(P(DP_AXIS, None))  # seen_mask
+            if use_counts:
+                out.append(P(DP_AXIS, None))  # freq_counts
             if self.multihost:
                 # host-read outputs must be fully addressable on every
                 # process: gather the (tiny) pack + hidden over dp, the
@@ -2181,7 +2236,15 @@ class ARModelRunner(SpecDecodeMixin):
         tokens the host has not seen yet); rows 1..K are this chunk's
         samples.  hidden row j is the hidden state of step j's input
         token."""
-        fn = self._decode_fn(num_steps, collect_hidden, collect_logprobs)
+        has_bias = bool(self.h_bias_val.any())
+        use_counts = (
+            self.freq_counts is not None and bool(self.h_freq.any())
+        )
+        fn = self._decode_fn(
+            num_steps, collect_hidden, collect_logprobs,
+            has_bias=has_bias, has_guided=guided_mask is not None,
+            use_counts=use_counts,
+        )
         # trim the block-table width to the live-page envelope (bucketed
         # to powers of two so at most log2(P) shapes compile): the paged
         # grid then never iterates dead table columns.  Width must cover
@@ -2219,13 +2282,18 @@ class ARModelRunner(SpecDecodeMixin):
             if self.mesh is None and self.fused_kw is not None
             else {}
         )
-        if self.mesh is None and bool(self.h_bias_val.any()):
-            fused["bias_ids"] = self.h_bias_ids
-            fused["bias_val"] = self.h_bias_val
+        extras: list = []  # positional extras for the shard_map variant
+        if has_bias:
+            if self.mesh is None:
+                fused["bias_ids"] = self.h_bias_ids
+                fused["bias_val"] = self.h_bias_val
+            else:
+                extras += [self.h_bias_ids, self.h_bias_val]
         if guided_mask is not None:
-            if self.mesh is not None:
+            if self.pp > 1:
                 raise NotImplementedError(
-                    "guided decoding requires a single-chip stage"
+                    "guided decoding under pipeline parallelism (logits "
+                    "live on the last pp stage only)"
                 )
             assert num_steps == 1, (
                 "guided chunks are 1 step wide (the host advances the "
@@ -2233,22 +2301,37 @@ class ARModelRunner(SpecDecodeMixin):
             )
             g = len(guided_mask)
             gpad = max(next_power_of_2(g), 1)
-            slots_arr = np.full(gpad, self.max_slots, np.int32)
-            rows_arr = np.ones(
-                (gpad, self.arch.vocab_size), bool
-            )
-            for i, (sl, row) in enumerate(guided_mask.items()):
-                slots_arr[i] = sl
-                rows_arr[i] = row
-            fused["guided_slots"] = slots_arr
-            fused["guided_rows"] = rows_arr
-        use_counts = (
-            self.mesh is None
-            and self.freq_counts is not None
-            and bool(self.h_freq.any())
-        )
+            if self.mesh is None:
+                slots_arr = np.full(gpad, self.max_slots, np.int32)
+                rows_arr = np.ones(
+                    (gpad, self.arch.vocab_size), bool
+                )
+                for i, (sl, row) in enumerate(guided_mask.items()):
+                    slots_arr[i] = sl
+                    rows_arr[i] = row
+                fused["guided_slots"] = slots_arr
+                fused["guided_rows"] = rows_arr
+            else:
+                # per-dp-group rows with LOCAL slot ids: shard g sees
+                # [1, G]/[1, G, V]; other groups' entries stay at the
+                # local-OOB sentinel so their scatter drops them
+                local_slots = self.max_slots // self.dp
+                slots_arr = np.full(
+                    (self.dp, gpad), local_slots, np.int32
+                )
+                rows_arr = np.ones(
+                    (self.dp, gpad, self.arch.vocab_size), bool
+                )
+                for i, (sl, row) in enumerate(guided_mask.items()):
+                    grp, loc = divmod(sl, local_slots)
+                    slots_arr[grp, i] = loc
+                    rows_arr[grp, i] = row
+                extras += [slots_arr, rows_arr]
         if use_counts:
-            fused["freq_counts"] = self.freq_counts
+            if self.mesh is None:
+                fused["freq_counts"] = self.freq_counts
+            else:
+                extras += [self.freq_counts]
         res = fn(
             self.params,
             self.kv_cache,
@@ -2259,6 +2342,7 @@ class ARModelRunner(SpecDecodeMixin):
             f32_state,
             np.ascontiguousarray(self.h_tables[:, :width]),
             self.seen_mask,
+            *extras,
             **fused,
         )
         (self.kv_cache, self.keys, self.token_state, self.aux_state,
