@@ -21,6 +21,10 @@ class DiffusionParallelConfig:
     ulysses_size: int = 1
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # HSDP-equivalent weight sharding (reference diffusion/distributed/
+    # hsdp.py): shard stacked DiT weights over the cfg x sp axes and
+    # all-gather just-in-time per layer, so big DiTs span the mesh
+    fsdp_weights: bool = False
 
     def __post_init__(self) -> None:
         if self.cfg_parallel_size not in (1, 2):

@@ -68,10 +68,23 @@ class DiffusionEngine:
         default_params: DiffusionSamplingParams | None = None,
     ) -> None:
         self.config = config
+        # served multichip execution (reference DiffusionWorker.init_device
+        # -> init_distributed_environment + initialize_model_parallel,
+        # diffusion/worker/diffusion_worker.py:100-144): build the
+        # cfg x sp x tp mesh from the config's parallel sizes so EVERY
+        # request through this engine runs in-mesh
+        self.parallel = None
+        if config.parallel.world_size // config.parallel.data_parallel_size > 1:
+            from ht_vllm_omni_tpu.diffusion.parallel import build_context
+
+            self.parallel = build_context(
+                config.parallel,
+                fsdp_weights=getattr(config.parallel, "fsdp_weights", False),
+            )
         if pipeline is None:
             from ht_vllm_omni_tpu.diffusion.registry import create_pipeline
 
-            pipeline = create_pipeline(config)
+            pipeline = create_pipeline(config, parallel=self.parallel)
         self.pipeline = pipeline
         self.default_params = default_params or DiffusionSamplingParams()
         self.waiting: deque[_DiffRequest] = deque()

@@ -31,6 +31,27 @@ def cfg_combine(
     return v_uncond + guidance_scale * (v_cond - v_uncond)
 
 
+def cfg_combine_rescale(
+    velocity: jax.Array,  # this shard's branch output (shard0=cond)
+    guidance_scale: jax.Array,
+    *,
+    axis: str,
+) -> jax.Array:
+    """cfg_combine + the norm-preserving rescale the qwen-image family
+    applies after guidance (reference distributed/cfg_parallel.py:132-146
+    apply_normalized_cfg): comb is rescaled per token so its norm matches
+    the conditional branch's.  guidance_scale == 1 degenerates to the
+    plain conditional output (used when CFG is off but the mesh still
+    carries a cfg axis)."""
+    both = jax.lax.all_gather(velocity, axis, axis=0, tiled=False)
+    v_cond = both[0]
+    v_uncond = both[1]
+    comb = v_uncond + guidance_scale * (v_cond - v_uncond)
+    cn = jnp.linalg.norm(v_cond, axis=-1, keepdims=True)
+    nn = jnp.linalg.norm(comb, axis=-1, keepdims=True)
+    return comb * (cn / jnp.maximum(nn, 1e-12))
+
+
 def cfg_combine_local(
     v_cond: jax.Array, v_uncond: jax.Array, guidance_scale
 ) -> jax.Array:

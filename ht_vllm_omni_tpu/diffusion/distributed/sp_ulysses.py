@@ -52,6 +52,85 @@ def ulysses_attention(
     )
 
 
+def ulysses_joint_attention(
+    iq: jax.Array,  # [H, S_loc, D] image queries (seq-sharded)
+    ik: jax.Array,
+    iv: jax.Array,
+    tq: jax.Array,  # [H, S_txt, D] text queries (replicated over axis)
+    tk: jax.Array,
+    tv: jax.Array,
+    *,
+    axis: str,
+    sp_size: int,
+    txt_len: jax.Array | int | None = None,  # valid text tokens
+) -> tuple[jax.Array, jax.Array]:
+    """Joint dual-stream (MMDiT) attention under Ulysses SP.
+
+    The qwen-image-class transformers run ONE attention over the joint
+    [img || txt] sequence with both streams producing queries (reference
+    qwen_image_transformer.py:854 joint attention; the reference's
+    Ulysses layer handles the joint stream at
+    attention/parallel/ulysses.py:219-287).  Under SP the image tokens
+    arrive seq-sharded while text is short and replicated:
+
+    - img q/k/v all_to_all to head-sharding (each device: H/sp heads,
+      full image sequence);
+    - this device's HEAD SLICE of the replicated text q/k/v joins:
+      kv = [img_full || txt_slice], one flash call computes BOTH query
+      streams ([img_full_q || txt_q] vs kv);
+    - image output reverse-all_to_alls back to seq-sharding; text output
+      all_gathers over heads so every shard carries the full text stream
+      (it is recomputed redundantly across sp — it's short).
+
+    Text tail padding is masked via kv_lens (= S_img_full + txt_len);
+    the image segment must be fully valid (qwen-image's packed latents
+    always are).  heads % sp != 0 is handled by UAA head padding.
+
+    Returns (img_out [H, S_loc, D] seq-sharded,
+             txt_out [H, S_txt, D] replicated).
+    """
+    heads, s_loc, d = iq.shape
+    s_txt = tq.shape[1]
+    hp = round_up(heads, sp_size)
+    hs = hp // sp_size
+
+    def padh(x):
+        if hp == x.shape[0]:
+            return x
+        return jnp.pad(x, ((0, hp - x.shape[0]), (0, 0), (0, 0)))
+
+    def to_heads(x):
+        return jax.lax.all_to_all(
+            x, axis, split_axis=0, concat_axis=1, tiled=True
+        )
+
+    iqh, ikh, ivh = (to_heads(padh(t)) for t in (iq, ik, iv))
+    idx = jax.lax.axis_index(axis)
+    tqh, tkh, tvh = (
+        jax.lax.dynamic_slice_in_dim(padh(t), idx * hs, hs, 0)
+        for t in (tq, tk, tv)
+    )
+    s_full = s_loc * sp_size
+    if txt_len is None:
+        txt_len = s_txt
+    kv_lens = (
+        jnp.asarray(s_full + txt_len, jnp.int32).reshape(1)
+    )
+    q_all = jnp.concatenate([iqh, tqh], axis=1)
+    k_all = jnp.concatenate([ikh, tkh], axis=1)
+    v_all = jnp.concatenate([ivh, tvh], axis=1)
+    o = flash_attention(
+        q_all[None], k_all[None], v_all[None], kv_lens, causal=False
+    )[0]
+    o_img = jax.lax.all_to_all(
+        o[:, :s_full], axis, split_axis=1, concat_axis=0, tiled=True
+    )[:heads]
+    o_txt = jax.lax.all_gather(
+        o[:, s_full:], axis, axis=0, tiled=True
+    )[:heads]
+    return o_img, o_txt
+
+
 def ulysses_attention_uneven(
     q: jax.Array,  # [heads, S_local, D] (caller pads S to sp multiple)
     k: jax.Array,

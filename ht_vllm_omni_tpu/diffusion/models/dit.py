@@ -138,21 +138,22 @@ def forward(
             return a.reshape(s_tot, heads, hd).transpose(1, 0, 2)[None]
 
         if sp_axis is not None:
+            # joint [text || image] stream under Ulysses: the text
+            # prefix is replicated on every sp shard while image tokens
+            # are seq-sharded, so attention routes through the joint
+            # strategy (sp_ulysses.ulysses_joint_attention) — text KV
+            # joins once, not once per shard
             from ht_vllm_omni_tpu.diffusion.distributed.sp_ulysses import (
-                ulysses_attention,
-                ulysses_attention_uneven,
+                ulysses_joint_attention,
             )
 
-            if heads % sp_size:  # UAA head-padding mode
-                o = ulysses_attention_uneven(
-                    to_heads(q)[0], to_heads(k)[0], to_heads(v)[0],
-                    axis=sp_axis, sp_size=sp_size,
-                )[None]
-            else:
-                o = ulysses_attention(
-                    to_heads(q)[0], to_heads(k)[0], to_heads(v)[0],
-                    axis=sp_axis, sp_size=sp_size,
-                )[None]
+            qh, kh, vh = to_heads(q)[0], to_heads(k)[0], to_heads(v)[0]
+            o_img, o_txt = ulysses_joint_attention(
+                qh[:, s_txt:], kh[:, s_txt:], vh[:, s_txt:],
+                qh[:, :s_txt], kh[:, :s_txt], vh[:, :s_txt],
+                axis=sp_axis, sp_size=sp_size,
+            )
+            o = jnp.concatenate([o_txt, o_img], axis=1)[None]
         else:
             o = flash_attention(
                 to_heads(q), to_heads(k), to_heads(v), causal=False

@@ -43,6 +43,7 @@ class FlowPipeline:
         teacache: TeaCacheConfig | None = None,
         dbcache: DBCacheConfig | None = None,
         offload: str | None = None,  # None | "layerwise"
+        parallel=None,  # diffusion.parallel.DiffusionParallelContext
     ) -> None:
         self.cfg = cfg
         self.teacache = teacache or TeaCacheConfig()
@@ -55,6 +56,22 @@ class FlowPipeline:
             else dit.init_params(cfg, jax.random.PRNGKey(seed))
         )
         self._denoise_fns: dict = {}
+        self.parallel = parallel
+        if parallel is not None:
+            if parallel.tp_size > 1:
+                raise ValueError(
+                    "generic DiT supports cfg x sp parallelism; tensor "
+                    "parallel needs a family with TP weight plans "
+                    "(qwen-image)"
+                )
+            if self.teacache.enabled or self.dbcache.enabled:
+                raise ValueError(
+                    "step/block caching does not compose with parallel "
+                    "denoise yet; disable cache_backend"
+                )
+            if offload is not None:
+                raise ValueError("offload + parallel are exclusive")
+            self.params = parallel.replicated(self.params)
 
     # ------------------------------------------------------ conditioning
     def encode_text(self, token_ids: list[int] | None) -> jnp.ndarray:
@@ -133,6 +150,70 @@ class FlowPipeline:
             self._denoise_fns[key] = fn
         return fn
 
+    def _parallel_denoise_fn(self, num_steps: int, tok_shape):
+        """Whole denoise loop inside ONE jit(shard_map(...)) over the
+        diffusion mesh: image tokens seq-sharded over sp (Ulysses joint
+        attention inside dit.forward), CFG branches over cfg
+        (cfg_parallel.cfg_combine in-mesh) — the engine-served analog of
+        the reference's per-request parallel denoise
+        (diffusion_worker.py:100-144)."""
+        key = ("par", num_steps, tok_shape)
+        fn = self._denoise_fns.get(key)
+        if fn is None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ht_vllm_omni_tpu.diffusion.distributed.cfg_parallel import (
+                cfg_combine,
+            )
+
+            sched = FlowMatchEulerScheduler(num_steps)
+            cfg = self.cfg
+            info = self.parallel.info
+            sp_ax = info.sp_axis
+            cfg_ax = info.cfg_axis
+            sp_n = info.sp_size
+
+            def run(params, tokens, cond_b, gscale, start, count):
+                def fwd(x, c, t):
+                    return dit.forward(
+                        cfg, params, x, c, t,
+                        sp_size=sp_n, sp_axis=sp_ax,
+                    )
+
+                def body(i, x):
+                    t = sched.timestep(i)
+                    if cfg_ax is not None:
+                        v = cfg_combine(
+                            fwd(x, cond_b[0], t), gscale, axis=cfg_ax
+                        )
+                    else:
+                        v_c = fwd(x, cond_b[0], t)
+                        v_u = fwd(x, cond_b[1], t)
+                        v = v_u + gscale * (v_c - v_u)
+                    return (
+                        x
+                        + (sched.sigmas[i + 1] - sched.sigmas[i])
+                        * v.astype(x.dtype)
+                    )
+
+                return jax.lax.fori_loop(
+                    start, jnp.minimum(start + count, num_steps), body,
+                    tokens,
+                )
+
+            fn = jax.jit(
+                shard_map(
+                    run,
+                    mesh=self.parallel.mesh,
+                    in_specs=(P(), P(sp_ax), P(cfg_ax), P(), P(), P()),
+                    out_specs=P(sp_ax),
+                    check_vma=False,
+                )
+            )
+            self._denoise_fns[key] = fn
+        return fn
+
     def prepare(
         self, sp: DiffusionSamplingParams, key: jax.Array
     ) -> jax.Array:
@@ -156,6 +237,26 @@ class FlowPipeline:
         count: int,
         tc_state: dict | None = None,
     ):
+        if self.parallel is not None:
+            tokens = dit.patchify(self.cfg, latents)
+            if tokens.shape[0] % self.parallel.sp_size:
+                raise ValueError(
+                    f"token count {tokens.shape[0]} not divisible by "
+                    f"ulysses_size={self.parallel.sp_size}"
+                )
+            fn = self._parallel_denoise_fn(
+                sp.num_inference_steps, tokens.shape
+            )
+            cond_b = jnp.stack([cond, uncond])
+            x = fn(
+                self.params, tokens, cond_b,
+                jnp.float32(sp.guidance_scale), jnp.int32(start),
+                jnp.int32(count),
+            )
+            lat = dit.unpatchify(
+                self.cfg, x.astype(latents.dtype), *latents.shape[:2]
+            )
+            return lat, tc_state, jnp.int32(0)
         fn = self._denoise_fn(sp.num_inference_steps, latents.shape[:2])
         if tc_state is None:
             if self.dbcache.enabled:

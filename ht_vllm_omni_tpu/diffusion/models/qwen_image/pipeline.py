@@ -76,6 +76,7 @@ class QwenImagePipeline:
         tokenizer=None,  # callable str -> list[int]; None = byte toy
         use_template: bool | None = None,
         max_text_len: int = 512,
+        parallel=None,  # diffusion.parallel.DiffusionParallelContext
     ) -> None:
         self.arch = arch or QwenImageArchConfig.tiny()
         self.vae_cfg = vae_cfg or QwenImageVAEConfig.tiny()
@@ -114,6 +115,19 @@ class QwenImagePipeline:
             else qwen2.init_params(self.text_cfg, k3),
         }
         self._fns: dict = {}
+        # served parallel execution (diffusion/parallel.py): DiT weights
+        # live sharded on the mesh; every denoise step runs inside one
+        # jit(shard_map(...)) over cfg x sp x tp
+        self.parallel = parallel
+        if parallel is not None:
+            if self.arch.num_attention_heads % parallel.tp_size:
+                raise ValueError(
+                    f"attention heads {self.arch.num_attention_heads} "
+                    f"not divisible by tp={parallel.tp_size}"
+                )
+            self.params["transformer"] = transformer.shard_params(
+                self.arch, self.params["transformer"], parallel
+            )
 
     # --------------------------------------------------------------- text
     def _tokenize(self, text: str) -> list[int]:
@@ -160,6 +174,60 @@ class QwenImagePipeline:
                 static_argnames=("img_shape",),
             )
             self._fns["transformer"] = fn
+        return fn
+
+    def _parallel_step_fn(self, img_shape):
+        """One guided denoise velocity under the diffusion mesh: branch
+        forwards shard over cfg, image tokens over sp (Ulysses inside
+        transformer.forward), weights over tp/fsdp; the CFG combine +
+        norm-preserving rescale happens in-mesh (cfg_parallel.py) so the
+        returned prediction is already guided and cfg-replicated."""
+        key = ("pstep", img_shape)
+        fn = self._fns.get(key)
+        if fn is None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ht_vllm_omni_tpu.diffusion.distributed.cfg_parallel import (
+                cfg_combine_rescale,
+            )
+
+            ctx = self.parallel
+            info = ctx.info
+            arch = self.arch
+            pspecs = transformer.param_pspecs(info)
+            sp_ax, cfg_ax = info.sp_axis, info.cfg_axis
+
+            def run(params, lat, txt, txt_lens, t, gscale):
+                b_loc = txt.shape[0]
+                v = transformer.forward(
+                    arch, params,
+                    jnp.concatenate([lat] * b_loc, axis=0),
+                    txt, txt_lens, t, img_shape, parallel=info,
+                )
+                if cfg_ax is not None:
+                    v = cfg_combine_rescale(v, gscale, axis=cfg_ax)
+                elif b_loc == 2:
+                    pos, neg = v[:1], v[1:2]
+                    comb = neg + gscale * (pos - neg)
+                    cn = jnp.linalg.norm(pos, axis=-1, keepdims=True)
+                    nn = jnp.linalg.norm(comb, axis=-1, keepdims=True)
+                    v = comb * (cn / jnp.maximum(nn, 1e-12))
+                return v[:1]
+
+            fn = jax.jit(
+                shard_map(
+                    run,
+                    mesh=ctx.mesh,
+                    in_specs=(
+                        pspecs, P(None, sp_ax), P(cfg_ax), P(cfg_ax),
+                        P(cfg_ax), P(),
+                    ),
+                    out_specs=P(None, sp_ax),
+                    check_vma=False,
+                )
+            )
+            self._fns[key] = fn
         return fn
 
     def _decode_fn(self):
@@ -215,6 +283,28 @@ class QwenImagePipeline:
 
         end = min(state["step"] + count, sp.num_inference_steps)
         latents = state["latents"]
+        if self.parallel is not None and cond is None:
+            pfn = self._parallel_step_fn(img_shape)
+            g_eff = jnp.float32(gscale if do_cfg else 1.0)
+            b = state["txt"].shape[0]
+            for step in range(state["step"], end):
+                sigma = sched.timestep(step)
+                t = jnp.full((b,), sigma, jnp.float32)
+                pred = pfn(
+                    self.params["transformer"], latents, state["txt"],
+                    state["txt_lens"], t, g_eff,
+                )
+                latents, state["sched_state"] = sched.step(
+                    state["sched_state"], pred, latents
+                )
+            state["latents"] = latents
+            state["step"] = end
+            if end >= sp.num_inference_steps:
+                # pull the sp-sharded latents off the mesh before the
+                # (single-device) VAE decode
+                latents = jnp.asarray(np.asarray(latents))
+                return self._finalize(state, latents), state
+            return None, state
         for step in range(state["step"], end):
             sigma = sched.timestep(step)
             t = jnp.full((state["txt"].shape[0],), sigma, jnp.float32)
@@ -315,6 +405,18 @@ class QwenImagePipeline:
         if do_cfg:
             neg_text = getattr(prompt, "negative_text", None) or " "
             branches.append(self.encode_text(neg_text))
+        if self.parallel is not None:
+            if self.parallel.cfg_size == 2 and len(branches) == 1:
+                # the mesh carries a cfg axis but guidance is off: run
+                # the positive branch on both shards (combine with g=1
+                # is the identity)
+                branches.append(pos)
+            if seq_len % self.parallel.sp_size:
+                raise ValueError(
+                    f"image token count {seq_len} not divisible by "
+                    f"ulysses_size={self.parallel.sp_size}; pick a "
+                    "height/width whose latent grid divides sp"
+                )
 
         s_txt = max(b.shape[0] for b in branches)
         s_txt = s_txt + (-s_txt % 8)

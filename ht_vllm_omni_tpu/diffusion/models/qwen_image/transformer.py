@@ -96,6 +96,87 @@ def _layer_params(params: dict) -> dict:
     }
 
 
+# ------------------------------------------------------------- parallel
+def param_pspecs(info) -> dict:
+    """PartitionSpecs for the MMDiT weights under a diffusion mesh
+    (diffusion/parallel.py ShardInfo) — the DiT analog of
+    parallel/mesh.py param_pspecs.
+
+    Megatron layout per dual-stream block: qkv column-parallel over
+    heads (the packed [L, d, 3d] leaf is resharded to [L, d, 3, H, hd]
+    by shard_params so head sharding is a clean dim), attn_out / mlp_w2
+    row-parallel with an in-layer psum, mlp_w1 column-parallel.  With
+    fsdp_axes set, the remaining big dim of every stacked per-layer leaf
+    shards over those axes and is all-gathered just-in-time at layer
+    entry (reference hsdp.py:88,177; idiom of models/qwen2._gather_fsdp).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    tp = info.tp_axis
+    fs = info.fsdp_axes  # tuple of axis names or None
+    specs: dict = {}
+    for s in ("img", "txt"):
+        specs[f"{s}_mod_w"] = P(None, fs, None)
+        specs[f"{s}_mod_b"] = P()
+        specs[f"{s}_qkv_w"] = P(None, fs, None, tp, None)  # [L,d,3,H,hd]
+        specs[f"{s}_qkv_b"] = P(None, None, tp, None)  # [L,3,H,hd]
+        specs[f"{s}_q_norm"] = P()
+        specs[f"{s}_k_norm"] = P()
+        specs[f"{s}_attn_out_w"] = P(None, tp, fs)
+        specs[f"{s}_attn_out_b"] = P()
+        specs[f"{s}_mlp_w1"] = P(None, fs, tp)
+        specs[f"{s}_mlp_b1"] = P(None, tp)
+        specs[f"{s}_mlp_w2"] = P(None, tp, fs)
+        specs[f"{s}_mlp_b2"] = P()
+    for k in ("img_in_w", "img_in_b", "txt_norm", "txt_in_w", "txt_in_b",
+              "t_emb_w1", "t_emb_b1", "t_emb_w2", "t_emb_b2",
+              "norm_out_w", "norm_out_b", "proj_out_w", "proj_out_b"):
+        specs[k] = P()
+    return specs
+
+
+def shard_params(cfg: QwenImageArchConfig, params: dict, ctx) -> dict:
+    """device_put the transformer weights over ctx.mesh with the specs
+    above.  The packed qkv leaves [L, d, 3*H*hd] are reshaped to
+    [L, d, 3, H, hd] (memory order unchanged — the flattened columns are
+    already (q|k|v) x head-major) so tp can shard the head dim; forward
+    detects the 5-D layout and flattens the LOCAL slice back, which
+    keeps the downstream split(3) correct per shard."""
+    import jax as _jax
+    from jax.sharding import NamedSharding
+
+    nh, hd = cfg.num_attention_heads, cfg.attention_head_dim
+    out = dict(params)
+    for s in ("img", "txt"):
+        w = out[f"{s}_qkv_w"]
+        b = out[f"{s}_qkv_b"]
+        if w.ndim == 3:
+            out[f"{s}_qkv_w"] = w.reshape(w.shape[0], w.shape[1], 3, nh, hd)
+            out[f"{s}_qkv_b"] = b.reshape(b.shape[0], 3, nh, hd)
+    specs = param_pspecs(ctx.info)
+    return {
+        k: _jax.device_put(v, NamedSharding(ctx.mesh, specs[k]))
+        for k, v in out.items()
+    }
+
+
+# per-layer gather dim of each fsdp-sharded leaf (post-scan slicing)
+_FSDP_GATHER_DIM = {
+    "mod_w": 0, "qkv_w": 0, "attn_out_w": 1, "mlp_w1": 0, "mlp_w2": 1,
+}
+
+
+def _gather_fsdp(lp: dict, axes) -> dict:
+    if not axes:
+        return lp
+    out = dict(lp)
+    for s in ("img", "txt"):
+        for name, dim in _FSDP_GATHER_DIM.items():
+            k = f"{s}_{name}"
+            out[k] = jax.lax.all_gather(lp[k], axes, axis=dim, tiled=True)
+    return out
+
+
 # --------------------------------------------------------------------- rope
 def normalize_shapes(img_shape) -> tuple[tuple[int, int, int], ...]:
     """Accept one (f, h, w) tuple or a tuple of them (multi-segment
@@ -242,11 +323,25 @@ def forward(
     txt_lens: jax.Array,  # [B] int32 valid text lengths
     timestep: jax.Array,  # [B] fp, sigma in [0, 1]
     img_shape: tuple[int, int, int],  # static (frames, lat_h//2, lat_w//2)
+    *,
+    parallel=None,  # diffusion.parallel.ShardInfo inside shard_map
 ) -> jax.Array:
-    """Velocity prediction [B, S_img, patch**2 * out_channels]."""
+    """Velocity prediction [B, S_img, patch**2 * out_channels].
+
+    With ``parallel`` set this runs INSIDE shard_map over the diffusion
+    mesh (the reference's Attention layer consulting the active parallel
+    strategy, attention/layer.py:94): img_tokens arrive sequence-sharded
+    over sp (the S_img here is the LOCAL token count), weights arrive
+    tp/fsdp-sharded per param_pspecs, attention routes through
+    ulysses_joint_attention, and row-parallel projections psum over tp.
+    """
     b, s_img, _ = img_tokens.shape
     s_txt = txt_embeds.shape[1]
     nh, hd = cfg.num_attention_heads, cfg.attention_head_dim
+    pl = parallel
+    sp_axis = pl.sp_axis if pl else None
+    tp_axis = pl.tp_axis if pl else None
+    sp_size = pl.sp_size if pl else 1
 
     img = (
         jnp.dot(img_tokens.astype(_dtype(cfg)), params["img_in_w"])
@@ -261,7 +356,19 @@ def forward(
     temb_act = jax.nn.silu(temb.astype(jnp.float32)).astype(temb.dtype)
 
     icos, isin, tcos, tsin = rope_cos_sin_3d(cfg, img_shape, s_txt)
+    if sp_axis is not None:
+        # this shard's rows of the (full, statically-shaped) image table
+        sp_idx = jax.lax.axis_index(sp_axis)
+        icos = jax.lax.dynamic_slice_in_dim(icos, sp_idx * s_img, s_img, 0)
+        isin = jax.lax.dynamic_slice_in_dim(isin, sp_idx * s_img, s_img, 0)
     joint_lens = (s_img + txt_lens).astype(jnp.int32)
+
+    def _row_out(x, w, bias, dtype):
+        """Row-parallel projection: dot -> psum over tp -> + bias."""
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        if tp_axis is not None:
+            y = jax.lax.psum(y, tp_axis)
+        return (y + bias.astype(jnp.float32)).astype(dtype)
 
     def block(carry, lp):
         img, txt = carry
@@ -277,11 +384,17 @@ def forward(
         txt_n, txt_gate1 = _modulate(_layer_norm(txt), txt_mod1)
 
         def qkv(x, w, bias, qn, kn, cos, sin):
+            if w.ndim == 4:  # sharded layout [d, 3, H_loc, hd]
+                n_loc = w.shape[2]
+                w = w.reshape(w.shape[0], -1)
+                bias = bias.reshape(-1)
+            else:
+                n_loc = nh
             y = jnp.dot(x, w) + bias
             q, k, v = jnp.split(y, 3, axis=-1)
-            q = q.reshape(b, -1, nh, hd)
-            k = k.reshape(b, -1, nh, hd)
-            v = v.reshape(b, -1, nh, hd)
+            q = q.reshape(b, -1, n_loc, hd)
+            k = k.reshape(b, -1, n_loc, hd)
+            v = v.reshape(b, -1, n_loc, hd)
             q = rms_norm(q, qn, 1e-6)
             k = rms_norm(k, kn, 1e-6)
             q = apply_rope_interleaved(q, cos, sin)
@@ -296,36 +409,71 @@ def forward(
             txt_n, lp["txt_qkv_w"], lp["txt_qkv_b"],
             lp["txt_q_norm"], lp["txt_k_norm"], tcos, tsin,
         )
-        # [img || txt] so text padding is a tail the kernel masks via lens
-        q = jnp.concatenate([iq, tq], axis=1).transpose(0, 2, 1, 3)
-        k = jnp.concatenate([ik, tk], axis=1).transpose(0, 2, 1, 3)
-        v = jnp.concatenate([iv, tv], axis=1).transpose(0, 2, 1, 3)
-        o = flash_attention(q, k, v, joint_lens, causal=False)
-        o = o.transpose(0, 2, 1, 3).reshape(b, s_img + s_txt, nh * hd)
-        o_img, o_txt = o[:, :s_img], o[:, s_img:]
+        n_loc = iq.shape[2]
+        if sp_axis is not None:
+            from ht_vllm_omni_tpu.diffusion.distributed.sp_ulysses import (
+                ulysses_joint_attention,
+            )
 
-        img = img + img_gate1 * (
-            jnp.dot(o_img, lp["img_attn_out_w"]) + lp["img_attn_out_b"]
-        ).astype(img.dtype)
-        txt = txt + txt_gate1 * (
-            jnp.dot(o_txt, lp["txt_attn_out_w"]) + lp["txt_attn_out_b"]
-        ).astype(txt.dtype)
+            o_imgs, o_txts = [], []
+            for i in range(b):  # b is 1 (cfg-parallel) or 2; static
+                oi, ot = ulysses_joint_attention(
+                    iq[i].transpose(1, 0, 2), ik[i].transpose(1, 0, 2),
+                    iv[i].transpose(1, 0, 2), tq[i].transpose(1, 0, 2),
+                    tk[i].transpose(1, 0, 2), tv[i].transpose(1, 0, 2),
+                    axis=sp_axis, sp_size=sp_size, txt_len=txt_lens[i],
+                )
+                o_imgs.append(oi.transpose(1, 0, 2))
+                o_txts.append(ot.transpose(1, 0, 2))
+            o_img = jnp.stack(o_imgs).reshape(b, s_img, n_loc * hd)
+            o_txt = jnp.stack(o_txts).reshape(b, s_txt, n_loc * hd)
+        else:
+            # [img || txt]: text padding is a tail the kernel masks via
+            # lens
+            q = jnp.concatenate([iq, tq], axis=1).transpose(0, 2, 1, 3)
+            k = jnp.concatenate([ik, tk], axis=1).transpose(0, 2, 1, 3)
+            v = jnp.concatenate([iv, tv], axis=1).transpose(0, 2, 1, 3)
+            o = flash_attention(q, k, v, joint_lens, causal=False)
+            o = o.transpose(0, 2, 1, 3).reshape(
+                b, s_img + s_txt, n_loc * hd
+            )
+            o_img, o_txt = o[:, :s_img], o[:, s_img:]
 
-        # ---- MLPs
+        img = img + img_gate1 * _row_out(
+            o_img, lp["img_attn_out_w"], lp["img_attn_out_b"], img.dtype
+        )
+        txt = txt + txt_gate1 * _row_out(
+            o_txt, lp["txt_attn_out_w"], lp["txt_attn_out_b"], txt.dtype
+        )
+
+        # ---- MLPs (column -> row parallel; psum folded into _row_out)
+        def mlp(x, w1, b1, w2, b2):
+            h = jnp.dot(
+                x, w1, preferred_element_type=jnp.float32
+            ) + b1.astype(jnp.float32)
+            h = jax.nn.gelu(h, approximate=True).astype(x.dtype)
+            return _row_out(h, w2, b2, x.dtype)
+
         img_n2, img_gate2 = _modulate(_layer_norm(img), img_mod2)
-        img = img + img_gate2 * _mlp_gelu(
+        img = img + img_gate2 * mlp(
             img_n2, lp["img_mlp_w1"], lp["img_mlp_b1"],
             lp["img_mlp_w2"], lp["img_mlp_b2"],
-        ).astype(img.dtype)
+        )
         txt_n2, txt_gate2 = _modulate(_layer_norm(txt), txt_mod2)
-        txt = txt + txt_gate2 * _mlp_gelu(
+        txt = txt + txt_gate2 * mlp(
             txt_n2, lp["txt_mlp_w1"], lp["txt_mlp_b1"],
             lp["txt_mlp_w2"], lp["txt_mlp_b2"],
-        ).astype(txt.dtype)
+        )
         return (img, txt), None
 
+    fsdp_axes = pl.fsdp_axes if pl else None
+
+    def block_fsdp(carry, lp):
+        return block(carry, _gather_fsdp(lp, fsdp_axes))
+
     (img, txt), _ = jax.lax.scan(
-        block, (img, txt), _layer_params(params)
+        block_fsdp if fsdp_axes else block, (img, txt),
+        _layer_params(params),
     )
 
     # AdaLN-continuous head: linear(silu(temb)) -> (scale, shift)

@@ -13,10 +13,10 @@ from typing import Any, Callable
 from ht_vllm_omni_tpu.diffusion.data import OmniDiffusionConfig
 
 
-def _generic(config: OmniDiffusionConfig) -> Any:
+def _generic(config: OmniDiffusionConfig, parallel=None) -> Any:
     from ht_vllm_omni_tpu.diffusion.models.pipeline_flow import FlowPipeline
 
-    kwargs: dict[str, Any] = {}
+    kwargs: dict[str, Any] = {"parallel": parallel}
     if config.cache_backend == "tea_cache":
         from ht_vllm_omni_tpu.diffusion.cache.teacache import TeaCacheConfig
 
@@ -43,13 +43,14 @@ def _generic(config: OmniDiffusionConfig) -> Any:
     return FlowPipeline(config.arch, seed=config.seed, **kwargs)
 
 
-def _qwen_image(config: OmniDiffusionConfig) -> Any:
+def _qwen_image(config: OmniDiffusionConfig, parallel=None) -> Any:
     from ht_vllm_omni_tpu.diffusion.models.qwen_image import (
         QwenImagePipeline,
     )
     from ht_vllm_omni_tpu.diffusion.models.qwen_image import loader
 
     kwargs: dict[str, Any] = dict(config.family_options)
+    kwargs["parallel"] = parallel
     if config.model_path:
         from ht_vllm_omni_tpu.diffusion.models.qwen_image.config import (
             QwenImageArchConfig,
@@ -72,6 +73,12 @@ def _qwen_image(config: OmniDiffusionConfig) -> Any:
             seed=config.seed, **kwargs,
         )
     return QwenImagePipeline(seed=config.seed, **kwargs)
+
+
+# families whose factories accept a parallel context (served multichip
+# execution); the rest get a precise error instead of silently running
+# single-chip with parallel sizes > 1
+_PARALLEL_FAMILIES = {"generic", "qwen-image"}
 
 
 def _qwen_image_variant(cls_name: str):
@@ -292,7 +299,12 @@ PIPELINE_FAMILIES: dict[str, Callable[[OmniDiffusionConfig], Any]] = {
 }
 
 
-def create_pipeline(config: OmniDiffusionConfig) -> Any:
+def create_pipeline(config: OmniDiffusionConfig, parallel=None) -> Any:
+    """Build the family's pipeline; ``parallel`` is the
+    DiffusionParallelContext built by DiffusionEngine from
+    OmniDiffusionConfig.parallel (diffusion/parallel.py) — supporting
+    families shard their weights over it and run every denoise step
+    in-mesh."""
     family = getattr(config, "family", "generic") or "generic"
     try:
         factory = PIPELINE_FAMILIES[family]
@@ -301,4 +313,12 @@ def create_pipeline(config: OmniDiffusionConfig) -> Any:
             f"unknown diffusion family {family!r}; known: "
             f"{sorted(PIPELINE_FAMILIES)}"
         ) from None
+    if parallel is not None:
+        if family not in _PARALLEL_FAMILIES:
+            raise ValueError(
+                f"diffusion family {family!r} does not support parallel "
+                f"execution yet (supported: {sorted(_PARALLEL_FAMILIES)});"
+                " set parallel sizes to 1"
+            )
+        return factory(config, parallel=parallel)
     return factory(config)

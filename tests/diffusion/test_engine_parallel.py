@@ -1,0 +1,164 @@
+"""Diffusion parallelism THROUGH DiffusionEngine (VERDICT r4 #1/#2).
+
+Every request served by DiffusionEngine must be able to run in-mesh:
+the engine builds a cfg x sp x tp Mesh from OmniDiffusionConfig.parallel
+(diffusion/parallel.py build_context), supporting pipelines shard their
+DiT weights over it, and denoise steps execute inside jit(shard_map(...))
+— the TPU analog of the reference's DiffusionWorker.init_device ->
+initialize_model_parallel (diffusion/worker/diffusion_worker.py:100-144).
+Parity is asserted against the single-device engine on the virtual
+8-device CPU mesh.
+"""
+
+import numpy as np
+
+import jax
+import pytest
+
+from ht_vllm_omni_tpu.diffusion.data import (
+    DiffusionParallelConfig,
+    DiffusionSamplingParams,
+    DiTArchConfig,
+    OmniDiffusionConfig,
+)
+from ht_vllm_omni_tpu.diffusion.diffusion_engine import DiffusionEngine
+from ht_vllm_omni_tpu.diffusion.models.qwen_image.config import (
+    QwenImageArchConfig,
+    QwenImageVAEConfig,
+)
+from ht_vllm_omni_tpu.inputs import OmniPrompt
+
+
+def _qwen_cfg(parallel=None, **popts):
+    return OmniDiffusionConfig(
+        family="qwen-image",
+        family_options={
+            "arch": QwenImageArchConfig.tiny().__class__(
+                in_channels=16, out_channels=4, num_layers=2,
+                attention_head_dim=32, num_attention_heads=4,
+                joint_attention_dim=64, axes_dims_rope=(8, 12, 12),
+                dtype="float32",
+            ),
+            "vae_cfg": QwenImageVAEConfig.tiny(),
+        },
+        parallel=parallel or DiffusionParallelConfig(**popts),
+        seed=3,
+    )
+
+
+def _run(engine, size="32x32", steps=3, guidance=4.0, seed=11):
+    engine.add_request(
+        OmniPrompt(
+            text="a red fox",
+            additional_information={
+                "size": size, "num_inference_steps": steps,
+                "guidance_scale": guidance, "seed": seed,
+            },
+        ),
+        request_id="r",
+    )
+    out = engine.step()[0]
+    assert out.finished and out.error is None, out.error
+    return np.asarray(out.multimodal_output["image"], np.int32)
+
+
+def test_engine_qwen_image_sp2_cfg2_parity():
+    ref = _run(DiffusionEngine(_qwen_cfg()))
+    eng = DiffusionEngine(
+        _qwen_cfg(cfg_parallel_size=2, ulysses_size=2)
+    )
+    assert eng.parallel is not None and eng.parallel.world_size == 4
+    par = _run(eng)
+    assert par.shape == ref.shape
+    # identical math modulo collective reduction order; one uint8 step
+    assert np.max(np.abs(par - ref)) <= 2
+
+
+def test_engine_qwen_image_sp2_cfg2_tp2_parity():
+    ref = _run(DiffusionEngine(_qwen_cfg()))
+    eng = DiffusionEngine(
+        _qwen_cfg(
+            cfg_parallel_size=2, ulysses_size=2, tensor_parallel_size=2
+        )
+    )
+    assert eng.parallel.world_size == 8
+    par = _run(eng)
+    assert np.max(np.abs(par - ref)) <= 2
+
+
+def test_engine_qwen_image_guidance_off_with_cfg_axis():
+    """cfg axis active but guidance <= 1: both shards run the positive
+    branch and the g=1 combine is the identity."""
+    ref = _run(DiffusionEngine(_qwen_cfg()), guidance=1.0)
+    par = _run(
+        DiffusionEngine(_qwen_cfg(cfg_parallel_size=2, ulysses_size=2)),
+        guidance=1.0,
+    )
+    assert np.max(np.abs(par - ref)) <= 2
+
+
+def test_engine_generic_sp2_cfg2_parity():
+    arch = DiTArchConfig(
+        hidden_size=64, num_layers=2, num_heads=4, patch_size=2,
+        in_channels=4, cond_dim=64, vocab_size=64, dtype="float32",
+    )
+    sp = dict(size="32x32", steps=4, guidance=3.0, seed=7)
+    ref = _run(DiffusionEngine(OmniDiffusionConfig(arch=arch)), **sp)
+    eng = DiffusionEngine(
+        OmniDiffusionConfig(
+            arch=arch,
+            parallel=DiffusionParallelConfig(
+                cfg_parallel_size=2, ulysses_size=2
+            ),
+        )
+    )
+    par = _run(eng, **sp)
+    assert np.max(np.abs(par - ref)) <= 2
+
+
+def test_fsdp_weight_sharding_cuts_per_device_bytes():
+    """HSDP-equivalent: stacked DiT leaves shard over cfg x sp (and tp),
+    so per-device weight bytes ~= total/N (reference hsdp.py:88,177)."""
+    eng = DiffusionEngine(
+        _qwen_cfg(
+            parallel=DiffusionParallelConfig(
+                cfg_parallel_size=2, ulysses_size=2,
+                tensor_parallel_size=2, fsdp_weights=True,
+            )
+        )
+    )
+    tx = eng.pipeline.params["transformer"]
+    big = tx["img_qkv_w"]  # [L, d, 3, H, hd]
+    local = big.addressable_shards[0].data.size
+    assert local * 8 == big.size, (local, big.size)
+    # mlp leaves shard over fsdp x tp as well
+    w1 = tx["img_mlp_w1"]
+    assert w1.addressable_shards[0].data.size * 8 == w1.size
+    # parity still holds with fsdp gathering in the scan
+    ref = _run(DiffusionEngine(_qwen_cfg()))
+    par = _run(eng)
+    assert np.max(np.abs(par - ref)) <= 2
+
+
+def test_unsupported_family_with_parallel_raises():
+    cfg = OmniDiffusionConfig(
+        family="flux",
+        parallel=DiffusionParallelConfig(ulysses_size=2),
+    )
+    with pytest.raises(ValueError, match="does not support parallel"):
+        DiffusionEngine(cfg)
+
+
+def test_uneven_tokens_for_sp_raises():
+    eng = DiffusionEngine(_qwen_cfg(ulysses_size=8, cfg_parallel_size=1))
+    eng.add_request(
+        OmniPrompt(
+            text="x",
+            additional_information={
+                "size": "12x12", "num_inference_steps": 2,
+            },
+        ),
+        request_id="r",
+    )
+    out = eng.step()[0]
+    assert out.error is not None and "divisible" in out.error

@@ -533,6 +533,53 @@ async def _test_images_endpoint_round2_families():
             engine.shutdown()
 
 
+def test_images_endpoint_parallel_engine():
+    """/v1/images/generations accepts parallel config (VERDICT r4 #1):
+    a diffusion stage configured cfg2 x sp2 serves the request in-mesh
+    through DiffusionEngine on the virtual 8-device mesh."""
+    _run(_test_images_endpoint_parallel_engine())
+
+
+async def _test_images_endpoint_parallel_engine():
+    from ht_vllm_omni_tpu.config.stage_config import StageType
+    from ht_vllm_omni_tpu.diffusion.engine_adapter import (
+        build_diffusion_stage,
+    )
+
+    s0 = StageConfig(
+        stage_id=0, model_stage="dit", stage_type=StageType.DIFFUSION,
+        worker_type="generation", final_output=True,
+        final_output_type="image",
+        engine_args={
+            "family": "generic",
+            "parallel": {"cfg_parallel_size": 2, "ulysses_size": 2},
+        },
+    )
+    eng = build_diffusion_stage(s0, None)
+    assert eng.parallel is not None and eng.parallel.world_size == 4
+    pipeline = PipelineConfig("img_parallel", [s0])
+    pipeline.validate()
+    engine = AsyncOmniEngine(pipeline, [StageHandle(s0, eng)])
+    server = OmniAPIServer(engine, FakeTokenizer())
+    client = TestClient(TestServer(server.build_app()))
+    await client.start_server()
+    try:
+        r = await client.post(
+            "/v1/images/generations",
+            json={
+                "prompt": "a lighthouse", "size": "32x32",
+                "num_inference_steps": 2, "guidance_scale": 3.0,
+                "seed": 3,
+            },
+        )
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert data["data"]
+    finally:
+        await client.close()
+        engine.shutdown()
+
+
 def test_video_list_and_delete():
     _run(_test_video_list_and_delete())
 
