@@ -306,6 +306,9 @@ class LLMEngine:
                 and not req.additional_information.get("mm_embeds")
                 and req.additional_information.get("mrope_positions") is None
                 and not req.sampling_params.return_hidden_states
+                # logprobs needs the prefill hidden row to score the
+                # entry token; the batched program doesn't export it
+                and not req.sampling_params.logprobs
                 and req.request_id not in self._guided
             ]
         batched_ids = (

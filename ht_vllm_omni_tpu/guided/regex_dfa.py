@@ -197,12 +197,25 @@ class _Parser:
     def _atom(self) -> _Frag:
         c = self.take()
         if c == 0x28:  # (
-            # non-capturing group markers pass through
-            if self.peek() == 0x3F and self.i + 1 < len(self.b) and (
-                self.b[self.i + 1] == 0x3A
-            ):
-                self.take()
-                self.take()
+            # non-capturing group markers pass through; every other (?
+            # construct (lookahead (?= (?!, lookbehind (?<, named groups
+            # (?P<, flags (?i...) is unsupported — reject loudly rather
+            # than silently matching the marker bytes as literals
+            if self.peek() == 0x3F:
+                if self.i + 1 < len(self.b) and self.b[self.i + 1] == 0x3A:
+                    self.take()
+                    self.take()
+                else:
+                    nxt = (
+                        chr(self.b[self.i + 1])
+                        if self.i + 1 < len(self.b) else ""
+                    )
+                    raise ValueError(
+                        f"unsupported group construct '(?{nxt}' — only "
+                        "plain (...) and non-capturing (?:...) groups "
+                        "are supported (no lookaround, named groups, "
+                        "or inline flags)"
+                    )
             f = self._alt()
             if self.peek() != 0x29:
                 raise ValueError("unbalanced group")
@@ -234,6 +247,19 @@ class _Parser:
         if e == 0x78:  # \xHH
             h = bytes([self.take(), self.take()]).decode()
             return frozenset([int(h, 16)])
+        if 0x31 <= e <= 0x39:  # \1..\9
+            raise ValueError(
+                f"backreference \\{chr(e)} is not supported (the "
+                "compiler builds a true DFA; backreferences need a "
+                "backtracking engine)"
+            )
+        if e in (0x62, 0x42, 0x41, 0x5A, 0x7A, 0x70, 0x50):
+            # \b \B \A \Z \z \p \P — anchors/boundaries/unicode classes
+            raise ValueError(
+                f"escape \\{chr(e)} is not supported (patterns "
+                "full-match the output; word boundaries and unicode "
+                "property classes are unavailable)"
+            )
         return frozenset([e])  # literal escape (\. \\ \" \[ ...)
 
     def _char_class(self) -> frozenset:

@@ -19,6 +19,8 @@ TOPK_CANDIDATES = 64
 # per-slot logit_bias capacity (OpenAI caps requests at 300 entries;
 # 64 covers practical use — the API layer truncates with a warning)
 MAX_LOGIT_BIAS = 64
+# alternatives returned per sampled token (logprobs mode)
+MAX_TOP_LOGPROBS = 5
 
 
 @dataclasses.dataclass

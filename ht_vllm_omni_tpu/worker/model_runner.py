@@ -53,6 +53,8 @@ from ht_vllm_omni_tpu.ops.kv_cache_update import (
     flush_kv_rows_donated as flush_kv_rows_donated_entry,
 )
 from ht_vllm_omni_tpu.sample.sampler import (
+    MAX_LOGIT_BIAS,
+    MAX_TOP_LOGPROBS,
     apply_presence_frequency,
     SamplingTensors,
     apply_repetition_penalty,
@@ -64,7 +66,6 @@ logger = logging.getLogger(__name__)
 
 _PAGES_DEFAULT_CPU = 512
 MAX_STOP_TOKENS = 8
-MAX_TOP_LOGPROBS = 5  # alternatives returned per sampled token
 _NO_TOKEN = -1
 
 
@@ -887,11 +888,6 @@ class ARModelRunner(SpecDecodeMixin):
         self.h_presence[slot] = pres
         self.h_freq[slot] = freq
         if freq != 0.0:
-            if self.pp > 1:
-                raise NotImplementedError(
-                    "frequency_penalty under pipeline parallelism "
-                    "(logits live on the last pp stage only)"
-                )
             if self.freq_counts is None:
                 counts = jnp.zeros(
                     (self.max_slots, self.arch.vocab_size), jnp.int32
@@ -1054,11 +1050,6 @@ class ARModelRunner(SpecDecodeMixin):
         lb = getattr(sp, "logit_bias", None)
         if not lb:
             return
-        if self.pp > 1:
-            raise NotImplementedError(
-                "logit_bias under pipeline parallelism (logits live on "
-                "the last pp stage only)"
-            )
         items = list(lb.items())[:MAX_LOGIT_BIAS]
         for j, (tok, val) in enumerate(items):
             t = int(tok)
@@ -1137,6 +1128,10 @@ class ARModelRunner(SpecDecodeMixin):
                 scalar,  # top_k
                 scalar,  # top_p
                 scalar,  # allow (lo, hi, stop ids)
+                scalar,  # bias_ids [1, MAX_LOGIT_BIAS]
+                scalar,  # bias_val
+                scalar,  # guided_mask [1, V]
+                scalar,  # min_p [1]
             )
             out_specs = (
                 cache_spec,
@@ -1259,12 +1254,28 @@ class ARModelRunner(SpecDecodeMixin):
             st.top_k,
             st.top_p,
             _allow_vec(sp),
-            # logit_bias / guided masks ride only the single-mesh
-            # program (the shard_map variant has fixed arity;
-            # _set_logit_bias rejects bias under a mesh)
+            # logit_bias / guided masks / min_p: the single-mesh jit
+            # specializes per-kwarg (None skips the op); the shard_map
+            # variant has fixed arity, so identity fillers ride instead
             *(
                 (st.bias_ids, st.bias_val, guided_mask, st.min_p)
-                if self.mesh is None else ()
+                if self.mesh is None
+                else (
+                    st.bias_ids
+                    if st.bias_ids is not None
+                    else np.full(
+                        (1, MAX_LOGIT_BIAS), 1 << 30, np.int32
+                    ),
+                    st.bias_val
+                    if st.bias_val is not None
+                    else np.zeros((1, MAX_LOGIT_BIAS), np.float32),
+                    guided_mask
+                    if guided_mask is not None
+                    else np.ones((1, self.arch.vocab_size), bool),
+                    st.min_p
+                    if st.min_p is not None
+                    else np.zeros((1,), np.float32),
+                )
             ),
         )
         # host mirror for the upcoming decode chunks
@@ -2086,11 +2097,6 @@ class ARModelRunner(SpecDecodeMixin):
         fn = self._decode_fns.get(key)
         if fn is not None:
             return fn
-        if collect_logprobs and self.pp > 1:
-            raise NotImplementedError(
-                "logprobs under pipeline parallelism (the logit stream "
-                "lives on the last pp stage; ride hidden states instead)"
-            )
         if self.mesh is None:
             prog = functools.partial(
                 self._decode_program,
@@ -2125,6 +2131,7 @@ class ARModelRunner(SpecDecodeMixin):
                     self.kv_scales,
                     ARModelRunner,
                     collect_hidden,
+                    collect_logprobs,
                     self.step_adapter,
                 )
             else:
@@ -2290,11 +2297,6 @@ class ARModelRunner(SpecDecodeMixin):
             else:
                 extras += [self.h_bias_ids, self.h_bias_val]
         if guided_mask is not None:
-            if self.pp > 1:
-                raise NotImplementedError(
-                    "guided decoding under pipeline parallelism (logits "
-                    "live on the last pp stage only)"
-                )
             assert num_steps == 1, (
                 "guided chunks are 1 step wide (the host advances the "
                 "grammar DFA between tokens)"

@@ -29,7 +29,9 @@ import jax.numpy as jnp
 from ht_vllm_omni_tpu.models import qwen2
 from ht_vllm_omni_tpu.models.layers import rms_norm
 from ht_vllm_omni_tpu.sample.sampler import (
+    MAX_TOP_LOGPROBS,
     SamplingTensors,
+    apply_presence_frequency,
     apply_repetition_penalty,
     sample_tokens,
 )
@@ -63,6 +65,7 @@ def decode_program_pp(
     kv_scales,
     runner_cls,
     collect_hidden,
+    collect_logprobs,
     adapter,
     params,
     kv_cache,  # [L/pp, NSLOTS_local, 2F_local] donated
@@ -73,6 +76,11 @@ def decode_program_pp(
     f32_state,  # [3, S_l] temperature, top_p, repetition_penalty
     block_tables,  # [S_l, P]
     seen_mask,  # [S_l, V] bool — repetition-penalty history
+    bias_ids=None,  # [S_l, MAX_LOGIT_BIAS] int32 (logit_bias)
+    bias_val=None,  # [S_l, MAX_LOGIT_BIAS] f32
+    guided_slots=None,  # [1, G] int32 dp-local slot ids (s_l = pad)
+    guided_rows=None,  # [1, G, V] bool — 1-step guided chunks only
+    freq_counts=None,  # [S_l, V] int32 output-token counts
 ):
     """Per-shard body (shard_map over (dp, pp, tp)); same in/out
     signature as ARModelRunner._decode_program.  With collect_hidden the
@@ -82,7 +90,13 @@ def decode_program_pp(
     thinker->talker pipelines (return_hidden_states) run under pp>1.
     Step adapters (worker/step_adapter.py) run their head on the last
     stage too; the aux row rides the microbatch ring back to stage 0,
-    whose adapter embed consumes it next step."""
+    whose adapter embed consumes it next step.
+
+    Sampling extras (logit_bias, guided vocab masks, frequency counts,
+    logprobs) apply where the logits live — the LAST pp stage; their
+    updated state / collected streams broadcast to all pp shards at the
+    end like the token stream (reference serves these regardless of
+    parallel config — upstream vLLM v1 samples on the final PP rank)."""
     R = runner_cls
     p = jax.lax.axis_index(pp_axis)
     positions = int_state[R._ROW_POS]
@@ -101,6 +115,7 @@ def decode_program_pp(
     rep_penalty = f32_state[2]
     min_p = f32_state[3] if f32_state.shape[0] > 3 else None
     presence = f32_state[4] if f32_state.shape[0] > 4 else None
+    frequency = f32_state[5] if f32_state.shape[0] > 5 else None
 
     s_l = token_state.shape[0]
     s_mb = s_l // pp
@@ -109,6 +124,7 @@ def decode_program_pp(
     l_local = kv_cache.shape[0]
     true_f = cfg.num_key_value_heads * cfg.head_dim
     dt = params["embed"].dtype
+    use_counts = freq_counts is not None
 
     entry_stop = R._stop_mask(token_state, emitted, stops, min_tokens, limit)
     active0 = jnp.logical_and(
@@ -117,6 +133,32 @@ def decode_program_pp(
     seq_lens0 = jnp.where(active0, positions, 0)
     pos0 = positions
     entry_tokens = token_state
+
+    # prefill-sampled entry tokens never passed the loop's seen update:
+    # mark them so repetition/presence/frequency penalties see the first
+    # generated token too (mirrors _decode_program; idempotent for
+    # resumed chunks — counts increment only for FRESH slots)
+    entry_mark = jnp.where(
+        jnp.logical_and(active0, token_state >= 0),
+        token_state, cfg.vocab_size,
+    )
+    seen_mask = seen_mask.at[
+        jnp.arange(s_l), entry_mark
+    ].set(True, mode="drop")
+    if use_counts:
+        freq_counts = freq_counts.at[
+            jnp.arange(s_l),
+            jnp.where(fresh, entry_mark, cfg.vocab_size),
+        ].add(1, mode="drop")
+
+    if guided_slots is not None:
+        # [1, G]/[1, G, V] per-dp-shard rows with dp-LOCAL slot ids;
+        # scatter onto the full mask (padding slot ids drop)
+        guided_slots = guided_slots.reshape(-1)
+        guided_rows = guided_rows.reshape(-1, guided_rows.shape[-1])
+        guided_full = jnp.ones(
+            (s_l, guided_rows.shape[-1]), bool
+        ).at[guided_slots].set(guided_rows, mode="drop")
 
     def sl1(a, off):
         return jax.lax.dynamic_slice_in_dim(a, off, s_mb, axis=0)
@@ -127,9 +169,9 @@ def decode_program_pp(
     rounds = k_steps * pp + pp - 1
 
     def round_body(r, carry):
-        (keys, kv_cache, seen, tokens_out, hidden_out, fin_tok,
-         fin_pos, fin_act, fin_emit, fin_aux, bh, btok, bpos, bact,
-         bemit, baux) = carry
+        (keys, kv_cache, seen, counts, tokens_out, hidden_out, lp_out,
+         ti_out, tv_out, fin_tok, fin_pos, fin_act, fin_emit, fin_aux,
+         bh, btok, bpos, bact, bemit, baux) = carry
         m = jnp.mod(r - p, pp)
         t_raw = (r - p) // pp
         valid = jnp.logical_and(r >= p, t_raw < k_steps)
@@ -180,22 +222,53 @@ def decode_program_pp(
                 logits, seen_m, sl1(rep_penalty, off)
             )
             if presence is not None:
-                from ht_vllm_omni_tpu.sample.sampler import (
-                    apply_presence_frequency,
+                counts_m = (
+                    jax.lax.dynamic_slice(
+                        counts, (off, 0), (s_mb, counts.shape[1])
+                    )
+                    if use_counts else None
                 )
-
                 logits = apply_presence_frequency(
-                    logits, seen_m, sl1(presence, off), None, None
+                    logits, seen_m, sl1(presence, off), counts_m,
+                    sl1(frequency, off) if use_counts else None,
                 )
             logits = R._window_logits(
                 logits, sl1(allow_lo, off), sl1(allow_hi, off),
                 sl1(stops, off),
             )
+            if guided_slots is not None:
+                gm = jax.lax.dynamic_slice(
+                    guided_full, (off, 0), (s_mb, guided_full.shape[1])
+                )
+                logits = jnp.where(gm, logits, jnp.float32(-1e30))
             st = SamplingTensors(
                 sl1(temperature, off), sl1(top_k, off), sl1(top_p, off),
+                bias_ids=(
+                    jax.lax.dynamic_slice(
+                        bias_ids, (off, 0), (s_mb, bias_ids.shape[1])
+                    )
+                    if bias_ids is not None else None
+                ),
+                bias_val=(
+                    jax.lax.dynamic_slice(
+                        bias_val, (off, 0), (s_mb, bias_val.shape[1])
+                    )
+                    if bias_val is not None else None
+                ),
                 min_p=sl1(min_p, off) if min_p is not None else None,
             )
             sampled = sample_tokens(logits, st, step_keys)
+            if collect_logprobs:
+                # over the PROCESSED logits (post-penalties/window/mask
+                # but pre-bias — bias applies inside sample_tokens;
+                # matches _decode_program which also computes over the
+                # pre-bias processed logits)
+                lse = jax.nn.logsumexp(logits, axis=-1)
+                lp_m = jnp.take_along_axis(
+                    logits, jnp.maximum(sampled, 0)[:, None], axis=-1
+                )[:, 0] - lse
+                tv_m, ti_m = jax.lax.top_k(logits, MAX_TOP_LOGPROBS)
+                tv_m = tv_m - lse[:, None]
             cols = jnp.where(
                 jnp.logical_and(act_eff, p == pp - 1),
                 sampled, seen.shape[1],
@@ -203,10 +276,18 @@ def decode_program_pp(
             seen = seen.at[
                 off + jnp.arange(s_mb), cols
             ].set(True, mode="drop")
+            if use_counts:
+                counts = counts.at[
+                    off + jnp.arange(s_mb), cols
+                ].add(1, mode="drop")
             aux_new = aux_in
         else:
             sampled, aux_new = adapter.head(params, hn, pos_in)
             aux_new = jnp.where(act_eff[:, None], aux_new, aux_in)
+            if collect_logprobs:
+                lp_m = jnp.zeros((s_mb,), jnp.float32)
+                tv_m = jnp.zeros((s_mb, MAX_TOP_LOGPROBS), jnp.float32)
+                ti_m = jnp.zeros((s_mb, MAX_TOP_LOGPROBS), jnp.int32)
         sampled = jnp.where(act_eff, sampled, _NO_TOKEN)
         emit_new = emit_in + act_eff.astype(jnp.int32)
         stop = R._stop_mask(
@@ -230,6 +311,23 @@ def decode_program_pp(
             hidden_out = jax.lax.dynamic_update_slice(
                 hidden_out, hrow, (t, off, 0)
             )
+        if collect_logprobs:
+            lrow = jax.lax.dynamic_slice(lp_out, (t, off), (1, s_mb))
+            lp_out = jax.lax.dynamic_update_slice(
+                lp_out, jnp.where(do, lp_m[None], lrow), (t, off)
+            )
+            irow = jax.lax.dynamic_slice(
+                ti_out, (t, off, 0), (1, s_mb, MAX_TOP_LOGPROBS)
+            )
+            ti_out = jax.lax.dynamic_update_slice(
+                ti_out, jnp.where(do, ti_m[None], irow), (t, off, 0)
+            )
+            vrow = jax.lax.dynamic_slice(
+                tv_out, (t, off, 0), (1, s_mb, MAX_TOP_LOGPROBS)
+            )
+            tv_out = jax.lax.dynamic_update_slice(
+                tv_out, jnp.where(do, tv_m[None], vrow), (t, off, 0)
+            )
         fin = jnp.logical_and(do, t == k_steps - 1)
         fin_tok = jnp.where(fin, up1(fin_tok, sampled, off), fin_tok)
         fin_pos = jnp.where(fin, up1(fin_pos, pos_new, off), fin_pos)
@@ -251,17 +349,28 @@ def decode_program_pp(
         bh, btok, bpos, bact, bemit, baux = _ring(
             pp_axis, pp, bh_o, btok_o, bpos_o, bact_o, bemit_o, baux_o
         )
-        return (keys, kv_cache, seen, tokens_out, hidden_out,
-                fin_tok, fin_pos, fin_act, fin_emit, fin_aux, bh, btok,
-                bpos, bact, bemit, baux)
+        return (keys, kv_cache, seen, counts, tokens_out, hidden_out,
+                lp_out, ti_out, tv_out, fin_tok, fin_pos, fin_act,
+                fin_emit, fin_aux, bh, btok, bpos, bact, bemit, baux)
 
     aux_w = aux_state.shape[1]
     init = (
         keys,
         kv_cache,
         seen_mask,
+        freq_counts if use_counts else jnp.zeros((1, 1), jnp.int32),
         jnp.full((k_steps, s_l), _NO_TOKEN, jnp.int32),
         jnp.zeros((k_steps, s_l, h_dim) if collect_hidden else (1,), dt),
+        jnp.zeros((k_steps, s_l) if collect_logprobs else (1,),
+                  jnp.float32),
+        jnp.zeros(
+            (k_steps, s_l, MAX_TOP_LOGPROBS) if collect_logprobs
+            else (1,), jnp.int32,
+        ),
+        jnp.zeros(
+            (k_steps, s_l, MAX_TOP_LOGPROBS) if collect_logprobs
+            else (1,), jnp.float32,
+        ),
         token_state,
         pos0,
         active0,
@@ -274,14 +383,19 @@ def decode_program_pp(
         jnp.zeros((s_mb,), jnp.int32),
         jnp.zeros((s_mb, aux_w), jnp.int32),
     )
-    (keys, kv_cache, seen_mask, tokens_out, hidden_out, fin_tok,
-     fin_pos, fin_act, fin_emit, fin_aux, *_) = jax.lax.fori_loop(
-        0, rounds, round_body, init
-    )
+    (keys, kv_cache, seen_mask, freq_out, tokens_out, hidden_out,
+     lp_out, ti_out, tv_out, fin_tok, fin_pos, fin_act, fin_emit,
+     fin_aux, *_) = jax.lax.fori_loop(0, rounds, round_body, init)
     # the mask is written on the last pp stage only; align all shards
     seen_mask = _bcast_from(
         seen_mask.astype(jnp.int32), pp_axis, p == pp - 1
     ).astype(bool)
+    if use_counts:
+        freq_counts = _bcast_from(freq_out, pp_axis, p == pp - 1)
+    if collect_logprobs:
+        lp_out = _bcast_from(lp_out, pp_axis, p == pp - 1)
+        ti_out = _bcast_from(ti_out, pp_axis, p == pp - 1)
+        tv_out = _bcast_from(tv_out, pp_axis, p == pp - 1)
 
     # broadcast the last stage's bookkeeping to every pp shard so the
     # returned (pp-replicated) state agrees everywhere
@@ -306,10 +420,17 @@ def decode_program_pp(
         ],
         axis=0,
     )
+    # return order mirrors _decode_program: packed, hidden?, logprobs?,
+    # seen, counts?
+    ret = (kv_cache, keys, fin_tok, fin_aux, packed)
     if collect_hidden:
-        return (kv_cache, keys, fin_tok, fin_aux, packed, hidden_out,
-                seen_mask)
-    return kv_cache, keys, fin_tok, fin_aux, packed, seen_mask
+        ret = ret + (hidden_out,)
+    if collect_logprobs:
+        ret = ret + (lp_out, ti_out, tv_out)
+    ret = ret + (seen_mask,)
+    if use_counts:
+        ret = ret + (freq_counts,)
+    return ret
 
 
 def prefill_program_pp(
@@ -341,6 +462,10 @@ def prefill_program_pp(
     top_k,
     top_p,
     allow,  # [2 + MAX_STOP] int32: lo, hi, stop ids (-2 pad)
+    bias_ids=None,  # [1, MAX_LOGIT_BIAS] int32 (logit_bias)
+    bias_val=None,  # [1, MAX_LOGIT_BIAS] f32
+    guided_mask=None,  # [1, V] bool (guided decoding, first token)
+    min_p=None,  # [1] f32
 ):
     """Per-shard prefill body: ring wave over pp stages; each stage keeps
     its local layers' KV rows when the true activation passes through."""
@@ -410,8 +535,13 @@ def prefill_program_pp(
         logits = ARModelRunner._window_logits(
             logits, allow[0:1], allow[1:2], allow[None, 4:]
         )  # grid constraint (allow[2:4]) is single-mesh-only
+        if guided_mask is not None:
+            logits = jnp.where(guided_mask, logits, jnp.float32(-1e30))
         token = sample_tokens(
-            logits, SamplingTensors(temperature, top_k, top_p),
+            logits,
+            SamplingTensors(
+                temperature, top_k, top_p, bias_ids, bias_val, min_p
+            ),
             step_key[None],
         )[0]
         new_aux = aux_state

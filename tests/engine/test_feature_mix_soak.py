@@ -6,10 +6,13 @@ catches interaction bugs between the per-slot device-state features
 import jax
 import numpy as np
 
+import pytest
+
 from ht_vllm_omni_tpu.config import (
     CacheConfig,
     EngineConfig,
     ModelArchConfig,
+    ParallelConfig,
     SchedulerConfig,
 )
 from ht_vllm_omni_tpu.engine.llm_engine import LLMEngine
@@ -27,7 +30,15 @@ class ByteTokenizer:
         )
 
 
-def test_feature_mix_soak():
+@pytest.mark.parametrize(
+    "pp,tp", [(1, 1), (2, 1), (2, 2)],
+    ids=["single", "pp2", "pp2tp2"],
+)
+def test_feature_mix_soak(pp, tp):
+    """VERDICT r4 #3: the whole per-slot feature surface (guided,
+    logit_bias, presence/frequency penalties, min_p) must serve
+    unchanged under pipeline parallelism — sampling extras apply on the
+    last pp stage (pp_programs.decode_program_pp)."""
     cfg = ModelArchConfig(
         model_type="qwen2", vocab_size=257, hidden_size=32,
         intermediate_size=64, num_hidden_layers=2,
@@ -40,6 +51,9 @@ def test_feature_mix_soak():
             model=cfg,
             cache=CacheConfig(page_size=16, num_pages=64),
             scheduler=SchedulerConfig(max_num_seqs=4, max_model_len=96),
+            parallel=ParallelConfig(
+                pipeline_parallel_size=pp, tensor_parallel_size=tp
+            ),
         ),
         params=params,
         tokenizer=ByteTokenizer(),

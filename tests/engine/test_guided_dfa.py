@@ -98,3 +98,21 @@ def test_guided_matcher_masks():
     assert m.accepting
     assert m.allowed_mask()[256]  # EOS allowed once accepted
     assert not m.advance(ord("x"))  # dead
+
+
+def test_unsupported_constructs_rejected_loudly():
+    """Backreferences / lookaround / named groups / word boundaries must
+    raise (previously parsed silently as literals — a pattern like
+    '(a)\\1' would quietly match 'a1')."""
+    import pytest
+
+    from ht_vllm_omni_tpu.guided import compile_regex
+
+    for pat in (r"(a)\1", r"(?=foo)bar", r"(?!x)y", r"(?P<n>a)",
+                r"\bword\b", r"\p{L}+"):
+        with pytest.raises(ValueError):
+            compile_regex(pat)
+    # the documented subset still compiles
+    for pat in (r"a{2,5}", r"(yes|no)", r"[a-z\\]+", r"\$\d+\.\d{2}",
+                r"(?:ab)+c?"):
+        compile_regex(pat)

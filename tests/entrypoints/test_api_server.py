@@ -139,6 +139,47 @@ async def _test_completions_roundtrip():
         engine.shutdown()
 
 
+def test_unsupported_guided_regex_400():
+    _run(_test_unsupported_guided_regex_400())
+
+
+async def _test_unsupported_guided_regex_400():
+    """Unsupported guided patterns get a 400 naming the supported regex
+    subset at the API edge — chat AND completions (VERDICT r4 #10)."""
+    client, engine = await _client(False)
+    try:
+        for path, body in [
+            (
+                "/v1/chat/completions",
+                {"messages": [{"role": "user", "content": "hi"}],
+                 "guided_regex": r"(?=look)ahead"},
+            ),
+            (
+                "/v1/completions",
+                {"prompt": "hi", "guided_regex": r"(a)\1"},
+            ),
+        ]:
+            r = await client.post(path, json=body)
+            assert r.status == 400, (path, r.status)
+            reason = r.reason or (await r.text())
+            assert "Supported subset" in reason, reason
+            assert "backreference" in reason or "lookaround" in reason, (
+                reason
+            )
+        # a supported pattern passes the API-edge validator (this test
+        # engine has no tokenizer, so the engine itself later rejects
+        # guided decoding — but NOT with the validator's 400)
+        r = await client.post(
+            "/v1/completions",
+            json={"prompt": "hi", "max_tokens": 4,
+                  "guided_regex": r"[ab]{4}", "temperature": 0.0},
+        )
+        assert r.status != 400, await r.text()
+    finally:
+        await client.close()
+        engine.shutdown()
+
+
 def test_chat_stream_sse():
     _run(_test_chat_stream_sse())
 

@@ -118,6 +118,42 @@ def test_pp_hidden_states_match():
         )
 
 
+def test_pp_logit_bias_and_frequency_match():
+    """logit_bias + frequency_penalty under pp>1 (previously fenced):
+    extras thread into decode_program_pp and apply on the last stage."""
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=10, ignore_eos=True,
+        logit_bias={17: 40.0}, frequency_penalty=6.0,
+    )
+    ref = _engine().generate(PROMPTS, sp)
+    got = _engine(pp=2).generate(PROMPTS, sp)
+    for r, g in zip(ref, got):
+        assert r.outputs[0].token_ids == g.outputs[0].token_ids
+        assert 17 in g.outputs[0].token_ids  # the bias actually applied
+
+
+def test_pp_logprobs_match():
+    """logprobs under pp>1: the logit stream is collected on the last
+    stage and broadcast with the token stream."""
+    import numpy as np
+
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=8, ignore_eos=True, logprobs=3
+    )
+    ref = _engine().generate(PROMPTS, sp)
+    got = _engine(pp=2).generate(PROMPTS, sp)
+    for r, g in zip(ref, got):
+        assert r.outputs[0].token_ids == g.outputs[0].token_ids
+        rl, gl = r.outputs[0].logprobs, g.outputs[0].logprobs
+        assert gl is not None and len(gl) == len(rl)
+        for a, b in zip(rl, gl):
+            assert abs(a["logprob"] - b["logprob"]) < 1e-4
+            assert a["token_id"] == b["token_id"]
+            np.testing.assert_allclose(
+                a["top_logprobs"], b["top_logprobs"], atol=1e-4
+            )
+
+
 def test_pp_rejects_indivisible_layers():
     cfg = _cfg(layers=3)
     with pytest.raises(ValueError):
