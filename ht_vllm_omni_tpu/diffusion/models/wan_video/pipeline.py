@@ -49,6 +49,7 @@ class WanVideoPipeline:
         seed: int = 0,
         boundary_ratio: float | None = 0.875,
         tokenizer=None,
+        parallel=None,  # diffusion.parallel.DiffusionParallelContext
     ) -> None:
         self.arch = arch or WanVideoArchConfig.tiny()
         self.vae_cfg = vae_cfg or WanVideoVAEConfig.tiny()
@@ -85,6 +86,20 @@ class WanVideoPipeline:
             else qwen2.init_params(self.text_cfg, k4),
         }
         self._fns: dict = {}
+        # served parallel execution: both noise-expert DiTs live sharded
+        # over the mesh (HSDP/TP, transformer.shard_params) and every
+        # denoise step runs inside jit(shard_map(...))
+        self.parallel = parallel
+        if parallel is not None:
+            if self.arch.num_attention_heads % parallel.tp_size:
+                raise ValueError(
+                    f"attention heads {self.arch.num_attention_heads} "
+                    f"not divisible by tp={parallel.tp_size}"
+                )
+            for key_ in ("transformer", "transformer_2"):
+                self.params[key_] = transformer.shard_params(
+                    self.arch, self.params[key_], parallel
+                )
 
     # --------------------------------------------------------------- text
     def _tokenize(self, text: str) -> list[int]:
@@ -120,6 +135,57 @@ class WanVideoPipeline:
             self._fns["transformer"] = fn
         return fn
 
+    def _parallel_transformer_fn(self):
+        """One guided DiT forward in-mesh: CFG branches over cfg, patch
+        tokens over sp (Ulysses inside transformer.forward), weights
+        over tp/fsdp; returns the guided velocity, cfg-replicated."""
+        fn = self._fns.get("ptransformer")
+        if fn is None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ht_vllm_omni_tpu.diffusion.distributed.cfg_parallel import (
+                cfg_combine,
+            )
+
+            ctx = self.parallel
+            info = ctx.info
+            arch = self.arch
+            pspecs = None  # built per-params below
+            cfg_ax = info.cfg_axis
+
+            def run(tparams, lat, t, txt, txt_lens, gscale):
+                # lat: [1, C, F, H, W] replicated; t/txt/txt_lens carry
+                # the branch batch, sharded over cfg
+                b_loc = txt.shape[0]
+                v = transformer.forward(
+                    arch, tparams, jnp.concatenate([lat] * b_loc, 0),
+                    t, txt, txt_lens, parallel=info,
+                )
+                if cfg_ax is not None:
+                    v = cfg_combine(v, gscale, axis=cfg_ax)
+                elif b_loc == 2:
+                    v = v[1:2] + gscale * (v[:1] - v[1:2])
+                return v[:1]
+
+            pspecs = transformer.param_pspecs(
+                info, self.params["transformer"]
+            )
+            t_spec = P(cfg_ax)  # per-sample [B] or per-token [B, S]
+            fn = jax.jit(
+                shard_map(
+                    run,
+                    mesh=ctx.mesh,
+                    in_specs=(
+                        pspecs, P(), t_spec, P(cfg_ax), P(cfg_ax), P(),
+                    ),
+                    out_specs=P(),
+                    check_vma=False,
+                )
+            )
+            self._fns["ptransformer"] = fn
+        return fn
+
     # ----------------------------------------------------------- full run
     def generate_prompt(
         self,
@@ -145,6 +211,11 @@ class WanVideoPipeline:
         end = min(state["step"] + count, sp.num_inference_steps)
         latents = state["latents"]
         nb = state["txt"].shape[0]
+        pfn = (
+            self._parallel_transformer_fn()
+            if self.parallel is not None
+            else None
+        )
         for step in range(state["step"], end):
             sigma = sched.timestep(step)
             high_noise = (
@@ -166,18 +237,25 @@ class WanVideoPipeline:
             else:
                 model_in = latents
                 t = jnp.full((nb,), sigma * 1000.0, jnp.float32)
-            v = fn(
-                tparams,
-                jnp.concatenate([model_in] * nb, 0),
-                t,
-                state["txt"],
-                state["txt_lens"],
-            )
-            if do_cfg:
-                pos, neg = v[:1], v[1:2]
-                pred = neg + scale * (pos - neg)
+            if pfn is not None:
+                pred = pfn(
+                    tparams, model_in, t, state["txt"],
+                    state["txt_lens"],
+                    jnp.float32(scale if do_cfg else 1.0),
+                )
             else:
-                pred = v[:1]
+                v = fn(
+                    tparams,
+                    jnp.concatenate([model_in] * nb, 0),
+                    t,
+                    state["txt"],
+                    state["txt_lens"],
+                )
+                if do_cfg:
+                    pos, neg = v[:1], v[1:2]
+                    pred = neg + scale * (pos - neg)
+                else:
+                    pred = v[:1]
             latents, state["sched_state"] = sched.step(
                 state["sched_state"], pred, latents
             )
@@ -225,6 +303,15 @@ class WanVideoPipeline:
         if do_cfg:
             neg_text = getattr(prompt, "negative_text", None) or " "
             branches.append(self.encode_text(neg_text))
+        if self.parallel is not None:
+            if self.parallel.cfg_size == 2 and len(branches) == 1:
+                branches.append(pos)  # g=1 combine is the identity
+            seq = (lat_f // pt) * (lat_h // ph) * (lat_w // pw)
+            if seq % self.parallel.sp_size:
+                raise ValueError(
+                    f"patch token count {seq} not divisible by "
+                    f"ulysses_size={self.parallel.sp_size}"
+                )
         s_txt = max(b.shape[0] for b in branches)
         s_txt = s_txt + (-s_txt % 8)
         txt = np.zeros(

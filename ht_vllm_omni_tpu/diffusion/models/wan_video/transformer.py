@@ -161,6 +161,101 @@ _BLOCK_KEYS = (
 )
 
 
+# ------------------------------------------------------------- parallel
+def param_pspecs(info, params: dict) -> dict:
+    """PartitionSpecs for the Wan DiT under a diffusion mesh
+    (diffusion/parallel.py ShardInfo) — the HSDP/TP story for the
+    14B-class video DiTs the reference shards with FSDP2
+    (reference vllm_omni/diffusion/distributed/hsdp.py:88,177).
+
+    Megatron layout per block: qkv / xq / xk / xv column-parallel over
+    heads (qkv resharded [L, d, 3, H, hd] by shard_params), attn_out /
+    xattn_out / ffn_w2 row-parallel with in-layer psums, ffn_w1
+    column-parallel; q/k RMSNorm runs DISTRIBUTED over the full inner
+    dim (the reference's DistributedRMSNorm over tp_inner_dim) with its
+    scale sharded.  fsdp_axes additionally shard the remaining big dim
+    of every stacked leaf, gathered just-in-time per layer."""
+    from jax.sharding import PartitionSpec as P
+
+    tp = info.tp_axis
+    fs = info.fsdp_axes
+    specs = {
+        "qkv_w": P(None, fs, None, tp, None),  # [L, d, 3, H, hd]
+        "qkv_b": P(None, None, tp, None),  # [L, 3, H, hd]
+        "q_norm": P(None, tp),
+        "k_norm": P(None, tp),
+        "attn_out_w": P(None, tp, fs),
+        "attn_out_b": P(),
+        "xq_w": P(None, fs, tp),
+        "xq_b": P(None, tp),
+        "xk_w": P(None, fs, tp),
+        "xk_b": P(None, tp),
+        "xv_w": P(None, fs, tp),
+        "xv_b": P(None, tp),
+        "xq_norm": P(None, tp),
+        "xk_norm": P(None, tp),
+        "xattn_out_w": P(None, tp, fs),
+        "xattn_out_b": P(),
+        "ffn_w1": P(None, fs, tp),
+        "ffn_b1": P(None, tp),
+        "ffn_w2": P(None, tp, fs),
+        "ffn_b2": P(),
+        "mod_table": P(),
+        "norm2_g": P(),
+        "norm2_b": P(),
+    }
+    return {k: specs.get(k, P()) for k in params}
+
+
+def shard_params(cfg: WanVideoArchConfig, params: dict, ctx) -> dict:
+    """device_put the DiT weights over ctx.mesh; the packed qkv leaf is
+    resharded to [L, d, 3, H, hd] so tp can shard the head dim (forward
+    flattens the LOCAL slice back — split(3) stays correct per shard)."""
+    from jax.sharding import NamedSharding
+
+    nh, hd = cfg.num_attention_heads, cfg.attention_head_dim
+    out = dict(params)
+    w, b = out["qkv_w"], out["qkv_b"]
+    if w.ndim == 3:
+        out["qkv_w"] = w.reshape(w.shape[0], w.shape[1], 3, nh, hd)
+        out["qkv_b"] = b.reshape(b.shape[0], 3, nh, hd)
+    specs = param_pspecs(ctx.info, out)
+    return {
+        k: jax.device_put(v, NamedSharding(ctx.mesh, specs[k]))
+        for k, v in out.items()
+    }
+
+
+_FSDP_GATHER_DIM = {
+    "qkv_w": 0, "attn_out_w": 1, "xq_w": 0, "xk_w": 0, "xv_w": 0,
+    "xattn_out_w": 1, "ffn_w1": 0, "ffn_w2": 1,
+}
+
+
+def _gather_fsdp(lp: dict, axes) -> dict:
+    if not axes:
+        return lp
+    out = dict(lp)
+    for name, dim in _FSDP_GATHER_DIM.items():
+        out[name] = jax.lax.all_gather(lp[name], axes, axis=dim, tiled=True)
+    return out
+
+
+def _rms_norm_dist(x, scale, eps, tp_axis, tp_size):
+    """RMSNorm over the FULL inner dim when x carries only the tp-local
+    slice: the mean of squares psums across tp (reference
+    DistributedRMSNorm).  Bit-matches models/layers.rms_norm when
+    tp_axis is None."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    ss = jnp.sum(xf * xf, axis=-1, keepdims=True)
+    if tp_axis is not None:
+        ss = jax.lax.psum(ss, tp_axis)
+    var = ss / (x.shape[-1] * tp_size)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (xf * scale.astype(jnp.float32)).astype(dtype)
+
+
 def _timestep_embed(cfg, t):
     """Sinusoidal timestep features [..., freq_dim] (diffusers Timesteps,
     flip_sin_to_cos=True): t is the train-scale timestep (sigma*1000)."""
@@ -178,8 +273,17 @@ def forward(
     timestep: jax.Array,  # [B] or [B, S_tokens] (train scale, 0..1000)
     text_embeds: jax.Array,  # [B, S_txt, text_dim]
     text_lens: jax.Array,  # [B]
+    *,
+    parallel=None,  # diffusion.parallel.ShardInfo inside shard_map
 ) -> jax.Array:
-    """Velocity prediction [B, C, F, H, W]."""
+    """Velocity prediction [B, C, F, H, W].
+
+    With ``parallel`` set this runs INSIDE shard_map over the diffusion
+    mesh: the patch-token stream shards over sp (Ulysses self-attention;
+    cross-attention to the replicated text needs no collective), weights
+    arrive tp/fsdp-sharded per param_pspecs, q/k norms run distributed
+    over the full inner dim, and the output gathers over sp before
+    unpatchify so every shard returns the full velocity."""
     b, c, f, h, w_ = latents.shape
     pt, ph, pw = cfg.patch_size
     pf, phh, pww = f // pt, h // ph, w_ // pw
@@ -188,6 +292,11 @@ def forward(
     nh = cfg.num_attention_heads
     hd = cfg.attention_head_dim
     dt = params["patch_w"].dtype
+    pl_ = parallel
+    sp_axis = pl_.sp_axis if pl_ else None
+    tp_axis = pl_.tp_axis if pl_ else None
+    sp_size = pl_.sp_size if pl_ else 1
+    tp_size = pl_.tp_size if pl_ else 1
 
     # patch embedding: stride==kernel Conv3d == patch-reshape + matmul
     x = latents.astype(dt).transpose(0, 2, 3, 4, 1)  # [B, F, H, W, C]
@@ -228,7 +337,22 @@ def forward(
     cos, sin = rope_3d(cfg, pf, phh, pww)
     eps = cfg.eps
 
+    if sp_axis is not None:
+        # every shard computed the (cheap, replicated) patch embed on
+        # the full grid; keep only this shard's token range
+        s_loc = s // sp_size
+        idx = jax.lax.axis_index(sp_axis)
+        x = jax.lax.dynamic_slice_in_dim(x, idx * s_loc, s_loc, 1)
+        cos = jax.lax.dynamic_slice_in_dim(cos, idx * s_loc, s_loc, 0)
+        sin = jax.lax.dynamic_slice_in_dim(sin, idx * s_loc, s_loc, 0)
+        if per_token:
+            mod_base = jax.lax.dynamic_slice_in_dim(
+                mod_base, idx * s_loc, s_loc, 1
+            )
+        s = s_loc
+
     def block(hidden, lp):
+        lp = _gather_fsdp(lp, pl_.fsdp_axes if pl_ else None)
         mod = mod_base.astype(jnp.float32) + lp["mod_table"].astype(
             jnp.float32
         )[None, None]
@@ -236,44 +360,85 @@ def forward(
             mod[:, :, i] for i in range(6)
         ]
 
+        def row_out(o, w, bias):
+            y = jnp.dot(o, w, preferred_element_type=jnp.float32)
+            if tp_axis is not None:
+                y = jax.lax.psum(y, tp_axis)
+            return (y + bias.astype(jnp.float32)).astype(dt)
+
         # 1. modulated self-attention
         nx = _layer_norm(hidden, eps) * (1 + sc_msa) + sh_msa
         nx = nx.astype(dt)
-        qkv = jnp.dot(nx, lp["qkv_w"]) + lp["qkv_b"]
+        qkv_w = lp["qkv_w"]
+        qkv_b = lp["qkv_b"]
+        if qkv_w.ndim == 4:  # sharded layout [d, 3, H_loc, hd]
+            nh_loc = qkv_w.shape[2]
+            qkv_w = qkv_w.reshape(qkv_w.shape[0], -1)
+            qkv_b = qkv_b.reshape(-1)
+        else:
+            nh_loc = nh
+        d_loc = nh_loc * hd
+        qkv = jnp.dot(nx, qkv_w) + qkv_b
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = rms_norm(q, lp["q_norm"], eps)
-        k = rms_norm(k, lp["k_norm"], eps)
-        q = q.reshape(b, s, nh, hd)
-        k = k.reshape(b, s, nh, hd)
-        v = v.reshape(b, s, nh, hd)
+        q = _rms_norm_dist(q, lp["q_norm"], eps, tp_axis, tp_size)
+        k = _rms_norm_dist(k, lp["k_norm"], eps, tp_axis, tp_size)
+        q = q.reshape(b, s, nh_loc, hd)
+        k = k.reshape(b, s, nh_loc, hd)
+        v = v.reshape(b, s, nh_loc, hd)
         q = apply_rope_interleaved(q, cos, sin)
         k = apply_rope_interleaved(k, cos, sin)
-        o = flash_attention(
-            q.transpose(0, 2, 1, 3),
-            k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3),
-            causal=False,
-        ).transpose(0, 2, 1, 3).reshape(b, s, d)
-        o = jnp.dot(o, lp["attn_out_w"]) + lp["attn_out_b"]
+        if sp_axis is not None:
+            from ht_vllm_omni_tpu.diffusion.distributed.sp_ulysses import (
+                ulysses_attention,
+                ulysses_attention_uneven,
+            )
+
+            fn = (
+                ulysses_attention
+                if nh_loc % sp_size == 0
+                else ulysses_attention_uneven
+            )
+            outs = []
+            for i in range(b):  # b is 1 or 2; static
+                outs.append(
+                    fn(
+                        q[i].transpose(1, 0, 2), k[i].transpose(1, 0, 2),
+                        v[i].transpose(1, 0, 2),
+                        axis=sp_axis, sp_size=sp_size,
+                    ).transpose(1, 0, 2)
+                )
+            o = jnp.stack(outs).reshape(b, s, d_loc)
+        else:
+            o = flash_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                causal=False,
+            ).transpose(0, 2, 1, 3).reshape(b, s, d_loc)
+        o = row_out(o, lp["attn_out_w"], lp["attn_out_b"])
         hidden = (
             hidden.astype(jnp.float32) + o.astype(jnp.float32) * g_msa
         ).astype(dt)
 
-        # 2. cross-attention to text
+        # 2. cross-attention to text (text replicated over sp: local)
         if "norm2_g" in lp:
             nx = _layer_norm(
                 hidden, eps, lp["norm2_g"], lp["norm2_b"]
             ).astype(dt)
         else:
             nx = hidden
-        q = rms_norm(jnp.dot(nx, lp["xq_w"]) + lp["xq_b"], lp["xq_norm"],
-                     eps)
-        k = rms_norm(jnp.dot(txt, lp["xk_w"]) + lp["xk_b"], lp["xk_norm"],
-                     eps)
+        q = _rms_norm_dist(
+            jnp.dot(nx, lp["xq_w"]) + lp["xq_b"], lp["xq_norm"], eps,
+            tp_axis, tp_size,
+        )
+        k = _rms_norm_dist(
+            jnp.dot(txt, lp["xk_w"]) + lp["xk_b"], lp["xk_norm"], eps,
+            tp_axis, tp_size,
+        )
         v = jnp.dot(txt, lp["xv_w"]) + lp["xv_b"]
-        q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, s_txt, nh, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, s_txt, nh, hd).transpose(0, 2, 1, 3)
+        q = q.reshape(b, s, nh_loc, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s_txt, nh_loc, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s_txt, nh_loc, hd).transpose(0, 2, 1, 3)
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q.astype(jnp.float32),
             k.astype(jnp.float32),
@@ -283,16 +448,22 @@ def forward(
         )
         probs = jax.nn.softmax(logits, axis=-1)
         o = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(jnp.float32))
-        o = o.transpose(0, 2, 1, 3).reshape(b, s, d).astype(dt)
-        o = jnp.dot(o, lp["xattn_out_w"]) + lp["xattn_out_b"]
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, d_loc).astype(dt)
+        o = row_out(o, lp["xattn_out_w"], lp["xattn_out_b"])
         hidden = hidden + o.astype(hidden.dtype)
 
         # 3. modulated FFN
         nx = (_layer_norm(hidden, eps) * (1 + sc_ff) + sh_ff).astype(dt)
         ff = _gelu_tanh(jnp.dot(nx, lp["ffn_w1"]) + lp["ffn_b1"])
-        ff = jnp.dot(ff.astype(dt), lp["ffn_w2"]) + lp["ffn_b2"]
+        ff = jnp.dot(
+            ff.astype(dt), lp["ffn_w2"],
+            preferred_element_type=jnp.float32,
+        )
+        if tp_axis is not None:
+            ff = jax.lax.psum(ff, tp_axis)
+        ff = ff + lp["ffn_b2"].astype(jnp.float32)
         hidden = (
-            hidden.astype(jnp.float32) + ff.astype(jnp.float32) * g_ff
+            hidden.astype(jnp.float32) + ff * g_ff
         ).astype(dt)
         return hidden, None
 
@@ -302,6 +473,8 @@ def forward(
     # output: scale/shift from temb + out_table
     if per_token:
         te = temb.astype(jnp.float32)  # [B, S, D]
+        if sp_axis is not None:
+            te = jax.lax.dynamic_slice_in_dim(te, idx * s, s, 1)
     else:
         te = temb.astype(jnp.float32)[:, None, :]  # [B, 1, D]
     ot = params["out_table"].astype(jnp.float32)
@@ -310,7 +483,13 @@ def forward(
     hidden = (_layer_norm(hidden, eps) * (1 + scale) + shift).astype(dt)
     out = (
         jnp.dot(hidden, params["proj_out_w"]) + params["proj_out_b"]
-    )  # [B, S, C*pt*ph*pw]
+    )  # [B, S(_loc), C*pt*ph*pw]
+
+    if sp_axis is not None:
+        # gather the token stream so every shard unpatchifies the full
+        # grid (the velocity is small next to the weights)
+        out = jax.lax.all_gather(out, sp_axis, axis=1, tiled=True)
+        s = s * sp_size
 
     # unpatchify -> [B, C, F, H, W]
     co = cfg.out_channels

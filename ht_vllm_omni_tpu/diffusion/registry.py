@@ -78,7 +78,7 @@ def _qwen_image(config: OmniDiffusionConfig, parallel=None) -> Any:
 # families whose factories accept a parallel context (served multichip
 # execution); the rest get a precise error instead of silently running
 # single-chip with parallel sizes > 1
-_PARALLEL_FAMILIES = {"generic", "qwen-image"}
+_PARALLEL_FAMILIES = {"generic", "qwen-image", "wan2.2", "wan2.2-i2v"}
 
 
 def _qwen_image_variant(cls_name: str):
@@ -197,12 +197,13 @@ def _z_image(config: OmniDiffusionConfig) -> Any:
     return ZImagePipeline(seed=config.seed, **kwargs)
 
 
-def _wan_video(config: OmniDiffusionConfig) -> Any:
+def _wan_video(config: OmniDiffusionConfig, parallel=None) -> Any:
     from ht_vllm_omni_tpu.diffusion.models.wan_video import (
         WanVideoPipeline,
     )
 
     kwargs: dict[str, Any] = dict(config.family_options)
+    kwargs["parallel"] = parallel
     return WanVideoPipeline(seed=config.seed, **kwargs)
 
 

