@@ -22,7 +22,7 @@ import numpy as np
 
 from ht_vllm_omni_tpu.config import EngineConfig
 from ht_vllm_omni_tpu.core.request import Request
-from ht_vllm_omni_tpu.utils import cdiv
+from ht_vllm_omni_tpu.utils import cdiv, next_power_of_2
 from ht_vllm_omni_tpu.core.sched.scheduler import Scheduler
 from ht_vllm_omni_tpu.inputs import OmniPrompt, as_prompt
 from ht_vllm_omni_tpu.outputs import CompletionOutput, OmniRequestOutput
@@ -409,6 +409,18 @@ class LLMEngine:
             )
             chunk_lp = None
         else:
+            # never run a chunk longer than the longest request can use
+            # (power-of-2 buckets keep the compile count bounded): a
+            # max_tokens=2 batch pays for a 1-2-step chunk, not the full
+            # serving horizon
+            r = self.runner
+            if r.h_active.any():
+                rem = int(
+                    (r.h_limit - r.h_emitted + 1)[r.h_active].max()
+                )
+                run_horizon = max(
+                    min(run_horizon, next_power_of_2(max(rem, 1))), 1
+                )
             tokens, hidden, chunk_lp = self.runner.decode_chunk(
                 run_horizon, collect_hidden=bool(want_hidden),
                 collect_logprobs=bool(want_lp),

@@ -13,6 +13,8 @@ time (models/loader.py).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -435,6 +437,35 @@ def _mlp(
         )
         return jnp.zeros((t, x.shape[-1]), jnp.float32).at[order].set(rows)
     if "router" not in lp:
+        if (
+            x.ndim == 2
+            and "wgu:q4" in lp
+            and "down:q4" in lp
+            and isinstance(lp["wgu:q4"], _StackedQuant)
+            and isinstance(lp["down:q4"], _StackedQuant)
+            and "wgu:lora_a" not in lp
+            and "down:lora_a" not in lp
+            and os.environ.get("HT_FUSED_MLP") == "1"
+        ):
+            # opt-in: whole SwiGLU MLP in ONE kernel launch
+            # (ops/quant_matmul.fused_mlp_int4_stacked).  Measured
+            # parity-neutral on v5e decode (7,285 vs 7,313 tok/s bs8
+            # int4): XLA already overlaps the split kernels' weight
+            # streams, so saving the launch + activation round-trip
+            # buys back what the fused kernel loses in MXU pipelining —
+            # kept opt-in (HT_FUSED_MLP=1) as a documented result,
+            # like the round-4 fused decode stack
+            from ht_vllm_omni_tpu.ops.quant_matmul import (
+                fused_mlp_int4_stacked,
+            )
+
+            out = fused_mlp_int4_stacked(
+                x, lp["wgu:q4"].arr, lp["wgu:s4"].arr,
+                lp["down:q4"].arr, lp["down:s4"].arr,
+                lp["wgu:q4"].layer, out_dtype=jnp.float32,
+            )
+            if out is not None:
+                return out
         if _has_weight(lp, "wgu"):
             gu = _linear(lp, "wgu", x)
             g, u = jnp.split(gu, 2, axis=-1)

@@ -608,3 +608,190 @@ def matmul_int4_zp_stacked(
         group_size=group_size, block_m=block_m, block_n=block_n,
         block_k=block_k, out_dtype=out_dtype,
     )
+
+
+# --------------------------------------------------------------- fused MLP
+def _fused_mlp_int4_kernel(
+    layer_ref,  # [1] int32 scalar prefetch
+    x_ref,  # [M, K] resident across chunks
+    wg_ref,  # [1, K//2, C] packed gate chunk
+    wu_ref,  # [1, K//2, C] packed up chunk
+    sg_ref,  # [1, G_in_pad, C] gate scales (K groups x chunk cols)
+    su_ref,  # [1, G_in_pad, C] up scales
+    wd_ref,  # [1, C//2, N] packed down chunk
+    sd_ref,  # [1, G_mid_pad, N] ALL down scales, resident
+    o_ref,  # [M, N]
+    acc_ref,  # [M, N] f32
+    *,
+    group_size: int,
+    g_in: int,  # K // group_size
+    g_mid: int,  # C // group_size (down groups per chunk)
+):
+    """One launch for the whole SwiGLU MLP: silu(x@Wg) * (x@Wu) @ Wd.
+
+    The split kernels pay a per-launch fixed cost twice and round-trip
+    the [M, inter] activation through HBM; here the activation stays in
+    VMEM and the three weight streams ride the SAME grid (over
+    ``inter`` chunks), with Pallas double-buffering the next chunk's
+    gate/up/down blocks behind the current chunk's compute (VERDICT r4
+    #4: shrink quantized-decode fixed costs)."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    h = group_size // 2
+    x = x_ref[...]
+
+    def dq_dot(w_ref, s_ref):
+        """x @ dequant(w_chunk) -> [M, C] f32 (excess-8 correction)."""
+        out = None
+        for g in range(g_in):
+            b = w_ref[0, g * h : (g + 1) * h, :].astype(jnp.int32)
+            lo = (b & 0xF).astype(jnp.bfloat16)
+            hi = (b >> 4).astype(jnp.bfloat16)
+            xg = x[:, g * group_size : (g + 1) * group_size].astype(
+                jnp.bfloat16
+            )
+            part = jax.lax.dot_general(
+                xg[:, :h], lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                xg[:, h:], hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s_row = s_ref[0, g, :]
+            xsum = jnp.sum(xg.astype(jnp.float32), axis=1)
+            term = (part - 8.0 * xsum[:, None]) * s_row
+            out = term if out is None else out + term
+        return out
+
+    gate = dq_dot(wg_ref, sg_ref)
+    up = dq_dot(wu_ref, su_ref)
+    act = (jax.nn.silu(gate) * up).astype(jnp.bfloat16)  # [M, C]
+
+    acc = acc_ref[...]
+    for g in range(g_mid):
+        b = wd_ref[0, g * h : (g + 1) * h, :].astype(jnp.int32)
+        lo = (b & 0xF).astype(jnp.bfloat16)
+        hi = (b >> 4).astype(jnp.bfloat16)
+        ag = act[:, g * group_size : (g + 1) * group_size]
+        part = jax.lax.dot_general(
+            ag[:, :h], lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            ag[:, h:], hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        grow = c * g_mid + g
+        s_row = sd_ref[0, grow, :]
+        asum = jnp.sum(ag.astype(jnp.float32), axis=1)
+        acc = acc + (part - 8.0 * asum[:, None]) * s_row
+    acc_ref[...] = acc
+
+    @pl.when(c == pl.num_programs(0) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "out_dtype")
+)
+def fused_mlp_int4_stacked(
+    x: jax.Array,  # [M, K]
+    wgu_packed: jax.Array,  # [L, K//2, 2*inter] packed [gate || up]
+    gu_scales: jax.Array,  # [L, K/gs, 2*inter] f32
+    wd_packed: jax.Array,  # [L, inter//2, N]
+    d_scales: jax.Array,  # [L, inter/gs, N] f32
+    layer: jax.Array,  # scalar int32
+    *,
+    group_size: int = 128,
+    out_dtype=None,
+) -> jax.Array:
+    """Whole SwiGLU MLP in ONE kernel launch (decode hot path); falls
+    back to None when the shapes don't admit a clean chunking — the
+    caller then uses the split matmuls."""
+    m, k = x.shape
+    num_l, k2, n2 = wgu_packed.shape
+    inter = n2 // 2
+    n = wd_packed.shape[2]
+    assert k == 2 * k2, (k, k2)
+    out_dtype = out_dtype or x.dtype
+    if k % group_size or inter % group_size:
+        return None
+    g_in = k // group_size
+    # chunk size over inter: whole groups, packed rows 32-aligned
+    # (uint8 sublane tiling), blocks within the VMEM budget
+    cand = None
+    for nc in (4, 2, 8, 1, 19, 38):
+        if inter % nc:
+            continue
+        csz = inter // nc
+        if csz % group_size or (csz // 2) % 32:
+            continue
+        blk = k2 * csz + (csz // 2) * n  # packed bytes per chunk
+        if blk > 3 * 1024 * 1024 and nc != 38:
+            continue
+        cand = (nc, csz)
+        break
+    if cand is None:
+        return None
+    n_chunks, csz = cand
+    g_mid = csz // group_size
+
+    def padg(s, rows):
+        pad = (-rows) % 8
+        s = s.astype(jnp.float32)
+        return jnp.pad(s, ((0, 0), (0, pad), (0, 0))) if pad else s
+
+    sg = padg(gu_scales, gu_scales.shape[1])
+    g_in_pad = sg.shape[1]
+    sd = padg(d_scales, d_scales.shape[1])
+    g_mid_pad = sd.shape[1]
+
+    kernel = functools.partial(
+        _fused_mlp_int4_kernel,
+        group_size=group_size, g_in=g_in, g_mid=g_mid,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((m, k), lambda c, lr: (0, 0)),  # x resident
+            pl.BlockSpec(
+                (1, k2, csz), lambda c, lr: (lr[0], 0, c)
+            ),  # gate chunk (first inter columns)
+            pl.BlockSpec(
+                (1, k2, csz),
+                lambda c, lr, _nc=n_chunks: (lr[0], 0, _nc + c),
+            ),  # up chunk (second inter columns)
+            pl.BlockSpec(
+                (1, g_in_pad, csz), lambda c, lr: (lr[0], 0, c)
+            ),
+            pl.BlockSpec(
+                (1, g_in_pad, csz),
+                lambda c, lr, _nc=n_chunks: (lr[0], 0, _nc + c),
+            ),
+            pl.BlockSpec(
+                (1, csz // 2, n), lambda c, lr: (lr[0], c, 0)
+            ),  # down chunk
+            pl.BlockSpec(
+                (1, g_mid_pad, n), lambda c, lr: (lr[0], 0, 0)
+            ),  # down scales resident
+        ],
+        out_specs=pl.BlockSpec((m, n), lambda c, lr: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((m, n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=pallas_interpret_mode(),
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x, wgu_packed, wgu_packed, sg, sg, wd_packed, sd,
+    )

@@ -1810,6 +1810,7 @@ class ARModelRunner(SpecDecodeMixin):
         collect_hidden: bool,
         collect_logprobs: bool,
         plain_sampling: bool,
+        all_greedy: bool,
         tp_axis,
         ep_axis,
         fsdp_axis,
@@ -2007,7 +2008,23 @@ class ARModelRunner(SpecDecodeMixin):
                         (s, logits.shape[-1]), bool
                     ).at[guided_slots].set(guided_rows, mode="drop")
                     logits = jnp.where(gm, logits, jnp.float32(-1e30))
-                sampled = sample_tokens(logits, st, step_keys)
+                if all_greedy:
+                    # every active slot samples at temperature 0: one
+                    # exact argmax, no candidate-pool machinery
+                    # (identical tokens — sample_tokens' greedy branch
+                    # is the same argmax)
+                    from ht_vllm_omni_tpu.sample.sampler import (
+                        apply_logit_bias,
+                    )
+
+                    sampled = jnp.argmax(
+                        apply_logit_bias(
+                            logits, st.bias_ids, st.bias_val
+                        ),
+                        axis=-1,
+                    ).astype(jnp.int32)
+                else:
+                    sampled = sample_tokens(logits, st, step_keys)
                 # record the sampled token (inactive rows scatter OOB);
                 # plain_sampling skips it — no slot will ever read seen
                 if not plain_sampling:
@@ -2096,6 +2113,7 @@ class ARModelRunner(SpecDecodeMixin):
         collect_logprobs: bool = False,
         has_bias: bool = False, has_guided: bool = False,
         use_counts: bool = False, plain: bool = False,
+        greedy: bool = False,
     ):
         if self.mesh is None:
             # single-chip extras ride as kwargs on one jitted fn (jit
@@ -2103,7 +2121,7 @@ class ARModelRunner(SpecDecodeMixin):
             # needs distinct positional arity per extras combination
             has_bias = has_guided = use_counts = False
         key = (num_steps, collect_hidden, collect_logprobs,
-               has_bias, has_guided, use_counts, plain)
+               has_bias, has_guided, use_counts, plain, greedy)
         fn = self._decode_fns.get(key)
         if fn is not None:
             return fn
@@ -2116,6 +2134,7 @@ class ARModelRunner(SpecDecodeMixin):
                 collect_hidden,
                 collect_logprobs,
                 plain,
+                greedy,
                 None,
                 None,
                 None,
@@ -2154,6 +2173,7 @@ class ARModelRunner(SpecDecodeMixin):
                     collect_hidden,
                     collect_logprobs,
                     plain,
+                    greedy,
                     TP_AXIS,
                     self.ep_axes,
                     DP_AXIS if self.fsdp else None,
@@ -2274,10 +2294,13 @@ class ARModelRunner(SpecDecodeMixin):
                 and not self.h_grid_w[a].any()
             ))
         )
+        greedy = bool(
+            not a.any() or not (self.h_temp[a] > 0.0).any()
+        )
         fn = self._decode_fn(
             num_steps, collect_hidden, collect_logprobs,
             has_bias=has_bias, has_guided=guided_mask is not None,
-            use_counts=use_counts, plain=plain,
+            use_counts=use_counts, plain=plain, greedy=greedy,
         )
         # trim the block-table width to the live-page envelope (bucketed
         # to powers of two so at most log2(P) shapes compile): the paged

@@ -204,3 +204,43 @@ def test_fp8_kv_rows_roundtrip():
     deq = q.astype(jnp.float32) * 0.01
     rel = np.linalg.norm(deq - rows) / np.linalg.norm(rows)
     assert rel < 0.05, rel
+
+
+def test_fused_mlp_int4_stacked_matches_split():
+    """Whole-SwiGLU fused kernel (ops/quant_matmul.fused_mlp_int4_stacked,
+    one launch, activation stays in VMEM) must match the split stacked
+    matmuls bit-for-bit up to f32 accumulation order."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from ht_vllm_omni_tpu.ops.quant_matmul import (
+        fused_mlp_int4_stacked,
+        matmul_int4_stacked,
+        quantize_int4,
+    )
+
+    L, K, I, M = 2, 256, 1280, 8
+    rng = np.random.default_rng(3)
+    wgu = jnp.asarray(
+        rng.standard_normal((L, K, 2 * I)).astype(np.float32) * 0.05
+    )
+    wd = jnp.asarray(
+        rng.standard_normal((L, I, K)).astype(np.float32) * 0.05
+    )
+    qgu, sgu = jax.vmap(lambda m: quantize_int4(m, 128))(wgu)
+    qd, sd = jax.vmap(lambda m: quantize_int4(m, 128))(wd)
+    x = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
+    for layer in (0, 1):
+        out = fused_mlp_int4_stacked(
+            x, qgu, sgu, qd, sd, layer, out_dtype=jnp.float32
+        )
+        assert out is not None
+        gu = matmul_int4_stacked(x, qgu, sgu, layer, out_dtype=jnp.float32)
+        g, u = jnp.split(gu, 2, axis=-1)
+        act = (jax.nn.silu(g) * u).astype(x.dtype)
+        ref = matmul_int4_stacked(act, qd, sd, layer, out_dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
