@@ -105,6 +105,44 @@ class DiffusionEngine:
         self.waiting.append(req)
         return request_id
 
+    def generate_batch(
+        self,
+        prompts: list,
+        sampling_params=None,
+    ) -> list[OmniRequestOutput]:
+        """Batch entrypoint (reference AsyncOmniDiffusion.generate_batch,
+        entrypoints/async_omni_diffusion.py:175): text-encoder forwards
+        batch across requests in ONE padded trunk dispatch when the
+        pipeline supports it; denoising then runs per request (the
+        engine's FIFO contract), so per-request seeds produce outputs
+        identical to sequential generate calls."""
+        ps = [as_prompt(p) for p in prompts]
+        sp_list = (
+            sampling_params
+            if isinstance(sampling_params, (list, tuple))
+            else [sampling_params] * len(ps)
+        )
+        enc = getattr(self.pipeline, "encode_text_batch", None)
+        if enc is not None and len(ps) > 1:
+            todo = [
+                i for i, p in enumerate(ps)
+                if p.embeds is None and p.text is not None
+            ]
+            if len(todo) > 1:
+                embeds = enc([ps[i].text for i in todo])
+                for i, e in zip(todo, embeds):
+                    ps[i] = dataclasses.replace(ps[i], embeds=e)
+        ids = [
+            self.add_request(p, sp, request_id=f"diffb-{id(ps)}-{i}")
+            for i, (p, sp) in enumerate(zip(ps, sp_list))
+        ]
+        results: dict[str, OmniRequestOutput] = {}
+        while self.has_unfinished_requests():
+            for out in self.step():
+                if out.finished:
+                    results[out.request_id] = out
+        return [results[i] for i in ids]
+
     def abort_request(self, request_id: str) -> None:
         req = self.requests.pop(request_id, None)
         if req is not None and req in self.waiting:

@@ -165,6 +165,49 @@ class QwenImagePipeline:
         h = np.asarray(h[:n], np.float32)[drop:]
         return h[: self.max_text_len]
 
+    def encode_text_batch(self, texts: list) -> list:
+        """Encode N prompts in ONE padded batched trunk dispatch
+        (models/qwen2.prefill_batch) — the text-encoder batching behind
+        the engine's generate_batch (reference
+        async_omni_diffusion.generate_batch, async_omni_diffusion.py:175).
+        Returns per-prompt [S_i, joint_attention_dim] rows identical to
+        encode_text()."""
+        drop = 0
+        if self.use_template:
+            texts = [PROMPT_TEMPLATE.format(t) for t in texts]
+            drop = TEMPLATE_DROP_IDX
+        ids_list = [self._tokenize(t) for t in texts]
+        bucket = max(len(i) for i in ids_list)
+        bucket = bucket + (-bucket % 64)
+        b = len(ids_list)
+        ids = np.zeros((b, bucket), np.int32)
+        lens = np.zeros((b,), np.int32)
+        for i, t in enumerate(ids_list):
+            ids[i, : len(t)] = t
+            lens[i] = len(t)
+        fn = self._fns.get("text_encode_batch")
+        if fn is None:
+            cfg = self.text_cfg
+
+            def run(params, token_ids, lengths):
+                emb = qwen2.embed_tokens(params, token_ids)
+                pos = jnp.broadcast_to(
+                    jnp.arange(token_ids.shape[1], dtype=jnp.int32)[None],
+                    token_ids.shape,
+                )
+                h, _ = qwen2.prefill_batch(cfg, params, emb, pos, lengths)
+                return h
+
+            fn = jax.jit(run)
+            self._fns["text_encode_batch"] = fn
+        h = np.asarray(
+            fn(self.params["text"], jnp.asarray(ids), jnp.asarray(lens)),
+            np.float32,
+        )
+        return [
+            h[i, : lens[i]][drop:][: self.max_text_len] for i in range(b)
+        ]
+
     # ------------------------------------------------------------ denoise
     def _transformer_fn(self):
         fn = self._fns.get("transformer")

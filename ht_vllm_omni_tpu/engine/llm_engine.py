@@ -429,6 +429,22 @@ class LLMEngine:
 
         outputs: list[OmniRequestOutput] = []
         fresh_ids = {r.request_id for r in prefills}
+        if len(prefill_hidden) > 1:
+            # ONE d2h for every fresh request's producing hidden row:
+            # converting each request's prefill hidden separately costs
+            # a full device sync apiece (~30 ms on a tunneled TPU — the
+            # dominant cost of multi-stream TTS admission)
+            import jax.numpy as jnp
+
+            ids_h = [r for r in prefill_hidden if want_hidden.get(r)]
+            if len(ids_h) > 1:
+                rows_np = np.asarray(jnp.stack([
+                    prefill_hidden[r][0][prefill_hidden[r][1]]
+                    for r in ids_h
+                ]))
+                for i, r in enumerate(ids_h):
+                    arr, idx = prefill_hidden[r]
+                    prefill_hidden[r] = (arr, idx, rows_np[i])
         for req in active:
             rid = req.request_id
             slot = self.runner._slot_of.get(rid)
@@ -488,9 +504,12 @@ class LLMEngine:
         )
         rows = []
         if is_fresh and p_hidden is not None:
-            arr, last_idx = p_hidden
+            arr, last_idx = p_hidden[0], p_hidden[1]
             store["prompt"] = arr
-            rows.append(np.asarray(arr)[last_idx])
+            if len(p_hidden) > 2:  # pre-fetched by the batched d2h
+                rows.append(p_hidden[2])
+            else:
+                rows.append(np.asarray(arr)[last_idx])
         if chunk_hidden is not None:
             n_chunk_rows = accepted - (1 if is_fresh else 0)
             for j in range(max(n_chunk_rows, 0)):

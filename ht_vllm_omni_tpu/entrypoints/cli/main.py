@@ -14,6 +14,11 @@ def _add_serve(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument(
+        "--storage-dir",
+        help="persist uploaded voices + video jobs here (survive "
+        "server restarts; reference storage.py/stores.py)",
+    )
+    p.add_argument(
         "--stage-override",
         action="append",
         default=[],
@@ -110,7 +115,10 @@ def main(argv: list[str] | None = None) -> None:
             tokenizer = getattr(h.engine, "tokenizer", None)
             if tokenizer is not None:
                 break
-        run_server(engine, tokenizer, host=args.host, port=args.port)
+        run_server(
+            engine, tokenizer, host=args.host, port=args.port,
+            storage_dir=args.storage_dir,
+        )
 
     elif args.command == "generate":
         from ht_vllm_omni_tpu.engine.stage_factory import build_stages

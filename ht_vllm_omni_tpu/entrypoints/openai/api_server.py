@@ -53,6 +53,7 @@ class OmniAPIServer:
         engine: AsyncOmniEngine,
         tokenizer=None,
         model_name: str = "ht-omni",
+        storage_dir: str | None = None,
     ) -> None:
         self.engine = engine
         self.tokenizer = tokenizer
@@ -60,6 +61,29 @@ class OmniAPIServer:
         self.voices: dict[str, Any] = {"default": {}}
         # async video job store (reference stores.py VIDEO_STORE/VIDEO_TASKS)
         self.video_jobs: dict[str, dict[str, Any]] = {}
+        # disk persistence (reference storage.py/stores.py): uploaded
+        # voices and finished videos survive a server restart
+        self._video_store = None
+        if storage_dir:
+            import os as _os
+
+            from ht_vllm_omni_tpu.entrypoints.openai.storage import (
+                DiskDict,
+            )
+
+            self.voices = DiskDict(_os.path.join(storage_dir, "voices"))
+            if "default" not in self.voices:
+                self.voices["default"] = {}
+            self._video_store = DiskDict(
+                _os.path.join(storage_dir, "videos")
+            )
+            for vid in self._video_store:
+                job = dict(self._video_store[vid])
+                if job.get("status") in ("queued", "running"):
+                    # the generating task did not survive the restart
+                    job["status"] = "failed"
+                    job["error"] = "server restarted mid-generation"
+                self.video_jobs[vid] = job
 
     # ------------------------------------------------------------- app
     def build_app(self) -> web.Application:
@@ -1355,9 +1379,11 @@ class OmniAPIServer:
         job = {"status": "queued", "frames": [], "error": None,
                "created": time.time()}
         self.video_jobs[video_id] = job
+        self._persist_job(video_id, job)
 
         async def run():
             job["status"] = "running"
+            self._persist_job(video_id, job)
             try:
                 # video-native path first (wan2.2 family): ONE request
                 # carrying num_frames; optional init image = i2v
@@ -1416,11 +1442,20 @@ class OmniAPIServer:
             except Exception as e:
                 job["status"] = "failed"
                 job["error"] = str(e)
+            self._persist_job(video_id, job)
 
         job["task"] = asyncio.get_running_loop().create_task(run())
         return web.json_response(
             {"id": video_id, "status": "queued"}, status=202
         )
+
+    def _persist_job(self, video_id: str, job: dict) -> None:
+        """Write-through of a video job's durable fields (the asyncio
+        task handle stays process-local)."""
+        if self._video_store is not None:
+            self._video_store[video_id] = {
+                k: v for k, v in job.items() if k != "task"
+            }
 
     def _job_or_404(self, request) -> tuple[str, dict]:
         video_id = request.match_info["video_id"]
@@ -1488,6 +1523,8 @@ class OmniAPIServer:
         if job["status"] in ("queued", "running") and task is not None:
             task.cancel()
         del self.video_jobs[video_id]
+        if self._video_store is not None and video_id in self._video_store:
+            del self._video_store[video_id]
         return web.json_response({"id": video_id, "deleted": True})
 
     async def video_status(self, request: web.Request) -> web.Response:
@@ -1576,8 +1613,9 @@ def run_server(
     tokenizer=None,
     host: str = "0.0.0.0",
     port: int = 8000,
+    storage_dir: str | None = None,
 ) -> None:
-    server = OmniAPIServer(engine, tokenizer)
+    server = OmniAPIServer(engine, tokenizer, storage_dir=storage_dir)
     web.run_app(server.build_app(), host=host, port=port)
 
 
