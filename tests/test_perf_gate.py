@@ -19,11 +19,15 @@ def _budgets():
 
 
 def test_gate_passes_on_recorded_good_run():
+    # shaped like the round-5 bench line
     metrics = {
-        "value": 4028, "prefill_toks_per_s": 63290,
-        "prefill_device_toks_per_s": 143372,
-        "int8_toks_per_s": 5813, "int4_toks_per_s": 6647,
-        "tts_rtf": 0.256, "tts_ttfp_ms": 170, "tts_rtf_c4": 0.345,
+        "value": 4220, "prefill_toks_per_s": 66196,
+        "prefill_bs32_toks_per_s": 94343,
+        "prefill_device_toks_per_s": 137581,
+        "int8_toks_per_s": 5822, "int4_toks_per_s": 6902,
+        "int4_bs32_toks_per_s": 16106,
+        "tts_rtf": 0.276, "tts_ttfp_ms": 201, "tts_rtf_c4": 0.317,
+        "tts_rtf_c8": 0.359, "dit_block_mfu": 0.55,
     }
     assert check(metrics, _budgets()) == []
 
