@@ -21,6 +21,12 @@ class DiffusionParallelConfig:
     ulysses_size: int = 1
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # PipeFusion (reference group_coordinator.py:623
+    # num_pipefusion_patches + DiffusionParallelConfig
+    # .pipeline_parallel_size): DiT layers shard over a pp axis and
+    # image patches pipeline through the stages with one-step-stale
+    # cross-patch KV (diffusion/distributed/pipefusion.py)
+    pipeline_parallel_size: int = 1
     # HSDP-equivalent weight sharding (reference diffusion/distributed/
     # hsdp.py): shard stacked DiT weights over the cfg x sp axes and
     # all-gather just-in-time per layer, so big DiTs span the mesh
@@ -37,6 +43,7 @@ class DiffusionParallelConfig:
             * self.ulysses_size
             * self.tensor_parallel_size
             * self.data_parallel_size
+            * self.pipeline_parallel_size
         )
 
 

@@ -60,10 +60,27 @@ class FlowPipeline:
         if parallel is not None:
             if parallel.tp_size > 1:
                 raise ValueError(
-                    "generic DiT supports cfg x sp parallelism; tensor "
-                    "parallel needs a family with TP weight plans "
-                    "(qwen-image)"
+                    "generic DiT supports cfg x sp x pp parallelism; "
+                    "tensor parallel needs a family with TP weight "
+                    "plans (qwen-image)"
                 )
+            if parallel.pp_size > 1:
+                if parallel.sp_size > 1:
+                    raise ValueError(
+                        "pipefusion (pp) and ulysses (sp) do not "
+                        "compose on the generic DiT yet"
+                    )
+                if parallel.cfg_size != 2:
+                    raise ValueError(
+                        "generic pipefusion needs cfg_parallel_size=2 "
+                        "(the CFG branches are the pipeline's "
+                        "microbatches)"
+                    )
+                if cfg.num_layers % parallel.pp_size:
+                    raise ValueError(
+                        f"num_layers {cfg.num_layers} not divisible by "
+                        f"pipeline_parallel_size={parallel.pp_size}"
+                    )
             if self.teacache.enabled or self.dbcache.enabled:
                 raise ValueError(
                     "step/block caching does not compose with parallel "
@@ -214,6 +231,47 @@ class FlowPipeline:
             self._denoise_fns[key] = fn
         return fn
 
+    _LAYER_KEYS = (
+        "ada", "ada_b", "wqkv", "wo", "mlp_in", "mlp_out", "norm_scale",
+    )
+
+    def _pipefusion_fn(self, num_steps: int, tok_shape, s_txt: int):
+        """PipeFusion denoise (diffusion/distributed/pipefusion.py):
+        layers sharded over pp, patches pipelined with one-step-stale
+        cross-patch KV, CFG branches over the cfg axis."""
+        key = ("pf", num_steps, tok_shape, s_txt)
+        fn = self._denoise_fns.get(key)
+        if fn is None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ht_vllm_omni_tpu.diffusion.distributed.pipefusion import (
+                pipefusion_denoise,
+            )
+
+            info = self.parallel.info
+            sched = FlowMatchEulerScheduler(num_steps)
+            body = pipefusion_denoise(
+                self.cfg, sched.sigmas, info.pp_size, info.pp_axis,
+                info.cfg_axis, num_steps, tok_shape[0], s_txt,
+            )
+            lp_specs = {k: P(info.pp_axis) for k in self._LAYER_KEYS}
+
+            fn = jax.jit(
+                shard_map(
+                    body,
+                    mesh=self.parallel.mesh,
+                    in_specs=(
+                        lp_specs, P(), P(), P(info.cfg_axis), P(), P(),
+                        P(),
+                    ),
+                    out_specs=P(),
+                    check_vma=False,
+                )
+            )
+            self._denoise_fns[key] = fn
+        return fn
+
     def prepare(
         self, sp: DiffusionSamplingParams, key: jax.Array
     ) -> jax.Array:
@@ -239,20 +297,42 @@ class FlowPipeline:
     ):
         if self.parallel is not None:
             tokens = dit.patchify(self.cfg, latents)
-            if tokens.shape[0] % self.parallel.sp_size:
-                raise ValueError(
-                    f"token count {tokens.shape[0]} not divisible by "
-                    f"ulysses_size={self.parallel.sp_size}"
-                )
-            fn = self._parallel_denoise_fn(
-                sp.num_inference_steps, tokens.shape
-            )
             cond_b = jnp.stack([cond, uncond])
-            x = fn(
-                self.params, tokens, cond_b,
-                jnp.float32(sp.guidance_scale), jnp.int32(start),
-                jnp.int32(count),
-            )
+            if self.parallel.pp_size > 1:
+                if tokens.shape[0] % self.parallel.pp_size:
+                    raise ValueError(
+                        f"token count {tokens.shape[0]} not divisible "
+                        "by pipeline_parallel_size="
+                        f"{self.parallel.pp_size}"
+                    )
+                lp = {k: self.params[k] for k in self._LAYER_KEYS}
+                shared = {
+                    k: v for k, v in self.params.items()
+                    if k not in self._LAYER_KEYS
+                }
+                fn = self._pipefusion_fn(
+                    sp.num_inference_steps, tokens.shape,
+                    int(cond.shape[0]),
+                )
+                x = fn(
+                    lp, shared, tokens, cond_b,
+                    jnp.float32(sp.guidance_scale), jnp.int32(start),
+                    jnp.int32(count),
+                )
+            else:
+                if tokens.shape[0] % self.parallel.sp_size:
+                    raise ValueError(
+                        f"token count {tokens.shape[0]} not divisible "
+                        f"by ulysses_size={self.parallel.sp_size}"
+                    )
+                fn = self._parallel_denoise_fn(
+                    sp.num_inference_steps, tokens.shape
+                )
+                x = fn(
+                    self.params, tokens, cond_b,
+                    jnp.float32(sp.guidance_scale), jnp.int32(start),
+                    jnp.int32(count),
+                )
             lat = dit.unpatchify(
                 self.cfg, x.astype(latents.dtype), *latents.shape[:2]
             )

@@ -40,6 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ht_vllm_omni_tpu.diffusion.data import DiffusionParallelConfig
 
 CFG_AXIS = "cfg"
+PP_AXIS = "pp"
 SP_AXIS = "sp"
 TP_AXIS = "tp"
 
@@ -52,9 +53,11 @@ class ShardInfo:
     that its Attention layer performs per forward."""
 
     cfg_axis: str | None = None
+    pp_axis: str | None = None
     sp_axis: str | None = None
     tp_axis: str | None = None
     cfg_size: int = 1
+    pp_size: int = 1
     sp_size: int = 1
     tp_size: int = 1
     fsdp_axes: tuple[str, ...] | None = None  # weight-sharding axes
@@ -81,6 +84,10 @@ class DiffusionParallelContext:
         return self.info.cfg_size
 
     @property
+    def pp_size(self) -> int:
+        return self.info.pp_size
+
+    @property
     def sp_size(self) -> int:
         return self.info.sp_size
 
@@ -90,7 +97,9 @@ class DiffusionParallelContext:
 
     @property
     def world_size(self) -> int:
-        return self.cfg_size * self.sp_size * self.tp_size
+        return (
+            self.cfg_size * self.pp_size * self.sp_size * self.tp_size
+        )
 
     def replicated(self, tree):
         """device_put a pytree fully replicated over this mesh."""
@@ -118,19 +127,20 @@ def build_context(
     engine's request-level batching, not the mesh.
     """
     cfg_n = parallel.cfg_parallel_size
+    pp_n = getattr(parallel, "pipeline_parallel_size", 1)
     sp_n = parallel.ulysses_size
     tp_n = parallel.tensor_parallel_size
-    n = cfg_n * sp_n * tp_n
+    n = cfg_n * pp_n * sp_n * tp_n
     if n == 1:
         return None
     devices = devices if devices is not None else jax.devices()
     if len(devices) < n:
         raise ValueError(
-            f"diffusion parallel cfg{cfg_n} x sp{sp_n} x tp{tp_n} needs "
-            f"{n} devices, have {len(devices)}"
+            f"diffusion parallel cfg{cfg_n} x pp{pp_n} x sp{sp_n} x "
+            f"tp{tp_n} needs {n} devices, have {len(devices)}"
         )
-    arr = np.asarray(devices[:n]).reshape(cfg_n, sp_n, tp_n)
-    mesh = Mesh(arr, (CFG_AXIS, SP_AXIS, TP_AXIS))
+    arr = np.asarray(devices[:n]).reshape(cfg_n, pp_n, sp_n, tp_n)
+    mesh = Mesh(arr, (CFG_AXIS, PP_AXIS, SP_AXIS, TP_AXIS))
     fsdp_axes: tuple[str, ...] | None = None
     if fsdp_weights:
         # shard weights over every non-tp axis that exists (tp leaves are
@@ -140,9 +150,11 @@ def build_context(
         ) or None
     info = ShardInfo(
         cfg_axis=CFG_AXIS if cfg_n > 1 else None,
+        pp_axis=PP_AXIS if pp_n > 1 else None,
         sp_axis=SP_AXIS if sp_n > 1 else None,
         tp_axis=TP_AXIS if tp_n > 1 else None,
         cfg_size=cfg_n,
+        pp_size=pp_n,
         sp_size=sp_n,
         tp_size=tp_n,
         fsdp_axes=fsdp_axes,

@@ -252,3 +252,58 @@ def test_uneven_tokens_for_sp_raises():
     )
     out = eng.step()[0]
     assert out.error is not None and "divisible" in out.error
+
+
+def test_pipefusion_warm_step_exact_and_multistep_close():
+    """Diffusion pipeline parallelism (PipeFusion, VERDICT r4 #3):
+    layers shard over the pp axis, patches pipeline with one-step-stale
+    cross-patch KV (diffusion/distributed/pipefusion.py).  The warmup
+    step is an exact full-sequence ring wave -> a 1-step run must match
+    the single-device engine bit-for-bit (up to f32 reduction order);
+    multi-step runs carry the documented staleness -> close, not equal.
+    """
+    arch = DiTArchConfig(
+        hidden_size=64, num_layers=4, num_heads=4, patch_size=2,
+        in_channels=4, cond_dim=64, vocab_size=64, dtype="float32",
+    )
+
+    def run(parallel, steps):
+        eng = DiffusionEngine(
+            OmniDiffusionConfig(arch=arch, parallel=parallel)
+        )
+        if parallel.pipeline_parallel_size > 1:
+            assert eng.parallel.pp_size == parallel.pipeline_parallel_size
+        return _run(eng, size="32x32", steps=steps, guidance=3.0, seed=4)
+
+    single = DiffusionParallelConfig()
+    pf = DiffusionParallelConfig(
+        cfg_parallel_size=2, pipeline_parallel_size=4
+    )
+    # warm step only: exact
+    ref1 = run(single, 1)
+    got1 = run(pf, 1)
+    assert np.max(np.abs(got1 - ref1)) <= 2
+    # 4 steps: one-step-stale cross-patch KV — close
+    ref4 = run(single, 4).astype(np.float32)
+    got4 = run(pf, 4).astype(np.float32)
+    rel = np.abs(got4 - ref4).mean() / max(ref4.std(), 1e-6)
+    assert np.isfinite(got4).all()
+    assert rel < 0.25, rel
+
+
+def test_pipefusion_requires_cfg2():
+    import pytest as _pytest
+
+    arch = DiTArchConfig(
+        hidden_size=32, num_layers=2, num_heads=2, patch_size=2,
+        in_channels=4, cond_dim=32, vocab_size=64, dtype="float32",
+    )
+    with _pytest.raises(ValueError, match="cfg_parallel_size=2"):
+        DiffusionEngine(
+            OmniDiffusionConfig(
+                arch=arch,
+                parallel=DiffusionParallelConfig(
+                    pipeline_parallel_size=2
+                ),
+            )
+        )
