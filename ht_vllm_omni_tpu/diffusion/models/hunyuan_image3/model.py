@@ -225,10 +225,18 @@ def _apply_rope(x, cos, sin):
 
 
 # ------------------------------------------------------------------- moe
-def _moe(cfg, p, li, x):
+def _moe(cfg, p, li, x, ep_axis=None):
     """Top-k routed experts over grouped GEMMs + plain shared MLP
     (reference HunYuanSparseMoeBlock :1441-1538; the grouped-GEMM
-    dispatch matches models/qwen2.py's EP-ready MoE)."""
+    dispatch matches models/qwen2.py's EP-ready MoE).
+
+    Expert parallelism: with ``ep_axis`` set (inside shard_map), the
+    expert leaves (egate/eup/edown, router stays replicated) arrive
+    sharded over the axis; each shard evaluates its LOCAL experts
+    against the globally-routed assignment (expert ids offset by
+    shard * local_E; foreign tokens route to an empty group) and the
+    routed partial psums across the axis — same design as the AR side's
+    qwen2._mlp EP."""
     t, h = x.shape
     logits = jnp.dot(x, p["router"][li], preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits, -1)
@@ -238,10 +246,21 @@ def _moe(cfg, p, li, x):
         top_w = top_w / jnp.sum(top_w, -1, keepdims=True)
     tk = t * k
     e_flat = top_i.reshape(tk).astype(jnp.int32)
-    order = jnp.argsort(e_flat)
+    local_e = p["egate"].shape[1]
+    if ep_axis is not None:
+        # map global expert ids into this shard's local range; foreign
+        # assignments park in group local_e (zero-weighted below)
+        off = jax.lax.axis_index(ep_axis) * local_e
+        rel = e_flat - off
+        mine = jnp.logical_and(rel >= 0, rel < local_e)
+        e_loc = jnp.where(mine, rel, local_e)
+    else:
+        mine = jnp.ones((tk,), bool)
+        e_loc = e_flat
+    order = jnp.argsort(e_loc)
     tok = order // k
     xs = x[tok]
-    gs = jnp.bincount(e_flat, length=cfg.num_experts)
+    gs = jnp.bincount(e_loc, length=local_e)
     gg = jax.lax.ragged_dot(
         xs, p["egate"][li], gs, preferred_element_type=jnp.float32
     )
@@ -252,10 +271,13 @@ def _moe(cfg, p, li, x):
     rows = jax.lax.ragged_dot(
         act, p["edown"][li], gs, preferred_element_type=jnp.float32
     )
-    wsort = top_w.reshape(tk)[order]
+    wsort = jnp.where(mine, top_w.reshape(tk), 0.0)[order]
     acc = jnp.zeros((t, h), jnp.float32)
     acc = acc.at[tok].add(rows * wsort[:, None])
-    # shared expert: plain SwiGLU, no gate (use_mixed_mlp_moe)
+    if ep_axis is not None:
+        acc = jax.lax.psum(acc, ep_axis)
+    # shared expert: plain SwiGLU, no gate (use_mixed_mlp_moe);
+    # ep-replicated like the AR side's shared expert
     sg = jax.nn.silu(x @ p["sgate"][li]) * (x @ p["sup"][li])
     return acc + sg @ p["sdown"][li]
 

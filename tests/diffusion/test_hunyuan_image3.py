@@ -245,3 +245,48 @@ def test_registry_row():
     cfg.family = "hunyuan-image-3"
     pipe = create_pipeline(cfg)
     assert isinstance(pipe, HunyuanImage3Pipeline)
+
+
+def test_moe_expert_parallel_matches_unsharded():
+    """Diffusion-side MoE EP (inventory 2.6): hunyuan-image-3's routed
+    experts shard over an 'ep' mesh axis (local grouped GEMMs, globally
+    routed ids, psum'd partials) and must match the unsharded block."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from ht_vllm_omni_tpu.diffusion.models.hunyuan_image3 import model
+    from ht_vllm_omni_tpu.diffusion.models.hunyuan_image3.config import (
+        HunyuanImage3ArchConfig,
+    )
+
+    cfg = HunyuanImage3ArchConfig.tiny()
+    p = model.init_params(cfg, jax.random.PRNGKey(0))
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (16, cfg.hidden_size), jnp.float32
+    )
+    ref = np.asarray(model._moe(cfg, p, 0, x))
+
+    ep = 4
+    assert cfg.num_experts % ep == 0
+    mesh = Mesh(np.array(jax.devices()[:ep]), ("ep",))
+    moe_keys = ("egate", "eup", "edown")
+    specs = {
+        k: (P(None, "ep") if k in moe_keys else P()) for k in p
+    }
+
+    def run(p, x):
+        return model._moe(cfg, p, 0, x, ep_axis="ep")
+
+    out = jax.jit(
+        shard_map(
+            run, mesh=mesh,
+            in_specs=(specs, P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )(p, x)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
