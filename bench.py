@@ -396,8 +396,15 @@ def main() -> None:
             del eng_p
         except NameError:
             pass
-        del engine, outs
-        outs8 = outs4 = None  # drop token-output refs from the quant runs
+        try:
+            del eng8
+        except NameError:
+            pass
+        try:
+            del eng32
+        except NameError:
+            pass
+        outs8 = outs4 = outs32 = None  # drop quant-run output refs
         from ht_vllm_omni_tpu.diffusion.data import (
             DiffusionSamplingParams,
             OmniDiffusionConfig,
@@ -420,6 +427,7 @@ def main() -> None:
         t0 = time.time()
         pipe.generate_prompt(_P(), dsp)
         serve["t2i_512_tiny_s"] = round(time.time() - t0, 3)
+        del pipe  # free before the DiT-block MFU microbench
     except Exception as e:
         serve["t2i_error"] = str(e)[:120]
     try:

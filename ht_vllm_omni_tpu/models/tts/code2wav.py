@@ -133,7 +133,11 @@ class Code2WavModel:
         if not any(lens):
             return [self(None, None, i, s) for (_t, _e, i, s) in items]
         bucket = 1 << (max(lens) - 1).bit_length()
-        arr = np.zeros((len(toks), bucket), np.int32)
+        # bucket the BATCH dim too: chunk arrival patterns split the
+        # stream set nondeterministically (e.g. 8 -> 5+3), and an
+        # unbucketed batch recompiles _forward_batch mid-serve
+        bsz = 1 << (len(toks) - 1).bit_length()
+        arr = np.zeros((bsz, bucket), np.int32)
         for i, t in enumerate(toks):
             arr[i, : len(t)] = t
         waves = np.asarray(
