@@ -139,3 +139,38 @@ def test_fresh_kernel_matches_dense_reference():
     np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2
     )
+
+
+def test_decode_attention_big_batch_fallback_matches():
+    """The one-grid decode kernel falls back to the per-sequence grid
+    when batch x nbuf page buffers would blow the VMEM budget; both
+    dispatch paths must agree."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from ht_vllm_omni_tpu.ops import paged_attention as pa
+
+    B, QH, KVH, D, PAGE, L = 40, 4, 2, 64, 128, 2
+    NP_ = 128
+    rng = np.random.default_rng(7)
+    kv = jnp.asarray(
+        rng.standard_normal((L, NP_ * PAGE, 2 * KVH * D)), jnp.float32
+    )
+    q = jnp.asarray(rng.standard_normal((B, QH, D)), jnp.float32)
+    tables = jnp.asarray(
+        rng.permutation(NP_)[: B * 2].reshape(B, 2).astype(np.int32)
+    )
+    lens = jnp.asarray(rng.integers(1, 2 * PAGE, size=B).astype(np.int32))
+    # B=40, nbuf=2, page 128 x 2F 256 x 4B = 10 MB > budget -> fallback
+    big = pa.paged_decode_attention(
+        q, kv, 1, tables, lens, page_size=PAGE, kv_heads=KVH
+    )
+    # one-grid path at a subset size that fits
+    small = pa.paged_decode_attention(
+        q[:8], kv, 1, tables[:8], lens[:8], page_size=PAGE, kv_heads=KVH
+    )
+    np.testing.assert_allclose(
+        np.asarray(big[:8]), np.asarray(small), rtol=2e-5, atol=2e-5
+    )
