@@ -307,3 +307,37 @@ def test_pipefusion_requires_cfg2():
                 ),
             )
         )
+
+
+def test_engine_wan_i2v_per_token_timesteps_parallel():
+    """Wan TI2V first-frame conditioning uses PER-TOKEN timesteps
+    (frame-0 tokens run at t=0); under cfg2 x sp2 the [B, S] timestep
+    grid shards over cfg and slices over sp inside the forward."""
+    ref_eng = DiffusionEngine(_wan_cfg())
+    par_eng = DiffusionEngine(
+        _wan_cfg(cfg_parallel_size=2, ulysses_size=2)
+    )
+    img = (np.arange(32 * 32 * 3).reshape(32, 32, 3) % 255).astype(
+        np.uint8
+    )
+
+    def run(engine):
+        engine.add_request(
+            OmniPrompt(
+                text="a fox starts running",
+                multi_modal_data={"image": img},
+                additional_information={
+                    "size": "32x32", "num_inference_steps": 2,
+                    "guidance_scale": 4.0, "seed": 3, "num_frames": 4,
+                },
+            ),
+            request_id="i2v",
+        )
+        out = engine.step()[0]
+        assert out.finished and out.error is None, out.error
+        return np.asarray(out.multimodal_output["video"], np.int32)
+
+    ref = run(ref_eng)
+    par = run(par_eng)
+    assert par.shape == ref.shape
+    assert np.max(np.abs(par - ref)) <= 2
