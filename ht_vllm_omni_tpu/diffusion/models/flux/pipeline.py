@@ -53,6 +53,7 @@ class FluxPipeline:
         seed: int = 0,
         scheduler: str = "euler",  # "euler" | "unipc"
         tokenizer=None,
+        parallel=None,  # diffusion.parallel.DiffusionParallelContext
     ) -> None:
         self.arch = arch or FluxArchConfig.tiny()
         self.vae_cfg = vae_cfg or QwenImageVAEConfig.tiny()
@@ -81,6 +82,19 @@ class FluxPipeline:
             else qwen2.init_params(self.text_cfg, k3),
         }
         self._fns: dict = {}
+        # served parallel execution (diffusion/parallel.py): DiT weights
+        # live sharded on the mesh; every denoise step runs inside one
+        # jit(shard_map(...)) over cfg x sp x tp
+        self.parallel = parallel
+        if parallel is not None:
+            if self.arch.num_attention_heads % parallel.tp_size:
+                raise ValueError(
+                    f"attention heads {self.arch.num_attention_heads} "
+                    f"not divisible by tp={parallel.tp_size}"
+                )
+            self.params["transformer"] = transformer.shard_params(
+                self.arch, self.params["transformer"], parallel
+            )
 
     # --------------------------------------------------------------- text
     def _tokenize(self, text: str) -> list[int]:
@@ -116,6 +130,61 @@ class FluxPipeline:
         m = min(pd, pooled_full.shape[0])
         pooled[:m] = pooled_full[:m]
         return h, pooled
+
+    def _parallel_step_fn(self, img_shape):
+        """One guided denoise velocity under the diffusion mesh (same
+        design as the qwen-image pipeline): CFG branches shard over cfg,
+        image tokens over sp (Ulysses joint attention inside
+        transformer.forward), weights over tp/fsdp; the combine happens
+        in-mesh so the returned prediction is already guided."""
+        key = ("pstep", img_shape)
+        fn = self._fns.get(key)
+        if fn is None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ht_vllm_omni_tpu.diffusion.distributed.cfg_parallel import (
+                cfg_combine,
+            )
+
+            ctx = self.parallel
+            info = ctx.info
+            arch = self.arch
+            pspecs = transformer.param_pspecs(
+                info, self.params["transformer"]
+            )
+            sp_ax, cfg_ax = info.sp_axis, info.cfg_axis
+
+            def run(params, lat, txt, txt_lens, pooled, t, g, gscale):
+                b_loc = txt.shape[0]
+                v = transformer.forward(
+                    arch, params,
+                    jnp.concatenate([lat] * b_loc, axis=0),
+                    txt, txt_lens, pooled, t,
+                    g if arch.guidance_embeds else None,
+                    img_shape, parallel=info,
+                )
+                if cfg_ax is not None:
+                    v = cfg_combine(v, gscale, axis=cfg_ax)
+                elif b_loc == 2:
+                    v = v[1:2] + gscale * (v[:1] - v[1:2])
+                return v[:1]
+
+            fn = jax.jit(
+                shard_map(
+                    run,
+                    mesh=ctx.mesh,
+                    in_specs=(
+                        pspecs, P(None, sp_ax), P(cfg_ax), P(cfg_ax),
+                        P(cfg_ax), P(cfg_ax), P(cfg_ax), P(),
+                    ),
+                    out_specs=P(None, sp_ax),
+                    check_vma=False,
+                ),
+                static_argnames=(),
+            )
+            self._fns[key] = fn
+        return fn
 
     def _transformer_fn(self):
         fn = self._fns.get("transformer")
@@ -169,6 +238,33 @@ class FluxPipeline:
 
         end = min(state["step"] + count, sp.num_inference_steps)
         latents = state["latents"]
+        if self.parallel is not None and cond is None:
+            pfn = self._parallel_step_fn(img_shape)
+            g_eff = jnp.float32(gscale if do_cfg else 1.0)
+            for step in range(state["step"], end):
+                sigma = sched.timestep(step)
+                t = jnp.full((nb,), sigma, jnp.float32)
+                g = jnp.full((nb,), gscale, jnp.float32)
+                pred = pfn(
+                    self.params["transformer"], latents, state["txt"],
+                    state["txt_lens"], state["pooled"], t, g, g_eff,
+                )
+                latents, state["sched_state"] = sched.step(
+                    state["sched_state"], pred, latents
+                )
+            state["latents"] = latents
+            state["step"] = end
+            if end >= sp.num_inference_steps:
+                lat_np = jnp.asarray(np.asarray(latents))
+                z = self._decode_prep()(lat_np, lat_h, lat_w)
+                img = vae.decode_pixels(
+                    self.vae_cfg, self.params["vae"], z, self._fns
+                )[0]
+                return (
+                    np.asarray(img * 255.0, np.float32).astype(np.uint8),
+                    state,
+                )
+            return None, state
         for step in range(state["step"], end):
             sigma = sched.timestep(step)
             t = jnp.full((nb,), sigma, jnp.float32)
@@ -232,6 +328,17 @@ class FluxPipeline:
             npos, npooled = self.encode_text(neg_text)
             branches.append(npos)
             pools.append(npooled)
+        if self.parallel is not None:
+            if self.parallel.cfg_size == 2 and len(branches) == 1:
+                # cfg axis active but guidance is embedded/off: both
+                # shards run the positive branch (g=1 combine = id)
+                branches.append(pos)
+                pools.append(pooled)
+            if seq_len % self.parallel.sp_size:
+                raise ValueError(
+                    f"image token count {seq_len} not divisible by "
+                    f"ulysses_size={self.parallel.sp_size}"
+                )
         s_txt = max(b.shape[0] for b in branches)
         s_txt = s_txt + (-s_txt % 8)
         txt = np.zeros(

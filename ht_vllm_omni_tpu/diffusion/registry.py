@@ -78,7 +78,9 @@ def _qwen_image(config: OmniDiffusionConfig, parallel=None) -> Any:
 # families whose factories accept a parallel context (served multichip
 # execution); the rest get a precise error instead of silently running
 # single-chip with parallel sizes > 1
-_PARALLEL_FAMILIES = {"generic", "qwen-image", "wan2.2", "wan2.2-i2v"}
+_PARALLEL_FAMILIES = {
+    "generic", "qwen-image", "wan2.2", "wan2.2-i2v", "flux",
+}
 
 
 def _qwen_image_variant(cls_name: str):
@@ -207,10 +209,11 @@ def _wan_video(config: OmniDiffusionConfig, parallel=None) -> Any:
     return WanVideoPipeline(seed=config.seed, **kwargs)
 
 
-def _flux(config: OmniDiffusionConfig) -> Any:
+def _flux(config: OmniDiffusionConfig, parallel=None) -> Any:
     from ht_vllm_omni_tpu.diffusion.models.flux import FluxPipeline
 
     kwargs: dict[str, Any] = dict(config.family_options)
+    kwargs["parallel"] = parallel
     return FluxPipeline(seed=config.seed, **kwargs)
 
 

@@ -232,7 +232,7 @@ def test_wan_shaped_big_arch_fsdp_spans_mesh():
 
 def test_unsupported_family_with_parallel_raises():
     cfg = OmniDiffusionConfig(
-        family="flux",
+        family="sd3",
         parallel=DiffusionParallelConfig(ulysses_size=2),
     )
     with pytest.raises(ValueError, match="does not support parallel"):
@@ -339,5 +339,34 @@ def test_engine_wan_i2v_per_token_timesteps_parallel():
 
     ref = run(ref_eng)
     par = run(par_eng)
+    assert par.shape == ref.shape
+    assert np.max(np.abs(par - ref)) <= 2
+
+
+def test_engine_flux_sp2_cfg2_tp2_parity():
+    """Flux (dual-stream + single-stream MMDiT) serves in-mesh through
+    DiffusionEngine: cfg2 x sp2 x tp2 with the split row-parallel
+    single-block output must match the single-device engine."""
+    from ht_vllm_omni_tpu.diffusion.models.flux.config import (
+        FluxArchConfig,
+    )
+
+    def cfgf(**popts):
+        return OmniDiffusionConfig(
+            family="flux",
+            family_options={
+                "arch": FluxArchConfig.tiny(),
+                "vae_cfg": QwenImageVAEConfig.tiny(),
+            },
+            parallel=DiffusionParallelConfig(**popts),
+            seed=7,
+        )
+
+    ref = _run(DiffusionEngine(cfgf()), steps=2)
+    eng = DiffusionEngine(
+        cfgf(cfg_parallel_size=2, ulysses_size=2, tensor_parallel_size=2)
+    )
+    assert eng.parallel.world_size == 8
+    par = _run(eng, steps=2)
     assert par.shape == ref.shape
     assert np.max(np.abs(par - ref)) <= 2
