@@ -54,6 +54,7 @@ class SD3Pipeline:
         tokenizers: dict | None = None,  # name -> callable str->ids
         clip_len: int = 77,
         t5_len: int = 128,
+        parallel=None,  # diffusion.parallel.DiffusionParallelContext
     ) -> None:
         self.arch = arch or SD3ArchConfig.tiny()
         self.vae_cfg = vae_cfg or QwenImageVAEConfig.tiny()
@@ -122,6 +123,13 @@ class SD3Pipeline:
             "t5": pick("t5", t5_encoder.init_params(self.t5_cfg, k5)),
         }
         self._fns: dict = {}
+        # served parallel execution (cfg x sp; weights replicated —
+        # diffusion/parallel.py)
+        self.parallel = parallel
+        if parallel is not None and parallel.tp_size > 1:
+            raise ValueError(
+                "sd3 supports cfg x sp parallelism (no tp plan)"
+            )
 
     # --------------------------------------------------------------- text
     def _tokenize(self, name: str, text: str, vocab: int, length: int):
@@ -184,6 +192,51 @@ class SD3Pipeline:
         )
 
     # ------------------------------------------------------------ denoise
+    def _parallel_step_fn(self):
+        """One guided denoise velocity under the cfg x sp mesh: branch
+        forwards shard over cfg, image tokens over sp inside
+        transformer.forward; the combine happens in-mesh."""
+        fn = self._fns.get("pstep")
+        if fn is None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ht_vllm_omni_tpu.diffusion.distributed.cfg_parallel import (
+                cfg_combine,
+            )
+
+            ctx = self.parallel
+            info = ctx.info
+            arch = self.arch
+            cfg_ax = info.cfg_axis
+
+            def run(params, lat, txt, pooled, t, gscale):
+                b_loc = txt.shape[0]
+                v = transformer.forward(
+                    arch, params,
+                    jnp.concatenate([lat] * b_loc, axis=0),
+                    txt, pooled, t, parallel=info,
+                )
+                if cfg_ax is not None:
+                    v = cfg_combine(v, gscale, axis=cfg_ax)
+                elif b_loc == 2:
+                    v = v[1:2] + gscale * (v[:1] - v[1:2])
+                return v[:1]
+
+            fn = jax.jit(
+                shard_map(
+                    run,
+                    mesh=ctx.mesh,
+                    in_specs=(
+                        P(), P(), P(cfg_ax), P(cfg_ax), P(cfg_ax), P(),
+                    ),
+                    out_specs=P(),
+                    check_vma=False,
+                )
+            )
+            self._fns["pstep"] = fn
+        return fn
+
     def _transformer_fn(self):
         fn = self._fns.get("transformer")
         if fn is None:
@@ -226,22 +279,41 @@ class SD3Pipeline:
 
         end = min(state["step"] + count, sp.num_inference_steps)
         latents = state["latents"]
-        for step in range(state["step"], end):
-            sigma = sched.timestep(step)
-            t = jnp.full((nb,), sigma, jnp.float32)
-            v = fn(
-                self.params["transformer"],
-                jnp.concatenate([latents] * nb, 0),
-                state["txt"], state["pooled"], t,
-            )
-            if do_cfg:
-                pos, neg = v[:1], v[1:2]
-                pred = neg + gscale * (pos - neg)
-            else:
-                pred = v[:1]
-            latents, state["sched_state"] = sched.step(
-                state["sched_state"], pred, latents
-            )
+        if self.parallel is not None:
+            pfn = self._parallel_step_fn()
+            g_eff = jnp.float32(gscale if do_cfg else 1.0)
+            txt_b, pooled_b = state["txt"], state["pooled"]
+            if self.parallel.cfg_size == 2 and nb == 1:
+                txt_b = jnp.concatenate([txt_b, txt_b], 0)
+                pooled_b = jnp.concatenate([pooled_b, pooled_b], 0)
+            nb_eff = txt_b.shape[0]
+            for step in range(state["step"], end):
+                sigma = sched.timestep(step)
+                t = jnp.full((nb_eff,), sigma, jnp.float32)
+                pred = pfn(
+                    self.params["transformer"], latents, txt_b,
+                    pooled_b, t, g_eff,
+                )
+                latents, state["sched_state"] = sched.step(
+                    state["sched_state"], pred, latents
+                )
+        else:
+            for step in range(state["step"], end):
+                sigma = sched.timestep(step)
+                t = jnp.full((nb,), sigma, jnp.float32)
+                v = fn(
+                    self.params["transformer"],
+                    jnp.concatenate([latents] * nb, 0),
+                    state["txt"], state["pooled"], t,
+                )
+                if do_cfg:
+                    pos, neg = v[:1], v[1:2]
+                    pred = neg + gscale * (pos - neg)
+                else:
+                    pred = v[:1]
+                latents, state["sched_state"] = sched.step(
+                    state["sched_state"], pred, latents
+                )
         state["latents"] = latents
         state["step"] = end
         if end >= sp.num_inference_steps:
@@ -288,6 +360,11 @@ class SD3Pipeline:
         text = getattr(prompt, "text", None) or ""
         pos_e, pos_p = self.encode_text(text)
         do_cfg = sp.guidance_scale is not None and sp.guidance_scale > 1.0
+        if self.parallel is not None and seq_len % self.parallel.sp_size:
+            raise ValueError(
+                f"image token count {seq_len} not divisible by "
+                f"ulysses_size={self.parallel.sp_size}"
+            )
         embeds = [pos_e]
         pools = [pos_p]
         if do_cfg:

@@ -153,7 +153,19 @@ def forward(
     txt_embeds: jax.Array,  # [B, S_txt, joint_attention_dim]
     pooled: jax.Array,  # [B, pooled_projection_dim]
     timestep: jax.Array,  # [B] in [0, 1] (scaled x1000 like the ref)
+    *,
+    parallel=None,  # diffusion.parallel.ShardInfo inside shard_map
 ) -> jax.Array:
+    """Velocity prediction [B, C, H, W].
+
+    With ``parallel`` set (shard_map over the diffusion mesh), the
+    image token stream shards over sp after the (cheap, replicated)
+    patch embed; joint attention routes through
+    sp_ulysses.ulysses_joint_attention (the txt-first concat reorders to
+    [img || txt] — full attention is permutation-invariant) and the
+    output gathers over sp before unpatchify.  Weights stay replicated
+    (cfg x sp only; SD3's per-stream qk norms and dual-attention layers
+    make a TP plan a separate project)."""
     dt = _dt(cfg)
     b, c, hpx, wpx = latents.shape
     ps = cfg.patch_size
@@ -162,6 +174,11 @@ def forward(
     d = cfg.inner_dim
     s_txt = txt_embeds.shape[1]
     s_img = h * w
+    pl = parallel
+    sp_axis = pl.sp_axis if pl else None
+    sp_size = pl.sp_size if pl else 1
+    if pl is not None and pl.tp_size > 1:
+        raise ValueError("sd3 supports cfg x sp parallelism (no tp plan)")
 
     # patchify: [B,C,H,W] -> [B, h*w, C*ps*ps] with (c, kh, kw) order
     x = latents.astype(dt).reshape(b, c, h, ps, w, ps)
@@ -175,6 +192,13 @@ def forward(
         top : top + h, left : left + w
     ].reshape(s_img, d)
     img = img + pos[None]
+
+    if sp_axis is not None:
+        # keep only this shard's token range (patch embed was replicated)
+        s_loc = s_img // sp_size
+        sp_idx = jax.lax.axis_index(sp_axis)
+        img = jax.lax.dynamic_slice_in_dim(img, sp_idx * s_loc, s_loc, 1)
+        s_img = s_loc
 
     txt = jnp.dot(txt_embeds.astype(dt), params["ctx_w"]) + params["ctx_b"]
     # caption_projection_dim == inner_dim in all SD3 variants
@@ -201,37 +225,42 @@ def forward(
         ty = jnp.dot(txt_n, lp[f"{prefix_txt}_qkv_w"]) + (
             lp[f"{prefix_txt}_qkv_b"]
         )
-        iq, ik, iv = jnp.split(iy, 3, axis=-1)
-        tq, tk, tv = jnp.split(ty, 3, axis=-1)
-        q = _heads(jnp.concatenate([tq, iq], axis=1), b, nh, hd)
-        k = _heads(jnp.concatenate([tk, ik], axis=1), b, nh, hd)
-        v = _heads(jnp.concatenate([tv, iv], axis=1), b, nh, hd)
+        iq, ik, iv = (
+            _heads(t, b, nh, hd) for t in jnp.split(iy, 3, axis=-1)
+        )
+        tq, tk, tv = (
+            _heads(t, b, nh, hd) for t in jnp.split(ty, 3, axis=-1)
+        )
         if use_qknorm:
-            # per-stream q/k norms: apply over the split sections
-            qn = jnp.concatenate(
-                [
-                    jnp.broadcast_to(
-                        lp[f"{prefix_txt}_q_norm"], (s_txt, hd)
-                    ),
-                    jnp.broadcast_to(
-                        lp[f"{prefix_img}_q_norm"], (s_img, hd)
-                    ),
-                ],
-                axis=0,
+            # the per-position norm tables are stream-wise constants:
+            # applying them per stream before the concat is identical
+            iq = rms_norm(iq, lp[f"{prefix_img}_q_norm"], 1e-6)
+            ik = rms_norm(ik, lp[f"{prefix_img}_k_norm"], 1e-6)
+            tq = rms_norm(tq, lp[f"{prefix_txt}_q_norm"], 1e-6)
+            tk = rms_norm(tk, lp[f"{prefix_txt}_k_norm"], 1e-6)
+        if sp_axis is not None:
+            from ht_vllm_omni_tpu.diffusion.distributed.sp_ulysses import (
+                ulysses_joint_attention,
             )
-            kn = jnp.concatenate(
-                [
-                    jnp.broadcast_to(
-                        lp[f"{prefix_txt}_k_norm"], (s_txt, hd)
-                    ),
-                    jnp.broadcast_to(
-                        lp[f"{prefix_img}_k_norm"], (s_img, hd)
-                    ),
-                ],
-                axis=0,
+
+            o_imgs, o_txts = [], []
+            for i in range(b):  # [B, H, S, D] -> per-sample [H, S, D]
+                oi, ot = ulysses_joint_attention(
+                    iq[i], ik[i], iv[i], tq[i], tk[i], tv[i],
+                    axis=sp_axis, sp_size=sp_size, txt_len=s_txt,
+                )
+                o_imgs.append(oi)
+                o_txts.append(ot)
+            o_img = jnp.stack(o_imgs).transpose(0, 2, 1, 3).reshape(
+                b, s_img, d
             )
-            q = rms_norm(q, qn[None, None], 1e-6)
-            k = rms_norm(k, kn[None, None], 1e-6)
+            o_txt = jnp.stack(o_txts).transpose(0, 2, 1, 3).reshape(
+                b, s_txt, d
+            )
+            return o_txt, o_img
+        q = jnp.concatenate([tq, iq], axis=2)
+        k = jnp.concatenate([tk, ik], axis=2)
+        v = jnp.concatenate([tv, iv], axis=2)
         o = flash_attention(q, k, v, joint_lens, causal=False)
         o = o.transpose(0, 2, 1, 3).reshape(b, s_txt + s_img, d)
         return o[:, :s_txt], o[:, s_txt:]
@@ -264,10 +293,27 @@ def forward(
             k = rms_norm(
                 _heads(k, b, nh, hd), lp["dual_k_norm"][None, None], 1e-6
             )
-            o2 = flash_attention(
-                q, k, _heads(v, b, nh, hd),
-                jnp.full((b,), s_img, jnp.int32), causal=False,
-            ).transpose(0, 2, 1, 3).reshape(b, s_img, d)
+            vh = _heads(v, b, nh, hd)
+            if sp_axis is not None:
+                from ht_vllm_omni_tpu.diffusion.distributed.sp_ulysses import (
+                    ulysses_attention,
+                    ulysses_attention_uneven,
+                )
+
+                fn2 = (
+                    ulysses_attention
+                    if nh % sp_size == 0
+                    else ulysses_attention_uneven
+                )
+                o2 = jnp.stack([
+                    fn2(q[i], k[i], vh[i], axis=sp_axis, sp_size=sp_size)
+                    for i in range(b)
+                ]).transpose(0, 2, 1, 3).reshape(b, s_img, d)
+            else:
+                o2 = flash_attention(
+                    q, k, vh,
+                    jnp.full((b,), s_img, jnp.int32), causal=False,
+                ).transpose(0, 2, 1, 3).reshape(b, s_img, d)
             o2 = (
                 jnp.dot(o2, lp["dual_out_w"]) + lp["dual_out_b"]
             ).astype(img.dtype)
@@ -317,6 +363,10 @@ def forward(
     out = jnp.dot(
         img, params["proj_out_w"], preferred_element_type=jnp.float32
     ) + params["proj_out_b"].astype(jnp.float32)
+
+    if sp_axis is not None:
+        # gather so every shard unpatchifies the full grid
+        out = jax.lax.all_gather(out, sp_axis, axis=1, tiled=True)
 
     # unpatchify -> [B, C_out, H, W]
     co = cfg.out_channels

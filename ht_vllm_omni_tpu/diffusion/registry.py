@@ -79,7 +79,8 @@ def _qwen_image(config: OmniDiffusionConfig, parallel=None) -> Any:
 # execution); the rest get a precise error instead of silently running
 # single-chip with parallel sizes > 1
 _PARALLEL_FAMILIES = {
-    "generic", "qwen-image", "wan2.2", "wan2.2-i2v", "flux",
+    "generic", "qwen-image", "wan2.2", "wan2.2-i2v", "flux", "sd3",
+    "sd3.5",
 }
 
 
@@ -217,11 +218,12 @@ def _flux(config: OmniDiffusionConfig, parallel=None) -> Any:
     return FluxPipeline(seed=config.seed, **kwargs)
 
 
-def _sd3(config: OmniDiffusionConfig) -> Any:
+def _sd3(config: OmniDiffusionConfig, parallel=None) -> Any:
     from ht_vllm_omni_tpu.diffusion.models.sd3 import SD3Pipeline
     from ht_vllm_omni_tpu.diffusion.models.sd3.config import SD3ArchConfig
 
     kwargs: dict[str, Any] = dict(config.family_options)
+    kwargs["parallel"] = parallel
     if config.model_path:
         import os
 

@@ -370,3 +370,30 @@ def test_engine_flux_sp2_cfg2_tp2_parity():
     par = _run(eng, steps=2)
     assert par.shape == ref.shape
     assert np.max(np.abs(par - ref)) <= 2
+
+
+def test_engine_sd35_sp2_cfg2_parity():
+    """SD3.5 (dual-attention layers + qk_norm) serves in-mesh under
+    cfg2 x sp2 (weights replicated; txt-first concat reorders through
+    the permutation-invariant Ulysses joint attention)."""
+    from ht_vllm_omni_tpu.diffusion.models.sd3.config import SD3ArchConfig
+
+    def cfgs(**popts):
+        return OmniDiffusionConfig(
+            family="sd3.5",
+            family_options={
+                "arch": SD3ArchConfig.tiny(
+                    qk_norm="rms_norm", dual_attention_layers=(0,)
+                ),
+                "vae_cfg": QwenImageVAEConfig.tiny(),
+            },
+            parallel=DiffusionParallelConfig(**popts),
+            seed=9,
+        )
+
+    ref = _run(DiffusionEngine(cfgs()), steps=2)
+    eng = DiffusionEngine(cfgs(cfg_parallel_size=2, ulysses_size=2))
+    assert eng.parallel.world_size == 4
+    par = _run(eng, steps=2)
+    assert par.shape == ref.shape
+    assert np.max(np.abs(par - ref)) <= 2
