@@ -232,7 +232,7 @@ def test_wan_shaped_big_arch_fsdp_spans_mesh():
 
 def test_unsupported_family_with_parallel_raises():
     cfg = OmniDiffusionConfig(
-        family="sd3",
+        family="z-image",
         parallel=DiffusionParallelConfig(ulysses_size=2),
     )
     with pytest.raises(ValueError, match="does not support parallel"):
